@@ -1,0 +1,46 @@
+"""Deployment helper: ship this package to executors.
+
+The compiled rule tree is pickled **by reference** into the
+mapInPandas closure, so executor Python workers must be able to
+``import goose_parser_spark``. On a real cluster that is
+``spark-submit --py-files goose_parser_spark.zip`` (BASELINE.json:14);
+for programmatic use :func:`ship_package` builds the zip on the fly
+and registers it via ``sc.addPyFile`` — the same mechanism, no
+install step needed on workers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+
+def build_package_zip(dest_dir: str | None = None) -> str:
+    """Zip the goose_parser_spark package for --py-files / addPyFile."""
+    import goose_parser_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(goose_parser_spark.__file__))
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="goose_spark_pyfiles_")
+    zip_path = os.path.join(dest_dir, "goose_parser_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith((".pyc", ".pyo")):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    return zip_path
+
+
+def ship_package(spark) -> str:
+    """Make this package importable on all executors of ``spark``.
+
+    Idempotent per session. Returns the zip path that was shipped.
+    """
+    zip_path = build_package_zip()
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path

@@ -1,0 +1,325 @@
+"""Pure-stdlib HTML DOM backend.
+
+Parses HTML into a lightweight element tree with browser-like error
+recovery (HTML5 implied end tags, void elements, auto-<tbody>), so that
+extraction results match what goose-parser saw through a real browser
+DOM (reference behavior: SURVEY.md §2.2 C1-C8, FIXTURES.md F-18/F-21).
+
+Design notes
+------------
+- This is the sandbox `StdlibBackend` of the pluggable DomBackend plan
+  (SURVEY.md §7.0): no lxml/selectolax offline, so we build on
+  ``html.parser`` with ``convert_charrefs=True`` (entities decoded in
+  both text and attribute values — FIXTURES.md F-02/F-19).
+- ``textContent`` semantics: recursive concatenation of text nodes with
+  **no whitespace normalization** (FIXTURES.md F-21: byte-identity
+  lives or dies here).
+- Every element carries a document-order index so selector results can
+  be deduplicated and ordered globally in O(n log n).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+
+# HTML5 void elements: never have children, never pushed on the stack.
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Start tags that imply </p> when a <p> is open (HTML5 8.2.5.4.7).
+P_CLOSERS = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    dd dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header
+    hgroup hr main menu nav ol p pre section summary table ul li""".split()
+)
+
+# tag -> set of open tags it auto-closes when encountered as a sibling
+IMPLIED_END = {
+    "li": frozenset(["li"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "thead": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tbody": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tfoot": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "option": frozenset(["option"]),
+    "optgroup": frozenset(["option", "optgroup"]),
+    "caption": frozenset([]),
+    "colgroup": frozenset([]),
+}
+
+# Tags whose implied-close search must not cross these boundaries
+# (e.g. an <li> inside a nested <ul> must not close the outer <li>).
+_SCOPE_BOUNDARIES = {
+    "li": frozenset(["ul", "ol"]),
+    "dt": frozenset(["dl"]),
+    "dd": frozenset(["dl"]),
+    "tr": frozenset(["table"]),
+    "td": frozenset(["table", "tr"]),
+    "th": frozenset(["table", "tr"]),
+    "thead": frozenset(["table"]),
+    "tbody": frozenset(["table"]),
+    "tfoot": frozenset(["table"]),
+    "option": frozenset(["select"]),
+    "optgroup": frozenset(["select"]),
+}
+
+# Children of <table> that trigger auto-<tbody> insertion (browsers do
+# this; FIXTURES.md F-06 is written to be agnostic, but we stay
+# browser-faithful so descendant selectors see the same tree).
+_TABLE_SECTIONS = frozenset(["thead", "tbody", "tfoot", "caption", "colgroup", "col", "script", "style", "template"])
+
+
+class Element:
+    """One DOM element. Children are Element instances or plain ``str``
+    text nodes. ``order`` is the global document-order index."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "order")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None", order: int):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | str] = []
+        self.parent = parent
+        self.order = order
+
+    # ---- DOM-ish accessors -------------------------------------------------
+
+    def text(self) -> str:
+        """``textContent``: depth-first concat of all text descendants,
+        entities already decoded, no whitespace normalization."""
+        out: list[str] = []
+        stack: list[Element | str] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                out.append(node)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(out)
+
+    def attr(self, name: str) -> str | None:
+        return self.attrs.get(name.lower())
+
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def iter_elements(self):
+        """Pre-order traversal of element descendants (self excluded)."""
+        stack = [c for c in reversed(self.children) if isinstance(c, Element)]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(c for c in reversed(node.children) if isinstance(c, Element))
+
+    def inner_html(self) -> str:
+        """Serialize children back to HTML (supports ``prop: innerHTML``,
+        SURVEY.md §2.2 C5 — static-derivable subset; divergence from a
+        live browser's normalized serialization is documented there)."""
+        return "".join(_serialize(c) for c in self.children)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        ident = ("#" + self.attrs["id"]) if "id" in self.attrs else ""
+        cls = ("." + ".".join(self.classes())) if self.classes() else ""
+        return f"<{self.tag}{ident}{cls} @{self.order}>"
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def _serialize(node: Element | str) -> str:
+    if isinstance(node, str):
+        return _escape_text(node)
+    attrs = "".join(f' {k}="{_escape_attr(v)}"' for k, v in node.attrs.items())
+    if node.tag in VOID_ELEMENTS:
+        return f"<{node.tag}{attrs}>"
+    inner = "".join(_serialize(c) for c in node.children)
+    return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+
+class _TreeBuilder(HTMLParser):
+    """html.parser → Element tree with HTML5-style recovery."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._order = 0
+        self.root = Element("#document", {}, None, self._next_order())
+        self.stack: list[Element] = [self.root]
+
+    def _next_order(self) -> int:
+        self._order += 1
+        return self._order
+
+    # -- helpers -------------------------------------------------------------
+
+    def _open_tags(self) -> list[str]:
+        return [e.tag for e in self.stack]
+
+    def _close_one(self) -> None:
+        if len(self.stack) > 1:
+            self.stack.pop()
+
+    def _imply_ends_for(self, tag: str) -> None:
+        """Close open elements that the HTML5 parser would auto-close
+        before inserting ``tag``."""
+        # </p> implied by block-level starts
+        if tag in P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                # stop at "button scope"-ish boundaries: any non-inline
+                # container means no open <p> in scope
+                if t in ("#document", "html", "body", "table", "td", "th",
+                         "caption", "template", "select"):
+                    break
+        closers = IMPLIED_END.get(tag)
+        if closers:
+            boundaries = _SCOPE_BOUNDARIES.get(tag, frozenset())
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in closers:
+                    del self.stack[i:]
+                    break
+                if t in boundaries or t in ("#document", "html", "body"):
+                    break
+
+    def _maybe_insert_tbody(self, tag: str) -> None:
+        """Browsers wrap stray <tr> directly under <table> in <tbody>."""
+        if tag == "tr" and self.stack[-1].tag == "table":
+            tbody = Element("tbody", {}, self.stack[-1], self._next_order())
+            self.stack[-1].children.append(tbody)
+            self.stack.append(tbody)
+
+    # -- HTMLParser callbacks --------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._imply_ends_for(tag)
+        self._maybe_insert_tbody(tag)
+        # first occurrence of a duplicated attribute wins (HTML5)
+        attr_map: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_map:
+                attr_map[k] = v if v is not None else ""
+        parent = self.stack[-1]
+        el = Element(tag, attr_map, parent, self._next_order())
+        parent.children.append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        # <tag/> — html treats foreign-content self-closing as a normal
+        # start for non-void elements, but for extraction purposes an
+        # explicitly self-closed element having no children is the safer
+        # interpretation; void elements are void regardless.
+        self._imply_ends_for(tag)
+        self._maybe_insert_tbody(tag)
+        attr_map: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_map:
+                attr_map[k] = v if v is not None else ""
+        parent = self.stack[-1]
+        parent.children.append(Element(tag, attr_map, parent, self._next_order()))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        # find nearest matching open element; ignore if none (stray end tag)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # no match → ignored (browser behavior for unexpected end tags)
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        parent = self.stack[-1]
+        # merge adjacent text nodes so textContent is a simple concat
+        if parent.children and isinstance(parent.children[-1], str):
+            parent.children[-1] += data
+        else:
+            parent.children.append(data)
+
+    def handle_comment(self, data: str) -> None:
+        pass  # comments are not part of textContent
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+
+# Elements that belong in <head>; used when synthesizing document
+# structure for fragments (browsers always create html/head/body).
+_HEAD_TAGS = frozenset(["head", "title", "meta", "link", "base"])
+
+
+def _ensure_document_structure(root: Element) -> None:
+    """Guarantee root > html > body exist, like every browser parser
+    does — goose rules rely on it (e.g. ``parentScope: "body"``,
+    FIXTURES.md F-09) even when given an HTML fragment."""
+    html_el = next((c for c in root.children
+                    if isinstance(c, Element) and c.tag == "html"), None)
+    if html_el is None:
+        html_el = Element("html", {}, root, 0)
+        html_el.children = root.children
+        for c in html_el.children:
+            if isinstance(c, Element):
+                c.parent = html_el
+        root.children = [html_el]
+    body = next((c for c in html_el.children
+                 if isinstance(c, Element) and c.tag == "body"), None)
+    if body is None:
+        body = Element("body", {}, html_el, 0)
+        moved: list[Element | str] = []
+        kept: list[Element | str] = []
+        for c in html_el.children:
+            if isinstance(c, Element) and c.tag in _HEAD_TAGS:
+                kept.append(c)
+            else:
+                moved.append(c)
+                if isinstance(c, Element):
+                    c.parent = body
+        body.children = moved
+        html_el.children = kept + [body]
+    # renumber document order after restructuring
+    counter = 0
+
+    def renumber(el: Element) -> None:
+        nonlocal counter
+        counter += 1
+        el.order = counter
+        for c in el.children:
+            if isinstance(c, Element):
+                renumber(c)
+
+    renumber(root)
+
+
+def parse_html(html: str | bytes) -> Element:
+    """Parse an HTML document (str or utf-8 bytes) into an Element tree.
+
+    Returns the synthetic ``#document`` root; selector evaluation starts
+    there. One call per document per rule tree — the extractor parses
+    each page ONCE and evaluates all rules against it (vs the
+    reference's one browser-IPC round trip per rule, SURVEY.md §3.1).
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    _ensure_document_structure(builder.root)
+    return builder.root

@@ -1,0 +1,448 @@
+"""CSS3 + Sizzle-dialect selector engine over the stdlib DOM backend.
+
+Covers the selector surface goose-parser rules use (SURVEY.md §2.3):
+tag/universal, class/id/compound, attribute operators (incl. Sizzle's
+``[a!=b]``), combinators (descendant, ``>``, ``+``, ``~``), structural
+pseudo-classes (``:first-child``, ``:last-child``, ``:nth-child``,
+``:only-child``, ``:empty``, ``:not``), and Sizzle extensions
+(``:eq/:first/:last/:gt/:lt`` positional filters, ``:contains``,
+``:has``), plus comma-separated groups.
+
+Evaluation is left-to-right set-based, exactly Sizzle's observable
+semantics for positional pseudos: ``div:eq(1) span`` first narrows the
+``div`` result set to its second element, then descends. Results are
+returned deduplicated in document order.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from goose_parser_spark.dom.parser import Element
+
+
+class SelectorError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Parsing
+# --------------------------------------------------------------------------
+
+_IDENT = r"[-\w -￿]+"
+_token_re = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<combinator>[>+~])
+  | (?P<comma>,)
+  | (?P<hash>\#(?P<hash_v>{ident}))
+  | (?P<class>\.(?P<class_v>{ident}))
+  | (?P<attr>\[\s*(?P<attr_n>{ident})\s*
+        (?:(?P<attr_op>[!^$*~|]?=)\s*
+            (?P<attr_v>"[^"]*"|'[^']*'|[^\]\s]*)\s*)?\])
+  | (?P<pseudo>:(?P<pseudo_n>[-\w]+)(?P<pseudo_arg>\()?)
+  | (?P<tag>(?:{ident}|\*))
+    """.format(ident=_IDENT),
+    re.VERBOSE,
+)
+
+# Positional (result-set) pseudos vs per-element pseudos.
+_POSITIONAL = frozenset(["eq", "first", "last", "gt", "lt", "even", "odd"])
+_NO_ARG_PSEUDOS = frozenset(
+    ["first-child", "last-child", "only-child", "empty", "first", "last",
+     "even", "odd", "checked", "disabled", "enabled", "selected"]
+)
+
+
+@dataclass
+class Compound:
+    tag: str | None = None
+    universal: bool = False
+    ids: list[str] = field(default_factory=list)
+    classes: list[str] = field(default_factory=list)
+    attrs: list[tuple[str, str | None, str | None]] = field(default_factory=list)
+    pseudos: list[tuple[str, object]] = field(default_factory=list)      # per-element
+    positional: list[tuple[str, object]] = field(default_factory=list)   # result-set
+
+    def is_empty(self) -> bool:
+        return (self.tag is None and not self.universal and not self.ids
+                and not self.classes and not self.attrs and not self.pseudos
+                and not self.positional)
+
+
+@dataclass
+class Complex:
+    """One complex selector: [(combinator, Compound), ...].
+    The first combinator is ' ' (descendant-of-context)."""
+    steps: list[tuple[str, Compound]]
+
+
+@dataclass
+class Selector:
+    """A parsed selector group (comma-separated complex selectors)."""
+    source: str
+    alternatives: list[Complex]
+
+
+def _read_balanced_paren_arg(src: str, pos: int) -> tuple[str, int]:
+    """src[pos] is just past '('; read until the matching ')'."""
+    depth = 1
+    out = []
+    quote = None
+    i = pos
+    while i < len(src):
+        ch = src[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            out.append(ch)
+        elif ch in "\"'":
+            quote = ch
+            out.append(ch)
+        elif ch == "(":
+            depth += 1
+            out.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    raise SelectorError(f"unbalanced parentheses in selector: {src!r}")
+
+
+def _strip_quotes(v: str) -> str:
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+        return v[1:-1]
+    return v
+
+
+def parse_selector(src: str) -> Selector:
+    alternatives: list[Complex] = []
+    steps: list[tuple[str, Compound]] = []
+    compound = Compound()
+    pending_combinator = " "
+    saw_ws = False
+    pos = 0
+    n = len(src)
+
+    def flush_compound() -> None:
+        nonlocal compound, pending_combinator, saw_ws
+        if not compound.is_empty():
+            steps.append((pending_combinator, compound))
+            compound = Compound()
+            pending_combinator = " "
+        saw_ws = False
+
+    def flush_complex() -> None:
+        nonlocal steps
+        flush_compound()
+        if steps:
+            alternatives.append(Complex(steps))
+            steps = []
+
+    while pos < n:
+        m = _token_re.match(src, pos)
+        if not m:
+            raise SelectorError(f"cannot parse selector at {src[pos:]!r} (in {src!r})")
+        pos = m.end()
+        kind = m.lastgroup  # not reliable with nested groups; check explicitly
+        if m.group("ws"):
+            saw_ws = True
+            continue
+        if m.group("comma"):
+            flush_complex()
+            continue
+        if m.group("combinator"):
+            flush_compound()
+            pending_combinator = m.group("combinator")
+            saw_ws = False
+            continue
+        # a new compound starts if we saw whitespace since the last token
+        if saw_ws and not compound.is_empty():
+            flush_compound()
+        if m.group("tag"):
+            if not compound.is_empty():
+                # tag must come first within a compound → this is a new compound
+                flush_compound()
+            t = m.group("tag")
+            if t == "*":
+                compound.universal = True
+            else:
+                compound.tag = t.lower()
+        elif m.group("hash"):
+            compound.ids.append(m.group("hash_v"))
+        elif m.group("class"):
+            compound.classes.append(m.group("class_v"))
+        elif m.group("attr"):
+            name = m.group("attr_n").lower()
+            op = m.group("attr_op")
+            val = m.group("attr_v")
+            compound.attrs.append(
+                (name, op, _strip_quotes(val) if val is not None else None))
+        elif m.group("pseudo"):
+            name = m.group("pseudo_n").lower()
+            arg: object = None
+            if m.group("pseudo_arg"):
+                raw, pos = _read_balanced_paren_arg(src, pos)
+                arg = raw.strip()
+            elif name not in _NO_ARG_PSEUDOS:
+                raise SelectorError(f"pseudo-class :{name} requires an argument")
+            if name in ("not", "has"):
+                arg = parse_selector(str(arg))
+            elif name == "contains":
+                arg = _strip_quotes(str(arg))
+            elif name in ("eq", "gt", "lt"):
+                arg = int(str(arg))
+            elif name == "nth-child":
+                arg = _parse_nth(str(arg))
+            elif name in ("first", "last", "even", "odd"):
+                pass
+            if name in _POSITIONAL:
+                compound.positional.append((name, arg))
+            else:
+                compound.pseudos.append((name, arg))
+        saw_ws = False
+
+    flush_complex()
+    if not alternatives:
+        raise SelectorError(f"empty selector: {src!r}")
+    return Selector(src, alternatives)
+
+
+_nth_re = re.compile(r"^(?:(?P<a>[+-]?\d*)n)?\s*(?P<b>[+-]?\s*\d+)?$")
+
+
+def _parse_nth(arg: str) -> tuple[int, int]:
+    """Return (a, b) for an+b; :nth-child index is 1-based."""
+    s = arg.strip().lower()
+    if s == "odd":
+        return (2, 1)
+    if s == "even":
+        return (2, 0)
+    m = _nth_re.match(s.replace(" ", ""))
+    if not m or (m.group("a") is None and m.group("b") is None):
+        raise SelectorError(f"bad :nth-child argument {arg!r}")
+    a_raw = m.group("a")
+    if a_raw is None:
+        a = 0
+    elif a_raw in ("", "+"):
+        a = 1
+    elif a_raw == "-":
+        a = -1
+    else:
+        a = int(a_raw)
+    b = int(m.group("b").replace(" ", "")) if m.group("b") else 0
+    return (a, b)
+
+
+# --------------------------------------------------------------------------
+# Matching
+# --------------------------------------------------------------------------
+
+def _attr_match(el: Element, name: str, op: str | None, val: str | None) -> bool:
+    actual = el.attrs.get(name)
+    if op is None:
+        return actual is not None
+    if op == "!=":  # Sizzle: attr absent OR different
+        return actual != val
+    if actual is None:
+        return False
+    assert val is not None
+    if op == "=":
+        return actual == val
+    if op == "^=":
+        return val != "" and actual.startswith(val)
+    if op == "$=":
+        return val != "" and actual.endswith(val)
+    if op == "*=":
+        return val != "" and val in actual
+    if op == "~=":
+        return val in actual.split()
+    if op == "|=":
+        return actual == val or actual.startswith(val + "-")
+    raise SelectorError(f"unknown attribute operator {op!r}")
+
+
+def _element_index(el: Element) -> int:
+    """1-based index among element siblings."""
+    parent = el.parent
+    if parent is None:
+        return 1
+    i = 0
+    for c in parent.children:
+        if isinstance(c, Element):
+            i += 1
+            if c is el:
+                return i
+    return 1
+
+
+def _pseudo_match(el: Element, name: str, arg: object) -> bool:
+    if name == "first-child":
+        return _element_index(el) == 1
+    if name == "last-child":
+        parent = el.parent
+        if parent is None:
+            return True
+        sibs = parent.element_children()
+        return bool(sibs) and sibs[-1] is el
+    if name == "only-child":
+        parent = el.parent
+        if parent is None:
+            return True
+        return len(parent.element_children()) == 1
+    if name == "nth-child":
+        a, b = arg  # type: ignore[misc]
+        idx = _element_index(el)
+        if a == 0:
+            return idx == b
+        k = (idx - b) / a
+        return k >= 0 and float(k).is_integer()
+    if name == "empty":
+        return not el.children
+    if name == "not":
+        sel: Selector = arg  # type: ignore[assignment]
+        return not _matches_compound_group(el, sel)
+    if name == "has":
+        sel = arg  # type: ignore[assignment]
+        return bool(select([el], sel))
+    if name == "contains":
+        return str(arg) in el.text()
+    if name in ("checked", "selected"):
+        return name in el.attrs
+    if name == "disabled":
+        return "disabled" in el.attrs
+    if name == "enabled":
+        return el.tag in ("input", "button", "select", "textarea", "option") \
+            and "disabled" not in el.attrs
+    raise SelectorError(f"unsupported pseudo-class :{name}")
+
+
+def _matches_compound(el: Element, c: Compound) -> bool:
+    if c.tag is not None and el.tag != c.tag:
+        return False
+    if c.ids:
+        el_id = el.attrs.get("id")
+        if any(i != el_id for i in c.ids):
+            return False
+    if c.classes:
+        el_classes = el.classes()
+        if any(cls not in el_classes for cls in c.classes):
+            return False
+    for name, op, val in c.attrs:
+        if not _attr_match(el, name, op, val):
+            return False
+    for name, arg in c.pseudos:
+        if not _pseudo_match(el, name, arg):
+            return False
+    return True
+
+
+def _matches_compound_group(el: Element, sel: Selector) -> bool:
+    """For :not(...) — CSS3 restricts the arg to simple selector
+    sequences; we accept a full group but match per-compound (each
+    alternative must be a single step)."""
+    for alt in sel.alternatives:
+        if len(alt.steps) != 1:
+            raise SelectorError(
+                f":not()/:has() combinator depth: use :has for {sel.source!r}")
+        if _matches_compound(el, alt.steps[0][1]):
+            return True
+    return False
+
+
+def _apply_positional(matched: list[Element], positional: list[tuple[str, object]]) -> list[Element]:
+    out = matched
+    for name, arg in positional:
+        if name == "eq":
+            i = int(arg)  # type: ignore[arg-type]
+            if -len(out) <= i < len(out):
+                out = [out[i]]
+            else:
+                out = []
+        elif name == "first":
+            out = out[:1]
+        elif name == "last":
+            out = out[-1:]
+        elif name == "gt":
+            out = out[int(arg) + 1:]  # type: ignore[arg-type]
+        elif name == "lt":
+            out = out[:int(arg)]  # type: ignore[arg-type]
+        elif name == "even":  # Sizzle :even = 0-based even indices
+            out = out[0::2]
+        elif name == "odd":
+            out = out[1::2]
+    return out
+
+
+def _gather(nodes: list[Element], combinator: str) -> list[Element]:
+    """Candidate elements reachable from ``nodes`` via ``combinator``,
+    in document order, deduplicated."""
+    seen: set[int] = set()
+    out: list[Element] = []
+
+    def add(el: Element) -> None:
+        if el.order not in seen:
+            seen.add(el.order)
+            out.append(el)
+
+    for node in nodes:
+        if combinator == " ":
+            for el in node.iter_elements():
+                add(el)
+        elif combinator == ">":
+            for el in node.element_children():
+                add(el)
+        elif combinator in ("+", "~"):
+            parent = node.parent
+            if parent is None:
+                continue
+            sibs = parent.element_children()
+            try:
+                idx = next(i for i, s in enumerate(sibs) if s is node)
+            except StopIteration:
+                continue
+            following = sibs[idx + 1:]
+            if combinator == "+":
+                following = following[:1]
+            for el in following:
+                add(el)
+        else:  # pragma: no cover
+            raise SelectorError(f"unknown combinator {combinator!r}")
+    out.sort(key=lambda e: e.order)
+    return out
+
+
+def select(context: list[Element] | Element, selector: Selector | str) -> list[Element]:
+    """Evaluate ``selector`` relative to ``context`` node(s).
+
+    Matches goose's scope semantics: the selector searches *within* each
+    context node (context nodes themselves are not candidates for the
+    first descendant step). Returns elements deduplicated in document
+    order across the whole group.
+    """
+    if isinstance(selector, str):
+        selector = parse_selector(selector)
+    roots = [context] if isinstance(context, Element) else list(context)
+    seen: set[int] = set()
+    results: list[Element] = []
+    for alt in selector.alternatives:
+        current = roots
+        for combinator, compound in alt.steps:
+            candidates = _gather(current, combinator)
+            matched = [el for el in candidates if _matches_compound(el, compound)]
+            if compound.positional:
+                matched = _apply_positional(matched, compound.positional)
+            current = matched
+            if not current:
+                break
+        for el in current:
+            if el.order not in seen:
+                seen.add(el.order)
+                results.append(el)
+    results.sort(key=lambda e: e.order)
+    return results

@@ -1,0 +1,129 @@
+"""Arrow-batched extraction over a pages DataFrame.
+
+The hot path of the engine: ``mapInPandas`` over Arrow batches — the
+ONLY JVM↔Python boundary in the job, amortized per batch (no per-row
+Python, BASELINE.json:15). Per batch we loop documents in Python
+(DOM parsing is inherently per-document), parse each page's HTML once,
+and evaluate the entire compiled rule tree against it (SURVEY.md §3.2).
+
+Failure isolation (SURVEY.md §2.8 I4): a poison document yields
+``extracted = NULL`` plus an ``error`` string and is counted in the
+per-partition metrics — it never kills the job.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from goose_parser_spark.rules.compiler import CompiledRules, RuleCompiler
+from goose_parser_spark.rules.evaluator import evaluate_document
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+
+def output_schema(compiled: CompiledRules, url_col: str = "url") -> StructType:
+    """Schema of the extractor output: url + extracted + error + parse_ns.
+
+    ``parse_ns`` rides along per document so per-partition metrics can
+    be aggregated from the output table in one pass, without a second
+    trip through Python (SURVEY.md §2.8 I2).
+    """
+    return StructType([
+        StructField(url_col, StringType(), False),
+        StructField("extracted", compiled.schema, True),
+        StructField("error", StringType(), True),
+        StructField("parse_ns", LongType(), True),
+        StructField("bytes_in", LongType(), True),
+    ])
+
+
+def build_extractor(
+    compiled: CompiledRules,
+    html_col: str = "html",
+    url_col: str = "url",
+):
+    """Build the mapInPandas function for a compiled rule tree.
+
+    The compiled plan (parsed selectors, compiled transforms, derived
+    schema) is captured in the closure — pickled once and shipped to
+    every executor, the moral equivalent of a broadcast variable.
+    """
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = pdf[url_col]
+            htmls = pdf[html_col]
+            n = len(pdf)
+            extracted: list[object] = [None] * n
+            errors: list[str | None] = [None] * n
+            parse_ns: list[int] = [0] * n
+            bytes_in: list[int] = [0] * n
+            for i in range(n):
+                raw = htmls.iloc[i]
+                bytes_in[i] = len(raw) if raw is not None else 0
+                t0 = time.perf_counter_ns()
+                try:
+                    if raw is None:
+                        raise ValueError("html is NULL")
+                    extracted[i] = evaluate_document(compiled, raw)
+                except Exception as exc:  # noqa: BLE001 — I4 poison isolation
+                    errors[i] = f"{type(exc).__name__}: {exc}"
+                parse_ns[i] = time.perf_counter_ns() - t0
+            yield pd.DataFrame({
+                url_col: urls.reset_index(drop=True),
+                "extracted": pd.Series(extracted, dtype="object"),
+                "error": pd.Series(errors, dtype="object"),
+                "parse_ns": pd.Series(parse_ns, dtype="int64"),
+                "bytes_in": pd.Series(bytes_in, dtype="int64"),
+            })
+
+    return extract_batches
+
+
+def extract(
+    df: "DataFrame",
+    rules: dict | CompiledRules,
+    html_col: str = "html",
+    url_col: str = "url",
+    keep_cols: tuple[str, ...] = (),
+) -> "DataFrame":
+    """Run rule-tree extraction over a pages DataFrame.
+
+    Selects only the needed columns FIRST so Catalyst prunes the scan
+    to ``url, html`` (+ keep_cols) — at 10^12 docs the html blob is the
+    only heavy column we should ever deserialize (SURVEY.md §4.1/§4.2).
+    """
+    compiled = rules if isinstance(rules, CompiledRules) else RuleCompiler().compile(rules)
+    cols = [url_col, html_col, *keep_cols]
+    pruned = df.select(*dict.fromkeys(cols))
+    schema = output_schema(compiled, url_col=url_col)
+    if keep_cols:
+        # carry extra columns through the UDF untouched
+        base = build_extractor(compiled, html_col=html_col, url_col=url_col)
+        extra_fields = [pruned.schema[c] for c in keep_cols]
+        schema = StructType(schema.fields + extra_fields)
+
+        def with_extras(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = next(iter(base(iter([pdf]))))
+                for c in keep_cols:
+                    out[c] = pdf[c].reset_index(drop=True)
+                yield out
+
+        return pruned.mapInPandas(with_extras, schema=schema)
+    return pruned.mapInPandas(
+        build_extractor(compiled, html_col=html_col, url_col=url_col),
+        schema=schema,
+    )

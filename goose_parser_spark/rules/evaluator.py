@@ -1,0 +1,134 @@
+"""Per-document rule-tree evaluation.
+
+Runs inside the Arrow-batched extraction UDF: each document's HTML is
+parsed ONCE, then the whole compiled rule tree is evaluated against the
+DOM (vs the reference's one browser round-trip per rule — the key
+structural win recorded in SURVEY.md §3.2).
+
+Semantics pinned by FIXTURES.md:
+- scope resolves descendants of the current context node (Sizzle
+  ``find``); ``parentScope`` resets the context by selecting from the
+  document root (F-09).
+- multiple matches joined with ``separator`` (default ``" "``,
+  PROVISIONAL — FIXTURES.md §4.1) unless ``type: "array"`` (F-03/F-04).
+- empty match → ``""`` for simple rules (PROVISIONAL, F-08a), ``[]``
+  for grids (F-08b).
+- collections evaluate children in the parent's FIRST matched node
+  (F-05); grids iterate ALL matched nodes (F-06).
+- ``virtual`` fields are evaluated (their ``id`` role may need them)
+  but dropped from the result (F-10).
+- text extraction is raw ``textContent`` concatenation, no whitespace
+  normalization (F-21); attributes come entity-decoded (F-02).
+
+Selector memoization: within one document, repeated (context, selector)
+pairs hit a per-document cache — rule trees with shared scope prefixes
+pay for each selector once (SURVEY.md §4.2 "UDF-internal rule
+evaluation order").
+"""
+
+from __future__ import annotations
+
+from goose_parser_spark.dom.parser import Element, parse_html
+from goose_parser_spark.dom.selector import Selector, select
+from goose_parser_spark.functions.transforms import apply_chain
+from goose_parser_spark.rules.compiler import Branch, CompiledRule, CompiledRules
+
+
+class _DocContext:
+    """Per-document evaluation state: DOM root + selector cache."""
+
+    __slots__ = ("root", "_cache")
+
+    def __init__(self, root: Element) -> None:
+        self.root = root
+        self._cache: dict[tuple[int, ...], list[Element]] = {}
+
+    def select(self, context: list[Element], selector: Selector) -> list[Element]:
+        key = (id(selector),) + tuple(e.order for e in context)
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = select(context, selector)
+            self._cache[key] = hit
+        return hit
+
+
+def _extract_value(el: Element, rule: CompiledRule) -> str:
+    if rule.attr is not None:
+        v = el.attr(rule.attr)
+        return v if v is not None else ""
+    if rule.prop is not None:
+        prop = rule.prop
+        if prop == "innerHTML":
+            return el.inner_html()
+        if prop in ("innerText", "textContent"):
+            return el.text()
+        if prop == "value":
+            v = el.attr("value")
+            return v if v is not None else ""
+        # static-derivable fallback: DOM property ≈ attribute (C5 subset)
+        v = el.attr(prop)
+        return v if v is not None else ""
+    return el.text()
+
+
+def _resolve_context(rule: CompiledRule, context: list[Element], doc: _DocContext) -> list[Element]:
+    base = context
+    if rule.parent_scope is not None:
+        base = doc.select([doc.root], rule.parent_scope)
+    if rule.scope is not None:
+        return doc.select(base, rule.scope)
+    return base
+
+
+def evaluate_rule(rule: CompiledRule, context: list[Element], doc: _DocContext) -> object:
+    matched = _resolve_context(rule, context, doc)
+
+    if rule.is_grid:
+        return [_evaluate_children(rule, [node], doc) for node in matched]
+
+    if rule.is_collection:
+        # children resolve in the parent's first matched node (F-05);
+        # no match → children evaluate against nothing (empty strings)
+        node_ctx = matched[:1]
+        return _evaluate_children(rule, node_ctx, doc)
+
+    # leaf
+    values = [_extract_value(el, rule) for el in matched]
+    value: object
+    if rule.is_array:
+        value = values
+    else:
+        value = rule.separator.join(values)
+    return apply_chain(rule.transforms, value)
+
+
+def _evaluate_children(rule: CompiledRule, node_ctx: list[Element], doc: _DocContext) -> dict:
+    out: dict[str, object] = {}
+    for child in rule.children:
+        v = evaluate_rule(child, node_ctx, doc)
+        if not child.virtual:
+            out[child.name or ""] = v
+    return out
+
+
+def evaluate_branches(branches: list[Branch], doc: _DocContext) -> object:
+    """Pick the first branch whose guards all match (first-wins,
+    SURVEY.md §2.6 A2) and evaluate its rule tree."""
+    for br in branches:
+        if all(doc.select([doc.root], g) for g in br.guards):
+            root = br.rules
+            value = evaluate_rule(root, [doc.root], doc)
+            if root.children:
+                return value
+            return {root.name or "": value}
+    return None
+
+
+def evaluate_document(compiled: CompiledRules, html: str | bytes) -> object:
+    """Parse one document and evaluate the compiled rules against it.
+
+    Returns a nested python value (dict / list / str) matching
+    ``compiled.schema``; ``None`` if no conditional branch matched.
+    """
+    doc = _DocContext(parse_html(html))
+    return evaluate_branches(compiled.branches, doc)

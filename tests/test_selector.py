@@ -1,0 +1,156 @@
+"""Selector engine tests: CSS3 subset + Sizzle dialect (SURVEY.md §2.3),
+including a property test against a naive reference matcher."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from goose_parser_spark.dom.parser import parse_html
+from goose_parser_spark.dom.selector import SelectorError, parse_selector, select
+
+DOC = parse_html("""
+<div id="main" class="box outer" data-k="v1">
+  <p class="a first">one</p>
+  <p class="a">two</p>
+  <span class="a b">three</span>
+  <ul>
+    <li>l1</li>
+    <li class="mid">l2</li>
+    <li>l3</li>
+  </ul>
+  <a href="https://x.test/page" rel="nofollow ext">link</a>
+  <a href="/rel" title="T">rel</a>
+</div>
+<div class="box">
+  <p class="a">four</p>
+</div>
+""")
+
+
+def texts(sel):
+    return [e.text() for e in select(DOC, sel)]
+
+
+def test_tag_and_universal():
+    assert texts("p") == ["one", "two", "four"]
+    assert len(select(DOC, "*")) >= 10
+
+
+def test_class_id_compound():
+    assert texts(".a") == ["one", "two", "three", "four"]
+    assert texts("p.a") == ["one", "two", "four"]
+    assert texts("span.a.b") == ["three"]
+    assert [e.tag for e in select(DOC, "#main")] == ["div"]
+    assert texts("div#main p.a.first") == ["one"]
+
+
+def test_attribute_operators():
+    assert texts("[href]") == ["link", "rel"]
+    assert texts('[href="/rel"]') == ["rel"]
+    assert texts("[href^=https]") == ["link"]
+    assert texts("[href$=page]") == ["link"]
+    assert texts("[href*=x.test]") == ["link"]
+    assert texts("[rel~=ext]") == ["link"]
+    # Sizzle !=: absent or different
+    assert texts("a[title!=T]") == ["link"]
+
+
+def test_combinators():
+    assert texts("div p") == ["one", "two", "four"]
+    assert texts("#main > p") == ["one", "two"]
+    assert texts("p.first + p") == ["two"]
+    assert texts("p.first ~ span") == ["three"]
+
+
+def test_structural_pseudos():
+    assert texts("li:first-child") == ["l1"]
+    assert texts("li:last-child") == ["l3"]
+    assert texts("li:nth-child(2)") == ["l2"]
+    assert texts("li:nth-child(odd)") == ["l1", "l3"]
+    assert texts("li:nth-child(2n+1)") == ["l1", "l3"]
+    assert texts("li:not(.mid)") == ["l1", "l3"]
+    assert texts("ul:only-child") == []
+
+
+def test_sizzle_positional():
+    assert texts("p:eq(1)") == ["two"]
+    assert texts("p:eq(-1)") == ["four"]
+    assert texts("p:first") == ["one"]
+    assert texts("p:last") == ["four"]
+    assert texts("p:lt(2)") == ["one", "two"]
+    assert texts("p:gt(0)") == ["two", "four"]
+    # positional applies at its step, then descends (Sizzle semantics)
+    assert texts("div:eq(0) p") == ["one", "two"]
+    assert texts("div:eq(1) p") == ["four"]
+
+
+def test_sizzle_content():
+    assert texts("p:contains(wo)") == ["two"]
+    assert texts('p:contains("two")') == ["two"]
+    assert texts("div:has(ul) > p") == ["one", "two"]
+    assert texts("div:not(#main) p") == ["four"]
+
+
+def test_groups_and_dedup():
+    assert texts("p.first, span.b") == ["one", "three"]
+    # overlapping alternatives dedup in document order
+    assert texts("p.a, .first") == ["one", "two", "four"]
+
+
+def test_scope_is_descendant_only():
+    main = select(DOC, "#main")[0]
+    # context node itself never matches (Sizzle .find semantics)
+    assert select(main, "div.box") == []
+    assert [e.text() for e in select(main, "p")] == ["one", "two"]
+
+
+def test_parse_errors():
+    with pytest.raises(SelectorError):
+        parse_selector("")
+    with pytest.raises(SelectorError):
+        parse_selector("p:contains(unclosed")
+
+
+# --- property test: engine vs naive matcher on generated DOMs ---------------
+
+_TAGS = ["div", "span", "p", "b"]
+_CLASSES = ["x", "y", "z"]
+
+
+@st.composite
+def _doms(draw, max_children=4, depth=3):
+    def node(d):
+        tag = draw(st.sampled_from(_TAGS))
+        cls = draw(st.lists(st.sampled_from(_CLASSES), max_size=2))
+        attr = f' class="{" ".join(cls)}"' if cls else ""
+        if d == 0:
+            return f"<{tag}{attr}>t</{tag}>"
+        kids = draw(st.integers(0, max_children))
+        inner = "".join(node(d - 1) for _ in range(kids)) or "t"
+        return f"<{tag}{attr}>{inner}</{tag}>"
+    return node(depth)
+
+
+def _naive_select(root, tag, cls):
+    out = []
+    for el in root.iter_elements():
+        if tag is not None and el.tag != tag:
+            continue
+        if cls is not None and cls not in el.classes():
+            continue
+        out.append(el)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(html=_doms(),
+       tag=st.sampled_from(_TAGS + [None]),
+       cls=st.sampled_from(_CLASSES + [None]))
+def test_engine_matches_naive_walker(html, tag, cls):
+    if tag is None and cls is None:
+        sel = "*"
+    else:
+        sel = (tag or "") + (f".{cls}" if cls else "")
+    root = parse_html(html)
+    got = select(root, sel)
+    want = _naive_select(root, tag, cls)
+    assert [e.order for e in got] == [e.order for e in want]

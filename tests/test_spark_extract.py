@@ -1,0 +1,113 @@
+"""End-to-end Spark extraction: pages DataFrame → mapInPandas →
+nested-struct results, byte-compared against the goldens.
+
+Also asserts plan shape: column pruning reaches the scan and the only
+Python boundary is one ArrowEvalPython/MapInPandas node
+(SURVEY.md §4.2)."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from goose_parser_spark.extractor import extract
+from goose_parser_spark.rules.compiler import RuleCompiler
+from goose_parser_spark.sources.fixtures import (
+    FAMILIES,
+    expected_for,
+    family_of,
+    pages_rows,
+    pages_schema,
+)
+
+N = 110  # covers every family ≥4 times (22 families)
+
+
+def _canon(v):
+    return json.dumps(v, ensure_ascii=False, separators=(",", ":"),
+                      sort_keys=False)
+
+
+def _to_py(v):
+    """Spark Row/list → plain python preserving schema field order."""
+    from pyspark.sql import Row
+    if isinstance(v, Row):
+        return {k: _to_py(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_to_py(x) for x in v]
+    return v
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return spark.createDataFrame(pages_rows(N), schema=pages_schema()).cache()
+
+
+def test_extract_all_families_bytewise(spark, pages_df):
+    by_fid = {}
+    for i in range(N):
+        by_fid.setdefault(family_of(i).fid, []).append(i)
+    for fid, idxs in by_fid.items():
+        fam = FAMILIES[fid]
+        urls = {f"https://f{0 if i % 5 == 0 else i % 7}.fixtures.test/{fid}/{i}": i
+                for i in idxs}
+        sub = pages_df.filter(F.col("url").contains(f"/{fid}/"))
+        out = extract(sub, fam.rules).collect()
+        assert len(out) == len(idxs), fid
+        for row in out:
+            i = urls[row["url"]]
+            assert row["error"] is None, f"{fid} row {i}: {row['error']}"
+            got = _canon(_to_py(row["extracted"]))
+            assert got == expected_for(i), f"{fid} row {i}"
+
+
+def test_failure_isolation_poison_doc(spark):
+    """A NULL/broken html row yields error + NULL extracted, not a crash
+    (SURVEY.md §2.8 I4)."""
+    rows = pages_rows(4)
+    rows[2]["html"] = None
+    schema = pages_schema()
+    schema["html"].nullable = True
+    df = spark.createDataFrame(rows, schema=schema)
+    out = extract(df, FAMILIES[family_of(0).fid].rules).collect()
+    assert len(out) == 4
+    bad = [r for r in out if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["extracted"] is None
+
+
+def test_plan_prunes_columns_at_scan(spark, tmp_path):
+    """The parquet scan must read only url+html — never text/lang/
+    warc_ts (SURVEY.md §4.1: column pruning is the resource-blacklist
+    analog; at 10^12 docs this is the difference between reading 2
+    columns and 5)."""
+    path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(pages_rows(20), schema=pages_schema()) \
+        .write.parquet(path)
+    df = spark.read.parquet(path)
+    out = extract(df, FAMILIES["f01"].rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "url" in read_schema[0] and "html" in read_schema[0]
+    assert "warc_ts" not in read_schema[0]
+    assert "lang" not in read_schema[0]
+    assert "text" not in read_schema[0]
+
+
+def test_keep_cols_passthrough(spark, pages_df):
+    sub = pages_df.filter(F.col("url").contains("/f01/"))
+    out = extract(sub, FAMILIES["f01"].rules, keep_cols=("lang",))
+    rows = out.collect()
+    assert all(r["lang"] in ("en", "es", "de", "zh", "ru") for r in rows)
+
+
+def test_conditional_branch_schema_union(spark, pages_df):
+    """F-17 both branches produce the same field; per-row branch choice
+    is data-dependent (SURVEY.md §2.6 A2/A3)."""
+    sub = pages_df.filter(F.col("url").contains("/f17/"))
+    out = extract(sub, FAMILIES["f17"].rules).collect()
+    for row in out:
+        i = int(row["url"].rsplit("/", 1)[1])
+        want = f"new{i}" if i % 2 == 0 else f"old{i}"
+        assert row["extracted"]["t"] == want
