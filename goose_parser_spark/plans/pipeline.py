@@ -1,0 +1,198 @@
+"""Production extraction pipeline: partitioning, lineage, resume.
+
+Implements the engine-infra operators the north rule requires on top
+of the reference's capabilities (SURVEY.md §2.8, BASELINE.json:14):
+
+I1  Salted repartition by url-hash — deterministic
+    ``pmod(xxhash64(url), B)`` buckets with ``B = partitions ×
+    salt_factor`` so host-level skew can't pile onto one task, and no
+    ``rand()`` so resume stays stable across runs.
+I2  Per-partition lineage + metrics — one row per bucket with
+    docs_in/ok/failed, bytes, parse time, engine version and the
+    rules' sha256, written alongside the output.
+I3  Checkpoint-based resume — a bucket is complete iff its metrics
+    row is committed (metrics are written AFTER data, per bucket
+    set); restart anti-joins committed buckets so finished partitions
+    are NEVER recomputed. Idempotent via dynamic partition overwrite.
+I4  Failure isolation — lives in the extractor (error column); the
+    metrics here count it.
+
+Scale design notes (100 TB / 10^12 docs):
+- The job is one wide stage: scan → exchange → Python runner → write.
+  No joins or aggregations touch the html blobs; the only shuffle
+  moves (url, html) once, hash-distributed by bucket.
+- The resume anti-join's right side is the metrics table (≤ one row
+  per bucket — thousands, not billions) and is explicitly
+  ``broadcast()``: no shuffle of the 100 TB side for resume.
+- Metrics aggregate from the extractor's per-doc parse_ns/bytes_in
+  columns AFTER re-reading the committed output (columnar, light
+  columns only) — so a metrics row can never exist for data that
+  didn't commit, and nothing ever ``collect()``s through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from goose_parser_spark.extractor import extract
+from goose_parser_spark.rules.compiler import CompiledRules, RuleCompiler
+
+
+def rules_sha256(spec: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(spec, ensure_ascii=False, sort_keys=True).encode("utf-8")
+    ).hexdigest()
+
+
+def with_bucket(df: DataFrame, buckets: int, url_col: str = "url") -> DataFrame:
+    """Deterministic url-hash bucket column (I1/I3). xxhash64 is a
+    JVM-side codegen'd expression — no Python involved."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets)).cast("int")
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    salt_factor: int = 4,
+    url_col: str = "url",
+) -> DataFrame:
+    """I1: repartition on ``pmod(xxhash64(url), P × salt_factor)``.
+
+    url-hash (not host) already decorrelates host-level skew; the salt
+    factor over-decomposes so AQE / the scheduler can re-balance
+    residual heavy buckets. Deterministic — no ``rand()`` — so the
+    partition a url lands in is stable across retries and resume.
+    """
+    b = num_partitions * salt_factor
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64(F.col(url_col)), F.lit(b))
+    )
+
+
+class ExtractJob:
+    """End-to-end extraction run over a pages table.
+
+    Layout under ``output_dir``::
+
+        data/bucket=K/*.parquet      extracted rows for bucket K
+        metrics/*.parquet            one lineage row per completed bucket
+
+    Resume protocol (I3): metrics are written only after the data write
+    for a run commits, so ``bucket ∈ metrics ⇒ bucket data complete``.
+    A restart filters input to buckets without metrics rows and
+    re-writes only those (dynamic partition overwrite → idempotent).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        rules: dict,
+        output_dir: str,
+        buckets: int = 256,
+        fmt: str = "parquet",
+        url_col: str = "url",
+        html_col: str = "html",
+    ) -> None:
+        self.spark = spark
+        self.rules_spec = rules
+        self.compiled: CompiledRules = RuleCompiler().compile(rules)
+        self.output_dir = output_dir.rstrip("/")
+        self.buckets = buckets
+        self.fmt = fmt
+        self.url_col = url_col
+        self.html_col = html_col
+        self.data_dir = f"{self.output_dir}/data"
+        self.metrics_dir = f"{self.output_dir}/metrics"
+
+    # -- resume state ----------------------------------------------------------
+
+    def committed_buckets(self) -> DataFrame | None:
+        """Buckets with a committed metrics row (None if first run)."""
+        try:
+            return (self.spark.read.format(self.fmt).load(self.metrics_dir)
+                    .select("bucket").distinct())
+        except Exception:  # AnalysisException: path does not exist
+            return None
+
+    # -- the run -----------------------------------------------------------------
+
+    def run(self, pages: DataFrame, resume: bool = True) -> dict:
+        """Execute (or resume) the extraction. Returns a small summary
+        dict (driver-side scalars only — never row data)."""
+        run_id = uuid.uuid4().hex
+        t0 = time.time()
+
+        bucketed = with_bucket(
+            pages.select(self.url_col, self.html_col), self.buckets, self.url_col
+        )
+
+        skipped = 0
+        if resume:
+            committed = self.committed_buckets()
+            if committed is not None:
+                skipped = committed.count()
+                # broadcast anti-join: metrics side is ≤ `buckets` rows;
+                # the 100 TB side never shuffles for resume (I3).
+                bucketed = bucketed.join(
+                    F.broadcast(committed), on="bucket", how="left_anti"
+                )
+
+        extracted = extract(
+            bucketed,
+            self.compiled,
+            html_col=self.html_col,
+            url_col=self.url_col,
+            keep_cols=("bucket",),
+        )
+
+        # data write: partitioned by bucket, dynamic overwrite so a
+        # re-run of an uncommitted bucket replaces its partial files
+        (extracted.write.format(self.fmt)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .save(self.data_dir))
+
+        # metrics AFTER data, derived from the committed output files —
+        # re-read only the light columns (columnar scan skips html/
+        # extracted entirely), aggregate per bucket, append.
+        out = self.spark.read.format(self.fmt).load(self.data_dir)
+        committed_now = self.committed_buckets()
+        todo_metrics = out.select("bucket", "error", "parse_ns", "bytes_in")
+        if committed_now is not None:
+            todo_metrics = todo_metrics.join(
+                F.broadcast(committed_now), on="bucket", how="left_anti"
+            )
+        metrics = (todo_metrics
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("docs_in"),
+                F.count(F.when(F.col("error").isNull(), 1)).alias("docs_ok"),
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("docs_failed"),
+                F.sum("parse_ns").alias("parse_ns"),
+                F.sum("bytes_in").alias("bytes_in"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("engine_version", F.lit(_engine_version()))
+            .withColumn("rules_sha256", F.lit(rules_sha256(self.rules_spec)))
+            .withColumn("completed_at", F.current_timestamp()))
+        metrics.write.format(self.fmt).mode("append").save(self.metrics_dir)
+
+        return {
+            "run_id": run_id,
+            "buckets_total": self.buckets,
+            "buckets_skipped_by_resume": skipped,
+            "wall_seconds": time.time() - t0,
+        }
+
+
+def _engine_version() -> str:
+    import goose_parser_spark
+    return goose_parser_spark.__version__
