@@ -36,11 +36,24 @@ def build_package_zip(dest_dir: str | None = None) -> str:
     return zip_path
 
 
-def ship_package(spark) -> str:
+_shipped_sessions: set[int] = set()
+
+
+def ship_package(spark) -> str | None:
     """Make this package importable on all executors of ``spark``.
 
-    Idempotent per session. Returns the zip path that was shipped.
+    Idempotent per SparkContext (memoized). Returns the zip path that
+    was shipped, or None when already shipped. Called automatically by
+    every entry point that launches a Python UDF (extract,
+    extract_features), so library users never hit
+    ``ModuleNotFoundError`` on executors regardless of cwd; on real
+    clusters ``spark-submit --py-files`` makes this a no-op re-add.
     """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped_sessions:
+        return None
     zip_path = build_package_zip()
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    _shipped_sessions.add(key)
     return zip_path

@@ -1,0 +1,599 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2.9), each with a DuckDB oracle, consumed by
+``__spark_entry__.py``.
+
+Every Spark query here is the engine's own operator surface (DOM
+extraction, transforms, dedup, similarity, text stats, multimodal
+plumbing, windowed dedup/sessionization) applied to the driver's
+testdata tables; each oracle is independent ANSI SQL over the same
+parquet. Column names and value types are aligned on both sides
+(floats rounded, sums in decimal then cast) so the driver's
+order-insensitive value-hash matches.
+
+The DOM-extraction queries synthesize the html column Spark-side from
+``documents.text`` (losslessly — the text has no HTML-special chars),
+which makes the full parse→select→extract path oracle-checkable:
+the oracle just reselects the embedded fields relationally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from goose_parser_spark.extractor import extract
+from goose_parser_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from goose_parser_spark.ops.multimodal import attach_payload, extract_features
+from goose_parser_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+from goose_parser_spark.ops.textstats import text_stats
+from goose_parser_spark.plans.pipeline import with_bucket
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# DOM-extraction queries (C1-C8, N1-N5, T1-T7 through the real engine)
+# --------------------------------------------------------------------------
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a pages table from documents (deterministic,
+    lossless): one html document embedding title/body/lang/source."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><div class="doc" data-lang="'), F.col("lang"),
+        F.lit('"><h1 class="t">doc '), F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="b">'), F.col("text"),
+        F.lit('</p><table><tr class="kv"><td class="k">source</td><td class="v">'),
+        F.col("source"),
+        F.lit('</td></tr><tr class="kv"><td class="k">n_chars</td><td class="v">'),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(F.col("n_chars") > 200,
+               F.lit('<div class="long">long</div>')).otherwise(F.lit("")),
+        F.lit("</div></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        html.alias("html"),
+    )
+
+
+_FLAGSHIP_RULES = {
+    "scope": "div.doc",
+    "collection": [
+        {"name": "title", "scope": "h1.t"},
+        {"name": "body", "scope": "p.b"},
+        {"name": "doclang", "scope": "div.doc", "attr": "data-lang",
+         "parentScope": "body"},
+    ],
+}
+
+
+def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection rule + attr + parentScope through the full DOM path."""
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract(pages, _FLAGSHIP_RULES)
+    return out.select(
+        "url",
+        F.col("extracted.title").alias("title"),
+        F.col("extracted.body").alias("body"),
+        F.col("extracted.doclang").alias("doclang"),
+    )
+
+
+SQL_EXTRACT_FLAGSHIP = """
+SELECT 'https://docs.test/' || doc_id AS url,
+       'doc ' || doc_id AS title,
+       text AS body,
+       lang AS doclang
+FROM documents
+"""
+
+
+def q_extract_grid_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid rule (N2) → array<struct> → relational rows via inline."""
+    pages = _pages_from_documents(spark, sf_dir)
+    rules = {"scope": "tr.kv", "collection": [[
+        {"name": "k", "scope": "td.k"},
+        {"name": "v", "scope": "td.v"},
+    ]]}
+    out = extract(pages, rules)
+    return out.select("url", F.inline("extracted"))
+
+
+SQL_EXTRACT_GRID_EXPLODE = """
+SELECT 'https://docs.test/' || doc_id AS url, 'source' AS k, source AS v
+FROM documents
+UNION ALL
+SELECT 'https://docs.test/' || doc_id AS url, 'n_chars' AS k,
+       CAST(n_chars AS VARCHAR) AS v
+FROM documents
+"""
+
+
+def q_extract_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 split → T4 pick → T2 replace, inside the extraction UDF."""
+    pages = _pages_from_documents(spark, sf_dir)
+    rules = {"name": "first_tok", "scope": "p.b", "transform": [
+        {"type": "split", "separator": " "},
+        {"type": "pick", "prop": 0},
+        {"type": "replace", "re": ["a", "g"], "to": "X"},
+    ]}
+    out = extract(pages, rules)
+    return out.select("url", F.col("extracted.first_tok").alias("first_tok"))
+
+
+SQL_EXTRACT_TRANSFORM_CHAIN = """
+SELECT 'https://docs.test/' || doc_id AS url,
+       replace(split_part(text, ' ', 1), 'a', 'X') AS first_tok
+FROM documents
+"""
+
+
+def q_extract_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cases/exist/provideRules (A1-A3): branch on a marker element."""
+    pages = _pages_from_documents(spark, sf_dir)
+    rules = {"actions": [{"type": "cases", "cases": [
+        [{"type": "exist", "scope": "div.long"},
+         {"type": "provideRules", "rules": {"name": "cls", "scope": "div.long"}}],
+        [{"type": "provideRules", "rules": {"name": "cls", "scope": "h1.t"}}],
+    ]}]}
+    out = extract(pages, rules)
+    return out.select("url", F.col("extracted.cls").alias("cls"))
+
+
+SQL_EXTRACT_CONDITIONAL = """
+SELECT 'https://docs.test/' || doc_id AS url,
+       CASE WHEN n_chars > 200 THEN 'long' ELSE 'doc ' || doc_id END AS cls
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Native analogs of the goose scalar/structural ops (SURVEY.md §2.9)
+# --------------------------------------------------------------------------
+
+def q_t1_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit("  "), F.col("text"), F.lit("  "))
+    return docs.select("doc_id", F.trim(padded).alias("trimmed"))
+
+
+SQL_T1_TRIM = "SELECT doc_id, trim('  ' || text || '  ') AS trimmed FROM documents"
+
+
+def q_t2_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.regexp_replace("text", "the", "THE").alias("replaced"))
+
+
+SQL_T2_REPLACE = ("SELECT doc_id, regexp_replace(text, 'the', 'THE', 'g') "
+                  "AS replaced FROM documents")
+
+
+def q_t6_split_t4_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.split_part("text", F.lit(" "), F.lit(1)).alias("first_tok"))
+
+
+SQL_T6_SPLIT_T4_PICK = ("SELECT doc_id, split_part(text, ' ', 1) AS first_tok "
+                        "FROM documents")
+
+
+def q_t5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.array_join(F.split("text", " "), ",").alias("joined"))
+
+
+SQL_T5_JOIN = ("SELECT doc_id, array_to_string(string_split(text, ' '), ',') "
+               "AS joined FROM documents")
+
+
+def q_c6_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match join with separator — relational analog: per-lang
+    ordered string_agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.getField("text")),
+                "|").alias("all_texts")))
+
+
+SQL_C6_SEPARATOR = ("SELECT lang, string_agg(text, '|' ORDER BY doc_id) "
+                    "AS all_texts FROM documents GROUP BY lang")
+
+
+def q_n2_grid_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+SQL_N2_GRID_EXPLODE = ("SELECT doc_id, unnest(string_split(text, ' ')) "
+                       "AS token FROM documents")
+
+
+def q_n4_id_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id-based dedup: latest event per (user_id, event_type) — the
+    paginator-merge analog (SURVEY.md §2.4 N4)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+              .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (events.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id"))
+
+
+SQL_N4_ID_DEDUP = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_a3_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.upper("text"))
+         .otherwise(F.lower("text")).alias("cased"))
+
+
+SQL_A3_CONDITIONAL = ("SELECT doc_id, CASE WHEN lang = 'en' THEN upper(text) "
+                      "ELSE lower(text) END AS cased FROM documents")
+
+
+# --------------------------------------------------------------------------
+# Deduplication suite
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = ("SELECT min(doc_id) AS doc_id, text FROM documents "
+                   "GROUP BY text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               n=3, threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[u:u+2], ' ') AS sh
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS u FROM tok)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs. xxhash64-based → no SQL oracle;
+    pytest validates it against exact Jaccard (rows-only driver check)."""
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
+                             n=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only driver check; hamming-pair
+    semantics pytest-validated)."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 0).select("embedding").head())
+    return [float(x) for x in row["embedding"]]
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+
+
+SQL_SIMSEARCH_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qe AS DOUBLE[])), 4) AS sim
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only driver check — recall
+    vs brute force is pytest-validated)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return lsh_cosine_topk(emb.where(F.col("vec_id") != 0), q, k=10,
+                           num_planes=4, probe_hamming=2)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents")).drop("quality")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       CASE
+         WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) >= greatest(
+              len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y','en','un','es','se','no'))),
+              len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','in','den','von','zu','mit'))),
+              len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))))
+          AND len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) > 0
+         THEN 'en'
+         WHEN len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) >= greatest(
+              len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','in','den','von','zu','mit'))),
+              len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))))
+          AND len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) > 0
+         THEN 'es'
+         WHEN len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','in','den','von','zu','mit'))) >=
+              len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les','des','en','un','du','que')))
+          AND len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','in','den','von','zu','mit'))) > 0
+         THEN 'de'
+         WHEN len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) > 0
+         THEN 'fr'
+         ELSE 'und'
+       END AS lang_pred,
+       md5(text) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_parser_spark.ops.textstats import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+  round(least(1.0,
+    (len(list_filter(string_split(text,' '), w -> w IN
+       ('the','a','of','and','to','in','is','it','that','for')))
+     * 1.0 / len(string_split(text,' '))) * 2.0 * 0.4
+    + (CASE WHEN length(text) * 1.0 / len(string_split(text,' '))
+            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+    + (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+       / length(text)) * 0.3
+  ), 6) AS quality
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched feature extraction (decode step
+    stubbed; byte-level metadata oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    feats = extract_features(with_payload)
+    meta = with_payload.select(
+        "doc_id", F.col("media_meta.sha256").alias("payload_sha256"))
+    return (feats.join(meta, "doc_id")
+            .select("doc_id", "n_bytes", "payload_sha256"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Windowed / relational breadth
+# --------------------------------------------------------------------------
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — the streaming-ish stateful
+    op expressed as windows over the static table."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_rel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").cast("string").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").cast("string").alias("sum_price"),
+                F.count("*").alias("cnt"),
+            ))
+
+
+SQL_REL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS sum_price,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the small dims."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").cast("string").alias("total")))
+
+
+SQL_REL_BROADCAST_JOIN = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_i1_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url-hash bucketing (I1): bucket histogram over a
+    synthetic url column. xxhash64 differs from anything DuckDB has →
+    rows-only driver check; determinism is pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+         .alias("url"))
+    return (with_bucket(urls, 32)
+            .groupBy("bucket").count().orderBy("bucket"))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    "extract_flagship": q_extract_flagship,
+    "extract_grid_explode": q_extract_grid_explode,
+    "extract_transform_chain": q_extract_transform_chain,
+    "extract_conditional": q_extract_conditional,
+    "t1_trim": q_t1_trim,
+    "t2_replace": q_t2_replace,
+    "t6_split_t4_pick": q_t6_split_t4_pick,
+    "t5_join": q_t5_join,
+    "c6_separator": q_c6_separator,
+    "n2_grid_explode": q_n2_grid_explode,
+    "n4_id_dedup": q_n4_id_dedup,
+    "a3_conditional": q_a3_conditional,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simsearch_topk": q_simsearch_topk,
+    "simsearch_lsh": q_simsearch_lsh,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "multimodal_features": q_multimodal_features,
+    "events_sessionize": q_events_sessionize,
+    "rel_agg": q_rel_agg,
+    "rel_broadcast_join": q_rel_broadcast_join,
+    "i1_bucketing": q_i1_bucketing,
+}
+
+ORACLES: dict[str, str] = {
+    "extract_flagship": SQL_EXTRACT_FLAGSHIP,
+    "extract_grid_explode": SQL_EXTRACT_GRID_EXPLODE,
+    "extract_transform_chain": SQL_EXTRACT_TRANSFORM_CHAIN,
+    "extract_conditional": SQL_EXTRACT_CONDITIONAL,
+    "t1_trim": SQL_T1_TRIM,
+    "t2_replace": SQL_T2_REPLACE,
+    "t6_split_t4_pick": SQL_T6_SPLIT_T4_PICK,
+    "t5_join": SQL_T5_JOIN,
+    "c6_separator": SQL_C6_SEPARATOR,
+    "n2_grid_explode": SQL_N2_GRID_EXPLODE,
+    "n4_id_dedup": SQL_N4_ID_DEDUP,
+    "a3_conditional": SQL_A3_CONDITIONAL,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "simsearch_topk": SQL_SIMSEARCH_TOPK,
+    "text_stats": SQL_TEXT_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "rel_agg": SQL_REL_AGG,
+    "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,
+    # rows-only (non-SQL-expressible, hash-seeded or approximate):
+    # dedup_minhash_lsh, dedup_simhash, simsearch_lsh, i1_bucketing
+}

@@ -105,6 +105,9 @@ def extract(
     to ``url, html`` (+ keep_cols) — at 10^12 docs the html blob is the
     only heavy column we should ever deserialize (SURVEY.md §4.1/§4.2).
     """
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+
     compiled = rules if isinstance(rules, CompiledRules) else RuleCompiler().compile(rules)
     cols = [url_col, html_col, *keep_cols]
     pruned = df.select(*dict.fromkeys(cols))

@@ -1,0 +1,33 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's extraction surface, these are the operations a
+100 TB web-text pipeline needs around extraction: deduplication,
+similarity search, text analysis, and multimodal column plumbing.
+All are pure DataFrame compositions (JVM-side, codegen-able) except
+where Python is genuinely required, and there it is Arrow-batched.
+"""
+
+from goose_parser_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from goose_parser_spark.ops.similarity import (
+    cosine_topk,
+    lsh_bucket,
+    lsh_cosine_topk,
+)
+from goose_parser_spark.ops.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
+    "shingles", "cosine_topk", "lsh_bucket", "lsh_cosine_topk",
+    "token_count", "quality_score", "lang_id", "doc_fingerprint",
+]

@@ -1,0 +1,211 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, all shuffle-conscious:
+
+- :func:`exact_dedup` — hash-groupBy, the cheap first pass.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via a shingle
+  self-join; the correctness baseline the approximate methods are
+  validated against. Quadratic in the worst case: at 100 TB you run it
+  only WITHIN LSH candidate buckets, never globally.
+- :func:`minhash_lsh_dedup` — MinHash signatures + banded LSH: the
+  scale path. One shuffle to build signatures, one band-bucket join on
+  (band, band_hash) — candidates only, verified by exact Jaccard.
+- :func:`simhash` — 64-bit SimHash per document (near-dup by Hamming
+  distance on a fixed-width key; join on rotated prefixes at scale).
+
+Everything is deterministic (xxhash64-seeded, no rand()) so re-runs
+and resume produce identical clusters. All hot-path expressions are
+JVM built-ins — no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens (literal single-space split, matching the
+    DuckDB oracle's string_split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>.
+
+    Pure Catalyst expression: ``transform(sequence(...), i ->
+    concat_ws(' ', slice(words, i, n)))`` — codegen'd, no Python.
+    Documents with fewer than ``n`` tokens yield an empty array.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(c, " ")
+    k = F.size(w) - (n - 1)
+    return F.when(k >= 1, F.expr(
+        f"transform(sequence(1, size(split({_sql_name(col)}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({_sql_name(col)}, ' '), i, {n})))"
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_name(col: str | Column) -> str:
+    if isinstance(col, str):
+        return col
+    raise ValueError("shingles() needs a column NAME for the SQL expr form")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text.
+
+    One hash-aggregate shuffle on the text hash. At 100 TB, group on
+    ``xxhash64(text)`` instead of the full text to keep shuffle rows
+    narrow; here we keep the text column for the oracle comparison.
+    """
+    return (df.groupBy(text_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, text_col))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → self-join on shingle →
+    count common shingles per pair → join per-doc shingle counts
+    (broadcast: one row per doc) → Jaccard filter.
+
+    Columns: ``doc_a, doc_b, jaccard`` (jaccard rounded to 6 dp for
+    cross-engine float stability).
+    """
+    sh = (df
+          .where(F.size(tokens(text_col)) >= n)
+          .select(F.col(id_col).alias("doc"),
+                  F.explode(shingles(text_col, n)).alias("sh"))
+          .distinct())
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, on="sh")
+              .where(F.col("a.doc") < F.col("b.doc"))
+              .groupBy(F.col("a.doc").alias("doc_a"),
+                       F.col("b.doc").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (common
+           .join(F.broadcast(sa), "doc_a")
+           .join(F.broadcast(sb), "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_common") /
+               (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "jaccard"))
+    return out
+
+
+def minhash_signature(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: ``num_hashes`` min-values of seeded
+    xxhash64 over the shingle set. One explode + one groupBy; the k
+    hash functions are k aggregate expressions in a single pass (map-
+    side partial aggregation keeps the shuffle at k longs per doc)."""
+    sh = (df
+          .where(F.size(tokens(text_col)) >= n)
+          .select(F.col(id_col).alias("doc"),
+                  F.explode(shingles(text_col, n)).alias("sh"))
+          .distinct())
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any
+    band hash become candidates (join key ``(band, band_hash)`` — a
+    narrow shuffle of a few longs per doc, never the text). Candidates
+    are then verified with exact n-gram Jaccard so the output equals
+    :func:`ngram_jaccard_pairs` restricted to LSH candidates — at high
+    signature width the two converge, which the test suite asserts.
+
+    Columns: ``doc_a, doc_b, jaccard``.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, n=n, num_hashes=num_hashes,
+                            text_col=text_col, id_col=id_col)
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col("signature")[bi * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for bi in range(bands)
+    ])
+    banded = (sig.select("doc", F.explode(band_cols).alias("b"))
+              .select("doc", F.col("b.band").alias("band"),
+                      F.col("b.bh").alias("bh")))
+    cand = (banded.alias("x").join(banded.alias("y"), on=["band", "bh"])
+            .where(F.col("x.doc") < F.col("y.doc"))
+            .select(F.col("x.doc").alias("doc_a"),
+                    F.col("y.doc").alias("doc_b"))
+            .distinct())
+
+    exact = ngram_jaccard_pairs(df, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col)
+    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Per token: xxhash64 → for each bit, +1/-1 vote; sign of the summed
+    vote becomes the output bit. One explode + one groupBy with
+    ``bits`` small aggregate expressions (map-side combined).
+
+    Columns: ``doc_id, simhash`` (long).
+    """
+    tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+           .withColumn("h", F.xxhash64("t")))
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    out_bits = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        * F.lit(2 ** i).cast("long")
+        for i in range(bits - 1)  # skip the sign bit to stay in long range
+    ]
+    total = out_bits[0]
+    for ob in out_bits[1:]:
+        total = total + ob
+    return agg.select(F.col(id_col), total.alias("simhash"))

@@ -1,0 +1,154 @@
+"""Training-data ops: dedup / similarity / textstats / multimodal
+(validated against exact baselines; plan-shape assertions for scale)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from goose_parser_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from goose_parser_spark.ops.multimodal import attach_payload, decode_stub, extract_features
+from goose_parser_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+from goose_parser_spark.ops.textstats import text_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_collapses_planted_dups(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == \
+        [(1, "a b c"), (3, "x y z")]
+
+
+def test_ngram_jaccard_identical_docs_is_one(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_a"], out[0]["doc_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_matches_exact_on_testdata(spark, docs):
+    """On the planted near-dups (J≥0.5), banded MinHash must reach
+    full recall vs the exact-Jaccard baseline, and can never produce a
+    pair the exact filter rejects (by construction)."""
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    approx = {(r["doc_a"], r["doc_b"])
+              for r in minhash_lsh_dedup(docs, n=3, num_hashes=32, bands=8,
+                                         threshold=0.5).collect()}
+    assert exact, "testdata should contain planted near-dups"
+    assert approx <= exact
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_minhash_is_deterministic(spark, docs):
+    a = sorted(map(tuple, minhash_lsh_dedup(docs, threshold=0.5).collect()))
+    b = sorted(map(tuple, minhash_lsh_dedup(docs, threshold=0.5).collect()))
+    assert a == b
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert pairs
+    import random
+    rng = random.Random(7)
+    ids = sorted(sh)
+    rand_h = [bin(sh[rng.choice(ids)] ^ sh[rng.choice(ids)]).count("1")
+              for _ in range(200)]
+    near_h = [bin(sh[r["doc_a"]] ^ sh[r["doc_b"]]).count("1") for r in pairs]
+    assert max(near_h) < sum(rand_h) / len(rand_h), (max(near_h), sum(rand_h) / len(rand_h))
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    row = emb.where(F.col("vec_id") == 3).select("embedding").head()
+    q = [float(x) for x in row["embedding"]]
+    out = cosine_topk(emb, q, k=3).collect()
+    assert out[0]["vec_id"] == 3
+    assert out[0]["sim"] == 1.0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in row["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb.where("vec_id != 0"), q, k=10).collect()]
+    # 4 planes = 16 buckets over 500 near-random vectors; hamming≤2
+    # probing scans ~11/16 buckets → recall must clear 0.5 even on
+    # this unclustered corpus (real embeddings cluster ⇒ higher).
+    approx = [r["vec_id"] for r in
+              lsh_cosine_topk(emb.where("vec_id != 0"), q, k=10,
+                              num_planes=4, probe_hamming=2).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, (exact, approx)
+
+
+def test_dedup_ops_are_jvm_only(spark, docs):
+    """No Python UDF may appear in the dedup plans (scale requirement:
+    whole-stage codegen end to end)."""
+    for df in (exact_dedup(docs), ngram_jaccard_pairs(docs, threshold=0.5),
+               simhash(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_textstats_single_projection(spark, docs):
+    out = text_stats(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r["n_tokens"] > 0 and len(r["fingerprint"]) == 32
+    assert r["lang_pred"] in ("en", "es", "de", "fr", "und")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # stats are shuffle-free
+
+
+def test_multimodal_plumbing(spark, docs):
+    wp = attach_payload(docs)
+    feats = extract_features(wp).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["doc_id"]: r for r in feats}
+    sample = docs.select("doc_id", "text").head(3)
+    for row in sample:
+        want = decode_stub(row["text"].encode("utf-8"))
+        got = by_id[row["doc_id"]]
+        assert got["n_bytes"] == len(row["text"].encode("utf-8"))
+        assert [round(float(x), 5) for x in got["features"]] == \
+            [round(x, 5) for x in want]
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"img", fake=False)
+    assert decode_stub(b"img") == decode_stub(b"img")
+    assert len(decode_stub(b"img")) == 8
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() == 500
+    assert set(df.columns) == {"url", "title", "body", "doclang"}
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
