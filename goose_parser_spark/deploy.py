@@ -23,16 +23,24 @@ def build_package_zip(dest_dir: str | None = None) -> str:
     pkg_dir = os.path.dirname(os.path.abspath(goose_parser_spark.__file__))
     dest_dir = dest_dir or tempfile.mkdtemp(prefix="goose_spark_pyfiles_")
     zip_path = os.path.join(dest_dir, "goose_parser_spark.zip")
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith((".pyc", ".pyo")):
                 continue
-            for fn in files:
-                if fn.endswith((".pyc", ".pyo")):
-                    continue
-                full = os.path.join(root, fn)
-                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                zf.write(full, rel)
+            full = os.path.join(root, fn)
+            entries.append((os.path.relpath(full, os.path.dirname(pkg_dir)), full))
+    # deterministic zip (sorted entries, fixed timestamps) so the same
+    # source always produces byte-identical archives — Spark refuses a
+    # re-added file whose name matches but content differs
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in sorted(entries):
+            with open(full, "rb") as fh:
+                info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+                info.compress_type = zipfile.ZIP_DEFLATED
+                zf.writestr(info, fh.read())
     return zip_path
 
 
@@ -53,7 +61,14 @@ def ship_package(spark) -> str | None:
     key = id(sc)
     if key in _shipped_sessions:
         return None
+    _shipped_sessions.add(key)
+    # already shipped via spark-submit --py-files / a prior addPyFile?
+    try:
+        listed = [str(f) for f in sc.listFiles]
+    except Exception:
+        listed = []
+    if any(f.endswith("goose_parser_spark.zip") for f in listed):
+        return None
     zip_path = build_package_zip()
     sc.addPyFile(zip_path)
-    _shipped_sessions.add(key)
     return zip_path

@@ -78,7 +78,7 @@ class Element:
     """One DOM element. Children are Element instances or plain ``str``
     text nodes. ``order`` is the global document-order index."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "order")
+    __slots__ = ("tag", "attrs", "children", "parent", "order", "_classes")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None", order: int):
         self.tag = tag
@@ -86,6 +86,7 @@ class Element:
         self.children: list[Element | str] = []
         self.parent = parent
         self.order = order
+        self._classes: list[str] | None = None
 
     # ---- DOM-ish accessors -------------------------------------------------
 
@@ -106,7 +107,9 @@ class Element:
         return self.attrs.get(name.lower())
 
     def classes(self) -> list[str]:
-        return self.attrs.get("class", "").split()
+        if self._classes is None:
+            self._classes = self.attrs.get("class", "").split()
+        return self._classes
 
     def element_children(self) -> list["Element"]:
         return [c for c in self.children if isinstance(c, Element)]

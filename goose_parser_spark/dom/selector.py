@@ -417,6 +417,148 @@ def _gather(nodes: list[Element], combinator: str) -> list[Element]:
     return out
 
 
+# --------------------------------------------------------------------------
+# Indexed (right-to-left) evaluation — the hot path
+# --------------------------------------------------------------------------
+
+class DocIndex:
+    """Per-document element index: one pre-order walk builds tag/class/
+    id maps, then each selector fetches candidates for its RIGHTMOST
+    compound from the index and verifies the leftward combinator chain
+    by walking up — no repeated whole-tree traversals (the profile
+    showed ``_gather`` re-walking the tree per step as the top cost)."""
+
+    __slots__ = ("root", "all", "by_tag", "by_class", "by_id")
+
+    def __init__(self, root: Element) -> None:
+        self.root = root
+        self.all: list[Element] = []
+        self.by_tag: dict[str, list[Element]] = {}
+        self.by_class: dict[str, list[Element]] = {}
+        self.by_id: dict[str, list[Element]] = {}
+        for el in root.iter_elements():
+            self.all.append(el)
+            self.by_tag.setdefault(el.tag, []).append(el)
+            for cls in el.classes():
+                self.by_class.setdefault(cls, []).append(el)
+            el_id = el.attrs.get("id")
+            if el_id is not None:
+                self.by_id.setdefault(el_id, []).append(el)
+
+    def candidates(self, comp: Compound) -> list[Element]:
+        """Smallest indexed candidate list for a compound (doc order)."""
+        if comp.ids:
+            return self.by_id.get(comp.ids[0], [])
+        pools = []
+        if comp.classes:
+            pools = [self.by_class.get(c, []) for c in comp.classes]
+        if comp.tag is not None:
+            pools.append(self.by_tag.get(comp.tag, []))
+        if not pools:
+            return self.all
+        return min(pools, key=len)
+
+
+def _rel_to_context(el: Element, comb: str, ctx_orders: set[int]) -> bool:
+    """Does ``el`` stand in relation ``comb`` to some context node?"""
+    if comb == " ":
+        p = el.parent
+        while p is not None:
+            if p.order in ctx_orders:
+                return True
+            p = p.parent
+        return False
+    if comb == ">":
+        return el.parent is not None and el.parent.order in ctx_orders
+    # sibling combinators relative to a context node
+    if el.parent is None:
+        return False
+    sibs = el.parent.element_children()
+    i = next((k for k, s in enumerate(sibs) if s is el), -1)
+    if comb == "+":
+        return i > 0 and sibs[i - 1].order in ctx_orders
+    if comb == "~":
+        return any(s.order in ctx_orders for s in sibs[:i])
+    return False
+
+
+def _left_candidates(el: Element, comb: str):
+    """Elements X such that comb(X → el) holds, nearest first."""
+    if comb == " ":
+        p = el.parent
+        while p is not None:
+            yield p
+            p = p.parent
+    elif comb == ">":
+        if el.parent is not None:
+            yield el.parent
+    else:
+        if el.parent is None:
+            return
+        sibs = el.parent.element_children()
+        i = next((k for k, s in enumerate(sibs) if s is el), -1)
+        if comb == "+":
+            if i > 0:
+                yield sibs[i - 1]
+        elif comb == "~":
+            for s in reversed(sibs[:i]):
+                yield s
+
+
+def _chain_matches(el: Element, alt: Complex, step_idx: int,
+                   ctx_orders: set[int], ctx_is_root: bool) -> bool:
+    """el matches alt.steps[step_idx]'s compound; verify everything to
+    its left (combinator chain up to the context)."""
+    comb = alt.steps[step_idx][0]
+    if step_idx == 0:
+        if ctx_is_root and comb == " ":
+            return True
+        return _rel_to_context(el, comb, ctx_orders)
+    prev_comp = alt.steps[step_idx - 1][1]
+    for x in _left_candidates(el, comb):
+        if _matches_compound(x, prev_comp) and \
+                _chain_matches(x, alt, step_idx - 1, ctx_orders, ctx_is_root):
+            return True
+    return False
+
+
+def select_indexed(index: DocIndex, context: list[Element] | Element,
+                   selector: Selector | str) -> list[Element]:
+    """Indexed evaluation; falls back to the set-based walker for
+    alternatives with positional pseudos on non-final compounds (their
+    semantics are inherently left-to-right)."""
+    if isinstance(selector, str):
+        selector = parse_selector(selector)
+    roots = [context] if isinstance(context, Element) else list(context)
+    ctx_orders = {e.order for e in roots}
+    ctx_is_root = len(roots) == 1 and roots[0] is index.root
+
+    seen: set[int] = set()
+    results: list[Element] = []
+    for alt in selector.alternatives:
+        if any(comp.positional for _, comp in alt.steps[:-1]):
+            matched = select(roots, Selector(selector.source, [alt]))
+        else:
+            last_idx = len(alt.steps) - 1
+            last_comp = alt.steps[last_idx][1]
+            # the relation checks implement find-semantics: the ' '
+            # chain walks strict ancestors, so context nodes themselves
+            # never match (index.all already excludes the doc root)
+            matched = [
+                el for el in index.candidates(last_comp)
+                if _matches_compound(el, last_comp)
+                and _chain_matches(el, alt, last_idx, ctx_orders, ctx_is_root)
+            ]
+            if last_comp.positional:
+                matched = _apply_positional(matched, last_comp.positional)
+        for el in matched:
+            if el.order not in seen:
+                seen.add(el.order)
+                results.append(el)
+    results.sort(key=lambda e: e.order)
+    return results
+
+
 def select(context: list[Element] | Element, selector: Selector | str) -> list[Element]:
     """Evaluate ``selector`` relative to ``context`` node(s).
 

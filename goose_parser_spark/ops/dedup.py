@@ -88,6 +88,14 @@ def ngram_jaccard_pairs(
           .distinct())
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
+    # shingles private to one document cannot contribute to any pair:
+    # drop them before the self-join (sizes above already counted
+    # them). In a web corpus most shingles are unique → this typically
+    # shrinks the quadratic join's input by an order of magnitude.
+    shared = (sh.groupBy("sh").agg(F.count("*").alias("df_"))
+              .where(F.col("df_") > 1).select("sh"))
+    sh = sh.join(shared, on="sh", how="left_semi")
+
     a = sh.alias("a")
     b = sh.alias("b")
     common = (a.join(b, on="sh")
@@ -173,7 +181,15 @@ def minhash_lsh_dedup(
                     F.col("y.doc").alias("doc_b"))
             .distinct())
 
-    exact = ngram_jaccard_pairs(df, n=n, threshold=threshold,
+    # Exact-Jaccard verification restricted to candidate docs only —
+    # the LSH point at scale: the expensive shingle self-join runs on
+    # the (tiny, broadcastable) candidate universe, never the corpus.
+    cand = cand.cache()
+    cand_docs = (cand.select(F.col("doc_a").alias(id_col))
+                 .union(cand.select(F.col("doc_b").alias(id_col)))
+                 .distinct())
+    restricted = df.join(F.broadcast(cand_docs), on=id_col, how="inner")
+    exact = ngram_jaccard_pairs(restricted, n=n, threshold=threshold,
                                 text_col=text_col, id_col=id_col)
     return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
 

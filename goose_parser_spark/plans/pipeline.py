@@ -196,3 +196,25 @@ class ExtractJob:
 def _engine_version() -> str:
     import goose_parser_spark
     return goose_parser_spark.__version__
+
+
+def quarantine_failures(spark: SparkSession, data_dir: str, dest: str,
+                        fmt: str = "parquet") -> int:
+    """S5 snapshot-action analog (SURVEY.md §2.1): copy failed rows
+    (url, bucket, error) from the output to a quarantine table for
+    debugging. Columnar scan reads only the light columns. Returns the
+    number of quarantined rows (a count, not collected data)."""
+    out = spark.read.format(fmt).load(data_dir)
+    bad = out.where(F.col("error").isNotNull()) \
+             .select("url", "bucket", "error")
+    bad.write.format(fmt).mode("overwrite").save(dest)
+    return spark.read.format(fmt).load(dest).count()
+
+
+def export_json_lines(df: DataFrame, path: str, url_col: str = "url") -> None:
+    """S4 result emission analog: one JSON object per line, exactly the
+    shape the reference's ``parse()`` resolves with, keyed by url —
+    ``to_json`` runs JVM-side."""
+    (df.select(F.to_json(F.struct(F.col(url_col),
+                                  F.col("extracted"))).alias("value"))
+       .write.mode("overwrite").text(path))

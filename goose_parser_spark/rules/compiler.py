@@ -63,6 +63,7 @@ class CompiledRule:
     transforms: list[CompiledTransform]
     is_id: bool = False
     virtual: bool = False
+    max_results: int | None = None   # P3 maxResultsCount analog: caps grid rows
     data_type: DataType = field(default_factory=StringType)
 
     @property
@@ -223,8 +224,15 @@ class RuleCompiler:
         parent_scope = rule.get("parentScope")
         transforms = self.registry.compile_chain(rule.get("transform") or [])
 
+        max_results = rule.get("maxResultsCount")
+        if max_results is not None and (not isinstance(max_results, int)
+                                        or max_results < 0):
+            raise RuleError(f"maxResultsCount must be a non-negative int, "
+                            f"got {max_results!r}")
+
         compiled = CompiledRule(
             name=rule.get("name"),
+            max_results=max_results,
             scope=parse_selector(str(scope)) if scope else None,
             parent_scope=parse_selector(str(parent_scope)) if parent_scope else None,
             attr=rule.get("attr"),

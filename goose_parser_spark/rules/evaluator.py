@@ -29,25 +29,27 @@ evaluation order").
 from __future__ import annotations
 
 from goose_parser_spark.dom.parser import Element, parse_html
-from goose_parser_spark.dom.selector import Selector, select
+from goose_parser_spark.dom.selector import DocIndex, Selector, select_indexed
 from goose_parser_spark.functions.transforms import apply_chain
 from goose_parser_spark.rules.compiler import Branch, CompiledRule, CompiledRules
 
 
 class _DocContext:
-    """Per-document evaluation state: DOM root + selector cache."""
+    """Per-document evaluation state: DOM root + element index +
+    selector memo cache."""
 
-    __slots__ = ("root", "_cache")
+    __slots__ = ("root", "index", "_cache")
 
     def __init__(self, root: Element) -> None:
         self.root = root
+        self.index = DocIndex(root)
         self._cache: dict[tuple[int, ...], list[Element]] = {}
 
     def select(self, context: list[Element], selector: Selector) -> list[Element]:
         key = (id(selector),) + tuple(e.order for e in context)
         hit = self._cache.get(key)
         if hit is None:
-            hit = select(context, selector)
+            hit = select_indexed(self.index, context, selector)
             self._cache[key] = hit
         return hit
 
@@ -84,6 +86,9 @@ def evaluate_rule(rule: CompiledRule, context: list[Element], doc: _DocContext) 
     matched = _resolve_context(rule, context, doc)
 
     if rule.is_grid:
+        if rule.max_results is not None:
+            # P3 analog: maxResultsCount caps grid rows (SURVEY.md §2.7)
+            matched = matched[:rule.max_results]
         return [_evaluate_children(rule, [node], doc) for node in matched]
 
     if rule.is_collection:

@@ -225,4 +225,7 @@ def write_pages_parquet(path: str, n: int) -> None:
         pa.field("text", pa.string()),
         pa.field("lang", pa.string()),
     ]))
-    pq.write_table(table, path)
+    # small row groups so Spark's scan splits the file across many
+    # tasks — a single-row-group file serializes the scan and caps
+    # scaling efficiency (Amdahl; see BENCH/BASELINE.md)
+    pq.write_table(table, path, row_group_size=256)

@@ -154,3 +154,50 @@ def test_engine_matches_naive_walker(html, tag, cls):
     got = select(root, sel)
     want = _naive_select(root, tag, cls)
     assert [e.order for e in got] == [e.order for e in want]
+
+
+# --- indexed vs walker equivalence -------------------------------------------
+
+from goose_parser_spark.dom.selector import DocIndex, select_indexed
+
+_ALL_SELECTORS = [
+    "p", "*", ".a", "p.a", "span.a.b", "#main", "div#main p.a.first",
+    "[href]", '[href="/rel"]', "[href^=https]", "[href$=page]",
+    "[href*=x.test]", "[rel~=ext]", "a[title!=T]",
+    "div p", "#main > p", "p.first + p", "p.first ~ span",
+    "li:first-child", "li:last-child", "li:nth-child(2)",
+    "li:nth-child(odd)", "li:not(.mid)", "p:eq(1)", "p:first", "p:last",
+    "p:lt(2)", "p:gt(0)", "div:eq(0) p", "div:eq(1) p",
+    "p:contains(wo)", "div:has(ul) > p", "div:not(#main) p",
+    "p.first, span.b", "p.a, .first", "ul li", "div > ul > li",
+]
+
+
+@pytest.mark.parametrize("sel", _ALL_SELECTORS)
+def test_indexed_equals_walker_from_root(sel):
+    idx = DocIndex(DOC)
+    walker = [e.order for e in select(DOC, sel)]
+    indexed = [e.order for e in select_indexed(idx, DOC, sel)]
+    assert indexed == walker, sel
+
+
+def test_indexed_equals_walker_from_inner_context():
+    idx = DocIndex(DOC)
+    main = select(DOC, "#main")
+    for sel in ["p", "p.a", "ul > li", "li:nth-child(2)", "div.box", "span"]:
+        walker = [e.order for e in select(main, sel)]
+        indexed = [e.order for e in select_indexed(idx, main, sel)]
+        assert indexed == walker, sel
+
+
+@settings(max_examples=60, deadline=None)
+@given(html=_doms(),
+       tag=st.sampled_from(_TAGS + [None]),
+       cls=st.sampled_from(_CLASSES + [None]))
+def test_indexed_property_random_doms(html, tag, cls):
+    sel = "*" if tag is None and cls is None else \
+        (tag or "") + (f".{cls}" if cls else "")
+    root = parse_html(html)
+    idx = DocIndex(root)
+    assert [e.order for e in select_indexed(idx, root, sel)] == \
+        [e.order for e in select(root, sel)]

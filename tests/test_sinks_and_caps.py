@@ -1,0 +1,99 @@
+"""S4/S5/P3 analogs: JSON-lines export, quarantine sink, grid caps,
+and the spark-submit CLI entrypoint."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from goose_parser_spark.extractor import extract
+from goose_parser_spark.plans.pipeline import (
+    ExtractJob,
+    export_json_lines,
+    quarantine_failures,
+)
+from goose_parser_spark.rules.compiler import RuleCompiler, RuleError
+from goose_parser_spark.rules.evaluator import evaluate_document
+from goose_parser_spark.sources.fixtures import pages_rows, pages_schema
+
+
+def test_max_results_count_caps_grid():
+    html = "<ul>" + "".join(f'<li class="r"><b class="n">x{i}</b></li>'
+                            for i in range(10)) + "</ul>"
+    rules = {"scope": "li.r", "maxResultsCount": 3,
+             "collection": [[{"name": "n", "scope": "b.n"}]]}
+    out = evaluate_document(RuleCompiler().compile(rules), html)
+    assert out == [{"n": "x0"}, {"n": "x1"}, {"n": "x2"}]
+
+
+def test_max_results_count_validation():
+    with pytest.raises(RuleError):
+        RuleCompiler().compile({"scope": "p", "maxResultsCount": -1,
+                                "collection": [[{"name": "x", "scope": "b"}]]})
+
+
+def test_export_json_lines(spark, tmp_path):
+    df = spark.createDataFrame(pages_rows(10), schema=pages_schema())
+    out = extract(df.filter("url like '%/f01/%'"),
+                  {"name": "title", "scope": "h1.title"})
+    dest = str(tmp_path / "jsonl")
+    export_json_lines(out, dest)
+    lines = [json.loads(ln) for ln in
+             spark.read.text(dest).toPandas()["value"]]
+    assert lines and all("url" in d and "extracted" in d for d in lines)
+    assert all(d["extracted"]["title"].startswith("Hello, Goose") for d in lines)
+
+
+def test_quarantine_failures(spark, tmp_path):
+    rows = pages_rows(20)
+    for i in (3, 7):
+        rows[i]["html"] = None
+    schema = pages_schema()
+    schema["html"].nullable = True
+    df = spark.createDataFrame(rows, schema=schema)
+    out_dir = str(tmp_path / "out")
+    job = ExtractJob(spark, {"name": "t", "scope": "h1.title"}, out_dir,
+                     buckets=4)
+    job.run(df, resume=True)
+    n = quarantine_failures(spark, f"{out_dir}/data",
+                            str(tmp_path / "quarantine"))
+    assert n == 2
+    q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    assert all(r["error"] is not None for r in q)
+
+
+@pytest.mark.slow
+def test_spark_submit_cli(tmp_path):
+    """jobs/extract.py end-to-end via spark-submit --py-files
+    (BASELINE.json:14 deployment mode)."""
+    import shutil
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    from goose_parser_spark.deploy import build_package_zip
+    from goose_parser_spark.sources.fixtures import write_pages_parquet
+
+    pages = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, 30)
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(json.dumps({"name": "title", "scope": "h1.title"}))
+    out_dir = str(tmp_path / "out")
+    zip_path = build_package_zip(str(tmp_path))
+
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "jobs/extract.py", "--rules", str(rules_file), "--input", pages,
+         "--output", out_dir, "--buckets", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["buckets_skipped_by_resume"] == 0
+    import pyarrow.parquet as pq
+    import glob
+    files = glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 30
