@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Plan audit: `.explain(formatted)` every headline query and assert
+the physical-plan properties that matter at 100 TB:
+
+- parquet scans read ONLY referenced columns (ReadSchema);
+- cross-document filters reach the scan (PushedFilters);
+- small dims broadcast (BroadcastHashJoin), big joins shuffle on keys;
+- aggregations have map-side partial aggregation (partial_ before final);
+- no Python UDF appears outside the extraction/multimodal hot path;
+- the extraction job is a single map-only stage (no Exchange).
+
+Writes PLANS.md (trimmed plans + per-check verdicts). Exit 1 on any
+violated property.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    # simple-mode executed plan: each operator appears exactly once, so
+    # count-based checks are meaningful
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CHECKS = {
+    # query -> list of (description, predicate(plan_str) -> bool)
+    "extract_flagship": [
+        ("no shuffle in extraction (map-only stage)",
+         lambda p: "Exchange" not in p),
+        ("mapInArrow is the only Python node",
+         lambda p: p.count("MapInArrow") == 1 and "BatchEvalPython" not in p),
+    ],
+    "rel_broadcast_join": [
+        ("both dims broadcast", lambda p: p.count("BroadcastHashJoin") == 2),
+        ("no sort-merge join of small dims", lambda p: "SortMergeJoin" not in p),
+        ("partial aggregation before the exchange",
+         lambda p: "partial_count" in p or "partial count" in p.lower()),
+    ],
+    "rel_agg": [
+        ("filter pushed to parquet scan", lambda p: "PushedFilters: [" in p
+         and "IsNotNull" in p.split("PushedFilters", 1)[1][:200]
+         or "LessThanOrEqual" in p),
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("scan reads only referenced columns",
+         lambda p: "l_comment" not in p),
+    ],
+    "dedup_exact": [
+        ("single shuffle (one Exchange pair for groupBy)",
+         lambda p: p.count("Exchange hashpartitioning") <= 1),
+        ("map-side partial min()", lambda p: "partial_min" in p),
+    ],
+    "text_stats": [
+        ("shuffle-free single projection", lambda p: "Exchange" not in p),
+        ("no Python UDF (whole-stage codegen)",
+         lambda p: "Python" not in p),
+        ("column pruning: only doc_id+text read",
+         lambda p: "lang" not in p.split("ReadSchema", 1)[1][:200]
+         if "ReadSchema" in p else False),
+    ],
+    "simsearch_topk": [
+        ("top-k is TakeOrdered, not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "dedup_ngram_jaccard": [
+        ("sizes join is broadcast (one row per doc)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "n4_id_dedup": [
+        ("single window exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("pre-shuffle WindowGroupLimit (top-1 pushed below the exchange)",
+         lambda p: "WindowGroupLimit" in p.split("Exchange", 1)[1]),
+    ],
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("explain-audit")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             # AQE off for the audit: inspect the STATIC plan choices
+             # (broadcast decisions, partial aggs); AQE stays on in prod
+             .config("spark.sql.adaptive.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    failed: list[str] = []
+    sections: list[str] = [
+        "# PLANS — physical-plan audit",
+        "",
+        f"`tools/explain_audit.py` over sf dir `{SF_DIR}` (AQE off to "
+        "inspect static planning; prod runs with AQE on). Each check is "
+        "a property the plan must keep at 100 TB.",
+        "",
+    ]
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, SF_DIR)
+        plan = plan_of(df)
+        sections.append(f"## {name}\n")
+        for desc, pred in checks:
+            ok = False
+            try:
+                ok = bool(pred(plan))
+            except Exception:
+                ok = False
+            mark = "✅" if ok else "❌"
+            sections.append(f"- {mark} {desc}")
+            if not ok:
+                failed.append(f"{name}: {desc}")
+        head = plan.split("\n\n")[0]
+        sections.append("\n```\n" + head[:2200] + "\n```\n")
+        print(f"{name}: {'ok' if not any(f.startswith(name) for f in failed) else 'FAIL'}")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("\n".join(sections))
+
+    if failed:
+        print("\nVIOLATIONS:")
+        for f in failed:
+            print(" -", f)
+        return 1
+    print("\nall plan properties hold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
