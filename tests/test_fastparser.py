@@ -1,0 +1,85 @@
+"""Differential tests: fast regex tokenizer vs stdlib html.parser —
+identical trees on fixtures, tricky markup, and random documents."""
+
+from hypothesis import given, settings, strategies as st
+
+from goose_parser_spark.dom.parser import Element, parse_html
+from goose_parser_spark.sources.fixtures import pages_rows
+
+
+def tree_repr(el: Element) -> object:
+    return (el.tag, tuple(sorted(el.attrs.items())),
+            tuple(tree_repr(c) if isinstance(c, Element) else ("#t", c)
+                  for c in el.children))
+
+
+def assert_same(html: str | bytes) -> None:
+    fast = parse_html(html, backend="fast")
+    std = parse_html(html, backend="stdlib")
+    assert tree_repr(fast) == tree_repr(std), html
+
+
+TRICKY = [
+    "",
+    "plain text only",
+    "<p>a<p>b<p>c",
+    "<ul><li>1<li>2<ul><li>2a</ul><li>3</ul>",
+    "<table><tr><td>a<td>b<tr><td>c</table>",
+    '<a href="?x=1&amp;y=2" title=\'it&apos;\'>caf&eacute;</a>',
+    "<div>a <b>b</b>\n c</div>",
+    "<!DOCTYPE html><!-- c --><html><head><title>t</title></head><body>x</body></html>",
+    "<script>if (a < b && c > d) { x = '<div>'; }</script><p>after</p>",
+    "<style>.x > .y { color: red; }</style><p>ok</p>",
+    "<div class='single'>single-quoted</div>",
+    "<div data-empty>novalue</div>",
+    "<img src=x><br><hr><input type=text>",
+    "<div>3 < 5 and 7 > 2</div>",
+    "<div>unclosed <b>bold",
+    "</stray>end tags</div> everywhere</p>",
+    "<div CLASS='UP'>case</div>",
+    "<área>unicode-ish tag</área>",
+    "<div><!-- unterminated comment <p>hidden",
+    "<p>&not-an-entity; &amp; &#65; &#x42;</p>",
+    "<select><option>a<option>b</select>",
+    "<div a=1 a=2>dupe attr</div>",
+    "<svg/><math/>",
+    "北京 plain unicode 🦢 <span>x</span>",
+]
+
+
+def test_tricky_markup_identical():
+    for html in TRICKY:
+        assert_same(html)
+
+
+def test_all_fixture_pages_identical():
+    for row in pages_rows(66):
+        assert_same(row["html"])
+
+
+_TAGS = ["div", "span", "p", "b", "ul", "li", "table", "tr", "td", "a", "br"]
+
+
+@st.composite
+def _rand_html(draw, depth=3):
+    def node(d):
+        kind = draw(st.integers(0, 5))
+        if kind == 0 or d == 0:
+            return draw(st.text(
+                alphabet=st.characters(blacklist_characters="<>&",
+                                       blacklist_categories=("Cs", "Cc")),
+                max_size=12))
+        tag = draw(st.sampled_from(_TAGS))
+        cls = draw(st.sampled_from(["", ' class="x"', ' class="x y"',
+                                    ' id="i7"', " data-k='v'"]))
+        kids = "".join(node(d - 1) for _ in range(draw(st.integers(0, 3))))
+        if kind == 1:
+            return f"<{tag}{cls}>{kids}"          # unclosed
+        return f"<{tag}{cls}>{kids}</{tag}>"
+    return node(depth)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html=_rand_html())
+def test_random_documents_identical(html):
+    assert_same(html)
