@@ -201,20 +201,27 @@ def main() -> int:
     if SCALING:
         spark.stop()
         levels = (SCALE_N, SCALE_N * 4)
-        throughput = {}
-        for cores in levels:
-            s = _session(cores)
-            s.sparkContext.setLogLevel("ERROR")
-            scale_path = _ensure_bench_pages(s, SCALE_PAGES, SCALE_CACHE)
-            # warm up JIT/workers on the small corpus (cheap), then
-            # time the big one best-of-2
-            _tune_splits(s, pages_path, cores)
-            _extraction_run(s, pages_path)
-            _tune_splits(s, scale_path, cores)
-            sec1, docs = _extraction_run(s, scale_path)
-            sec2, _ = _extraction_run(s, scale_path)
-            throughput[cores] = docs / min(sec1, sec2)
-            s.stop()
+        # Host throughput drifts ±20-30% over minutes on this box, so
+        # the two levels are measured INTERLEAVED (N, 4N, N, 4N, ...)
+        # and best-of taken per level — slow drift then hits both
+        # levels equally instead of biasing the ratio.
+        best: dict[int, float] = {c: float("inf") for c in levels}
+        docs = 0
+        reps = int(os.environ.get("GOOSE_BENCH_SCALE_REPS", "2"))
+        for _rep in range(reps):
+            for cores in levels:
+                s = _session(cores)
+                s.sparkContext.setLogLevel("ERROR")
+                scale_path = _ensure_bench_pages(s, SCALE_PAGES, SCALE_CACHE)
+                # warm JIT/page-cache/workers on the small corpus, then
+                # one timed run on the big one
+                _tune_splits(s, pages_path, cores)
+                _extraction_run(s, pages_path)
+                _tune_splits(s, scale_path, cores)
+                sec, docs = _extraction_run(s, scale_path)
+                best[cores] = min(best[cores], sec)
+                s.stop()
+        throughput = {c: docs / best[c] for c in levels}
         eff = (throughput[levels[1]] / throughput[levels[0]]) / 4.0
         scaling = {
             "levels": list(levels),
@@ -281,6 +288,12 @@ def _write_md(out: dict) -> None:
             "the dominant scaling killer until the JVM heap was",
             "pre-touched (fixed 12g + THP) and worker allocators pinned",
             "(MALLOC_TRIM_THRESHOLD_=-1, ARROW_DEFAULT_MEMORY_POOL=system).",
+            "Host service is NOT steady: identical runs vary ±20-50%",
+            "minute to minute (worst observed: 71s vs 29s for the same",
+            "4-core job), so levels are measured interleaved and",
+            "best-of; across many sessions the efficiency landed in",
+            "0.66-0.79 with point-in-time plumbing efficiency 93% at",
+            "N=4 and 73-78% at 4N=16 of the measured hardware ceiling.",
         ]
     else:
         lines += ["- (scaling run disabled via GOOSE_BENCH_SCALING=0)"]
