@@ -433,6 +433,71 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Main-content extraction (north rule: boilerplate strip, PDF parse)
+# --------------------------------------------------------------------------
+
+def _boilerplate_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with heavy chrome (nav/sidebar/footer, link soup) around
+    an <article> holding the document text — the boilerplate-strip
+    heuristic must recover exactly the article text."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><div class="header nav">'
+              '<a href="/">Home</a><a href="/a">About</a>'
+              '<a href="/b">Products</a><a href="/c">Contact</a></div>'
+              '<div id="sidebar"><a href="/x">Trending now</a>'
+              '<a href="/y">Most read stories</a>'
+              '<a href="/z">Subscribe today</a></div>'
+              '<article class="content"><p>'),
+        F.col("text"),
+        F.lit('</p></article>'
+              '<div class="footer">© 2025 Example'
+              '<a href="/t">Terms</a><a href="/p">Privacy</a></div>'
+              "</body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_maincontent_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_parser_spark.ops.maincontent import extract_main_content
+    pages = _boilerplate_pages(spark, sf_dir)
+    return extract_main_content(pages).select("url", "main_text")
+
+
+SQL_MAINCONTENT_STRIP = """
+SELECT 'https://docs.test/' || doc_id AS url, text AS main_text
+FROM documents
+"""
+
+
+def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout plumbing: binary payloads → per-page text rows
+    (codec stubbed deterministically — ops/layout.py)."""
+    from goose_parser_spark.ops.layout import extract_pdf_pages
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return extract_pdf_pages(with_payload)
+
+
+SQL_PDF_PAGES = """
+SELECT doc_id,
+       CAST(u AS INT) AS page_no,
+       substring(text, u * 512 + 1, 512) AS page_text,
+       CAST(ceil(greatest(length(text), 1) / 512.0) AS INT) AS n_pages
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(greatest(length(text), 1) / 512.0) AS BIGINT))) AS u
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # Windowed / relational breadth
 # --------------------------------------------------------------------------
 
@@ -566,6 +631,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "multimodal_features": q_multimodal_features,
+    "maincontent_strip": q_maincontent_strip,
+    "pdf_pages": q_pdf_pages,
     "events_sessionize": q_events_sessionize,
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
@@ -591,6 +658,8 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "maincontent_strip": SQL_MAINCONTENT_STRIP,
+    "pdf_pages": SQL_PDF_PAGES,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "rel_agg": SQL_REL_AGG,
     "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,
