@@ -341,6 +341,23 @@ LIMIT 10
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline)."""
+    from goose_parser_spark.ops.similarity import embedding_cosine_pairs
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"),
+                                  threshold=0.45)
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+"""
+
+
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path; rows-only driver check — recall
     vs brute force is pytest-validated)."""
@@ -626,6 +643,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "text_stats": q_text_stats,
@@ -654,6 +672,7 @@ ORACLES: dict[str, str] = {
     "a3_conditional": SQL_A3_CONDITIONAL,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -86,6 +86,41 @@ def lsh_bucket(
     return bucket
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+    lsh_prefilter: bool = False,
+    num_planes: int = 4,
+) -> Column:
+    """Embedding-cosine near-duplicate pairs: ``id_a, id_b, sim``.
+
+    ``lsh_prefilter=False`` is the exact O(n²) baseline (self-join,
+    all cosine sims JVM-side) — correct at any n, affordable for
+    validation scales. At 100 TB set ``lsh_prefilter=True``: the join
+    key becomes the hyperplane-LSH bucket, so only same-bucket vector
+    pairs are scored — the standard blocking trick; recall/threshold
+    tradeoffs are pytest-measured against the exact baseline.
+    """
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    if lsh_prefilter:
+        dims = len(df.select(vec_col).head()[0])
+        a = a.withColumn("_b", lsh_bucket("va", dims, num_planes))
+        b = b.withColumn("_b", lsh_bucket("vb", dims, num_planes))
+        joined = a.join(b, on="_b").where(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), round_to)
+    return (joined.withColumn("sim", sim)
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query: list[float],

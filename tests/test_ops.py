@@ -152,3 +152,17 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_embedding_cosine_pairs_exact_vs_lsh(spark, emb):
+    from goose_parser_spark.ops.similarity import embedding_cosine_pairs
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_pairs(emb, threshold=0.45).collect()}
+    # LSH blocking returns a subset (same-bucket pairs only)
+    approx = {(r["id_a"], r["id_b"]) for r in
+              embedding_cosine_pairs(emb, threshold=0.45,
+                                     lsh_prefilter=True,
+                                     num_planes=2).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.3  # 2-plane blocking recall floor
