@@ -305,18 +305,16 @@ def _ensure_document_structure(root: Element) -> None:
         # scale) skip the renumber walk entirely
         return
 
-    # renumber document order after restructuring
-    counter = 0
-
-    def renumber(el: Element) -> None:
-        nonlocal counter
+    # renumber document order after restructuring (iterative — a
+    # pathologically deep fragment must not hit the recursion limit)
+    counter = 1
+    root.order = counter
+    stack = [c for c in reversed(root.children) if isinstance(c, Element)]
+    while stack:
+        el = stack.pop()
         counter += 1
         el.order = counter
-        for c in el.children:
-            if isinstance(c, Element):
-                renumber(c)
-
-    renumber(root)
+        stack.extend(c for c in reversed(el.children) if isinstance(c, Element))
 
 
 def parse_html(html: str | bytes, backend: str = "fast") -> Element:
