@@ -123,9 +123,20 @@ class ExtractJob:
 
     # -- the run -----------------------------------------------------------------
 
-    def run(self, pages: DataFrame, resume: bool = True) -> dict:
+    def run(self, pages: DataFrame, resume: bool = True,
+            salt_shuffle: bool = True) -> dict:
         """Execute (or resume) the extraction. Returns a small summary
-        dict (driver-side scalars only — never row data)."""
+        dict (driver-side scalars only — never row data).
+
+        ``salt_shuffle=True`` (default, I1) repartitions on the url-hash
+        bucket BEFORE extraction: crawl inputs are typically laid out
+        by host/WARC order, so scan splits are host-correlated — the
+        one shuffle decorrelates that skew AND lands each bucket wholly
+        in one task, so the partitioned write produces one file set per
+        bucket instead of tasks×buckets fragments. Disable only for
+        inputs already bucketed by url-hash (e.g. the Iceberg spec from
+        tools/iceberg_ddl.py), where the shuffle would be pure cost.
+        """
         run_id = uuid.uuid4().hex
         t0 = time.time()
 
@@ -143,6 +154,11 @@ class ExtractJob:
                 bucketed = bucketed.join(
                     F.broadcast(committed), on="bucket", how="left_anti"
                 )
+
+        if salt_shuffle:
+            parallelism = self.spark.sparkContext.defaultParallelism
+            num_parts = min(self.buckets, max(32, parallelism * 2))
+            bucketed = bucketed.repartition(num_parts, F.col("bucket"))
 
         extracted = extract(
             bucketed,

@@ -125,3 +125,22 @@ def test_no_resume_recomputes_everything(spark, pages_df, tmp_path):
     assert summary["buckets_skipped_by_resume"] == 0
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == N  # dynamic overwrite → still exactly one copy
+
+
+def test_salt_shuffle_consolidates_bucket_files(spark, pages_df, tmp_path):
+    """With the I1 shuffle, each bucket's data lands in one task →
+    one file set per bucket (not tasks × buckets fragments)."""
+    out = str(tmp_path / "out")
+    job = ExtractJob(spark, RULES, out, buckets=8)
+    job.run(pages_df.repartition(16), resume=False)  # skewed-ish input layout
+    for b in (spark.read.parquet(f"{out}/data")
+              .select("bucket").distinct().collect()):
+        files = glob.glob(f"{out}/data/bucket={b['bucket']}/*.parquet")
+        assert len(files) == 1, (b["bucket"], files)
+
+
+def test_salt_shuffle_off_still_correct(spark, pages_df, tmp_path):
+    out = str(tmp_path / "out")
+    job = ExtractJob(spark, RULES, out, buckets=8)
+    job.run(pages_df, resume=False, salt_shuffle=False)
+    assert spark.read.parquet(f"{out}/data").count() == N
