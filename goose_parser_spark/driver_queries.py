@@ -404,6 +404,21 @@ FROM documents
 """
 
 
+def q_text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count proxy (letter runs + digit runs + marks)."""
+    from goose_parser_spark.ops.textstats import subword_count
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", subword_count("text").alias("n_subwords"))
+
+
+SQL_TEXT_SUBWORD_COUNT = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_subwords
+FROM documents
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goose_parser_spark.ops.textstats import quality_score
     docs = _t(spark, sf_dir, "documents")
@@ -647,6 +662,7 @@ QUERIES: dict[str, QueryFn] = {
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "text_stats": q_text_stats,
+    "text_subword_count": q_text_subword_count,
     "text_quality": q_text_quality,
     "multimodal_features": q_multimodal_features,
     "maincontent_strip": q_maincontent_strip,
@@ -675,6 +691,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "text_stats": SQL_TEXT_STATS,
+    "text_subword_count": SQL_TEXT_SUBWORD_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "maincontent_strip": SQL_MAINCONTENT_STRIP,
