@@ -533,6 +533,63 @@ FROM (
 # Windowed / relational breadth
 # --------------------------------------------------------------------------
 
+def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host / normalization / registered-domain over a deterministic
+    url mix (scheme case, default vs explicit ports, trailing slashes,
+    fragments, multi-label public suffixes). The oracle states the
+    hand-computed expected values per variant — a true specification
+    check, not a re-implementation."""
+    from goose_parser_spark.ops.urls import (
+        registered_domain, url_host, url_normalize,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    s = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(F.lit("https://WWW.Example.COM:443/a"), s, F.lit("/?x=1#f")))
+            .when(v == 1, F.concat(F.lit("http://news.site.co.uk:80/p"), s, F.lit("/")))
+            .when(v == 2, F.concat(F.lit("http://sub.blog.org:8080/"), s))
+            .when(v == 3, F.concat(F.lit("https://example.com.au/x"), s, F.lit("#y")))
+            .when(v == 4, F.concat(F.lit("ftp://Files.Archive.net/data"), s))
+            .otherwise(F.concat(F.lit("https://single"), s, F.lit("/?q="))))
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        url_host("url").alias("host"),
+        url_normalize("url").alias("norm"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+SQL_URL_OPS = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'www.example.com'
+    WHEN 1 THEN 'news.site.co.uk'
+    WHEN 2 THEN 'sub.blog.org'
+    WHEN 3 THEN 'example.com.au'
+    WHEN 4 THEN 'files.archive.net'
+    ELSE 'single' || doc_id
+  END AS host,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://www.example.com/a' || doc_id || '?x=1'
+    WHEN 1 THEN 'http://news.site.co.uk/p' || doc_id
+    WHEN 2 THEN 'http://sub.blog.org:8080/' || doc_id
+    WHEN 3 THEN 'https://example.com.au/x' || doc_id
+    WHEN 4 THEN 'ftp://files.archive.net/data' || doc_id
+    ELSE 'https://single' || doc_id || '?q='
+  END AS norm,
+  CASE doc_id % 6
+    WHEN 0 THEN 'example.com'
+    WHEN 1 THEN 'site.co.uk'
+    WHEN 2 THEN 'blog.org'
+    WHEN 3 THEN 'example.com.au'
+    WHEN 4 THEN 'archive.net'
+    ELSE 'single' || doc_id
+  END AS domain
+FROM documents
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) — the streaming-ish stateful
     op expressed as windows over the static table."""
@@ -667,6 +724,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "maincontent_strip": q_maincontent_strip,
     "pdf_pages": q_pdf_pages,
+    "url_ops": q_url_ops,
     "events_sessionize": q_events_sessionize,
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
@@ -696,6 +754,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "maincontent_strip": SQL_MAINCONTENT_STRIP,
     "pdf_pages": SQL_PDF_PAGES,
+    "url_ops": SQL_URL_OPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "rel_agg": SQL_REL_AGG,
     "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,

@@ -139,6 +139,27 @@ _LOCALE_MONTHS: dict[str, dict[str, list[str]]] = {
         "MMM": ["janv", "févr", "mars", "avr", "mai", "juin",
                  "juil", "août", "sept", "oct", "nov", "déc"],
     },
+    "pt": {
+        "MMMM": ["janeiro", "fevereiro", "março", "abril", "maio", "junho",
+                  "julho", "agosto", "setembro", "outubro", "novembro",
+                  "dezembro"],
+        "MMM": ["jan", "fev", "mar", "abr", "mai", "jun",
+                 "jul", "ago", "set", "out", "nov", "dez"],
+    },
+    "it": {
+        "MMMM": ["gennaio", "febbraio", "marzo", "aprile", "maggio",
+                  "giugno", "luglio", "agosto", "settembre", "ottobre",
+                  "novembre", "dicembre"],
+        "MMM": ["gen", "feb", "mar", "apr", "mag", "giu",
+                 "lug", "ago", "set", "ott", "nov", "dic"],
+    },
+    "nl": {
+        "MMMM": ["januari", "februari", "maart", "april", "mei", "juni",
+                  "juli", "augustus", "september", "oktober", "november",
+                  "december"],
+        "MMM": ["jan", "feb", "mrt", "apr", "mei", "jun",
+                 "jul", "aug", "sep", "okt", "nov", "dec"],
+    },
 }
 
 # moment tokens, longest-first so the tokenizer is greedy.

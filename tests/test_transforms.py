@@ -68,6 +68,9 @@ def test_date_fixture_ru():
     ("de", "1 März 2020", "D MMMM YYYY", "2020-03-01"),
     ("es", "9 enero 1999", "D MMMM YYYY", "1999-01-09"),
     ("en", "12/31/2021", "MM/DD/YYYY", "2021-12-31"),
+    ("pt", "9 março 2021", "D MMMM YYYY", "2021-03-09"),
+    ("it", "2 luglio 2018", "D MMMM YYYY", "2018-07-02"),
+    ("nl", "5 mrt 19", "D MMM YY", "2019-03-05"),
 ])
 def test_date_locales(locale, value, fmt, want):
     assert run([{"type": "date", "locale": locale,

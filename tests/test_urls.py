@@ -1,0 +1,53 @@
+"""URL operators: host/path/normalize/registered-domain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from goose_parser_spark.ops.urls import (
+    host_stats, registered_domain, url_host, url_normalize, url_path,
+)
+
+CASES = [
+    # url, host, path, normalized, domain
+    ("https://WWW.Example.COM:443/a/b/?x=1#f",
+     "www.example.com", "/a/b/", "https://www.example.com/a/b?x=1", "example.com"),
+    ("http://news.site.co.uk:80/path/",
+     "news.site.co.uk", "/path/", "http://news.site.co.uk/path", "site.co.uk"),
+    ("http://sub.blog.org:8080/",
+     "sub.blog.org", "/", "http://sub.blog.org:8080", "blog.org"),
+    ("https://example.com.au/x#y",
+     "example.com.au", "/x", "https://example.com.au/x", "example.com.au"),
+    ("ftp://Files.Archive.net/data",
+     "files.archive.net", "/data", "ftp://files.archive.net/data", "archive.net"),
+    ("https://user:pw@secret.example.org/p",
+     "secret.example.org", "/p", "https://secret.example.org/p", "example.org"),
+    ("https://localhost/x", "localhost", "/x", "https://localhost/x", "localhost"),
+]
+
+
+@pytest.mark.parametrize("url,host,path,norm,domain", CASES)
+def test_url_ops(spark, url, host, path, norm, domain):
+    df = spark.createDataFrame([(url,)], "url string")
+    row = df.select(
+        url_host("url").alias("h"), url_path("url").alias("p"),
+        url_normalize("url").alias("n"), registered_domain("url").alias("d"),
+    ).collect()[0]
+    assert row["h"] == host
+    assert row["p"] == path
+    assert row["n"] == norm
+    assert row["d"] == domain
+
+
+def test_host_stats_orders_by_skew(spark):
+    urls = [("https://big.test/a%d" % i,) for i in range(8)] + \
+           [("https://small.test/b",)]
+    df = spark.createDataFrame(urls, "url string")
+    rows = host_stats(df).collect()
+    assert (rows[0]["host"], rows[0]["count"]) == ("big.test", 8)
+
+
+def test_url_ops_no_python(spark):
+    df = spark.createDataFrame([("https://x.test/a",)], "url string")
+    out = df.select(url_normalize("url"), registered_domain("url"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
