@@ -83,6 +83,7 @@ class _FastBuilder(_TreeBuilder):
         parent = self.stack[-1]
         el = Element(tag, attrs, parent, self._next_order())
         parent.children.append(el)
+        self.created.append(el)
         if tag not in VOID_ELEMENTS and not self_closing:
             self.stack.append(el)
 
@@ -96,6 +97,11 @@ class _FastBuilder(_TreeBuilder):
 
 def parse_html_fast(html: str | bytes) -> Element:
     """Drop-in replacement for :func:`parser.parse_html`."""
+    return parse_document_fast(html)[0]
+
+
+def parse_document_fast(html: str | bytes):
+    """(root, elements_in_doc_order_or_None) — see parser.parse_document."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     b = _FastBuilder()
@@ -144,5 +150,5 @@ def parse_html_fast(html: str | bytes) -> Element:
         if end_tag is not None:
             end_cb(end_tag.lower())
         # comments/decls: skipped
-    _ensure_document_structure(b.root)
-    return b.root
+    changed = _ensure_document_structure(b.root)
+    return b.root, (None if changed else b.created)

@@ -160,6 +160,9 @@ class _TreeBuilder(HTMLParser):
         self._order = 0
         self.root = Element("#document", {}, None, self._next_order())
         self.stack: list[Element] = [self.root]
+        # elements in creation (= document) order; lets the selector
+        # index skip its own tree walk for non-restructured documents
+        self.created: list[Element] = []
 
     def _next_order(self) -> int:
         self._order += 1
@@ -205,6 +208,7 @@ class _TreeBuilder(HTMLParser):
         if tag == "tr" and self.stack[-1].tag == "table":
             tbody = Element("tbody", {}, self.stack[-1], self._next_order())
             self.stack[-1].children.append(tbody)
+            self.created.append(tbody)
             self.stack.append(tbody)
 
     # -- HTMLParser callbacks --------------------------------------------------
@@ -220,6 +224,7 @@ class _TreeBuilder(HTMLParser):
         parent = self.stack[-1]
         el = Element(tag, attr_map, parent, self._next_order())
         parent.children.append(el)
+        self.created.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
@@ -235,7 +240,9 @@ class _TreeBuilder(HTMLParser):
             if k not in attr_map:
                 attr_map[k] = v if v is not None else ""
         parent = self.stack[-1]
-        parent.children.append(Element(tag, attr_map, parent, self._next_order()))
+        el = Element(tag, attr_map, parent, self._next_order())
+        parent.children.append(el)
+        self.created.append(el)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
@@ -269,7 +276,7 @@ class _TreeBuilder(HTMLParser):
 _HEAD_TAGS = frozenset(["head", "title", "meta", "link", "base"])
 
 
-def _ensure_document_structure(root: Element) -> None:
+def _ensure_document_structure(root: Element) -> bool:
     """Guarantee root > html > body exist, like every browser parser
     does — goose rules rely on it (e.g. ``parentScope: "body"``,
     FIXTURES.md F-09) even when given an HTML fragment."""
@@ -303,7 +310,7 @@ def _ensure_document_structure(root: Element) -> None:
     if not changed:
         # full documents (the overwhelmingly common case at crawl
         # scale) skip the renumber walk entirely
-        return
+        return False
 
     # renumber document order after restructuring (iterative — a
     # pathologically deep fragment must not hit the recursion limit)
@@ -315,6 +322,7 @@ def _ensure_document_structure(root: Element) -> None:
         counter += 1
         el.order = counter
         stack.extend(c for c in reversed(el.children) if isinstance(c, Element))
+    return True
 
 
 def parse_html(html: str | bytes, backend: str = "fast") -> Element:
@@ -340,3 +348,21 @@ def parse_html(html: str | bytes, backend: str = "fast") -> Element:
     builder.close()
     _ensure_document_structure(builder.root)
     return builder.root
+
+
+def parse_document(html: str | bytes, backend: str = "fast"):
+    """Parse and return ``(root, elements_in_doc_order_or_None)``.
+
+    The second element feeds the selector DocIndex without another
+    tree walk; it is None when document-structure synthesis moved
+    nodes (fragments), in which case the caller re-walks."""
+    if backend == "fast":
+        from goose_parser_spark.dom.fastparser import parse_document_fast
+        return parse_document_fast(html)
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    changed = _ensure_document_structure(builder.root)
+    return builder.root, (None if changed else builder.created)

@@ -430,14 +430,17 @@ class DocIndex:
 
     __slots__ = ("root", "all", "by_tag", "by_class", "by_id")
 
-    def __init__(self, root: Element) -> None:
+    def __init__(self, root: Element,
+                 elements: list[Element] | None = None) -> None:
+        """``elements`` may supply the document-order element list the
+        parser already produced (parse_document), skipping the walk."""
         self.root = root
-        self.all: list[Element] = []
+        self.all = elements if elements is not None \
+            else list(root.iter_elements())
         self.by_tag: dict[str, list[Element]] = {}
         self.by_class: dict[str, list[Element]] = {}
         self.by_id: dict[str, list[Element]] = {}
-        for el in root.iter_elements():
-            self.all.append(el)
+        for el in self.all:
             self.by_tag.setdefault(el.tag, []).append(el)
             for cls in el.classes():
                 self.by_class.setdefault(cls, []).append(el)

@@ -28,7 +28,7 @@ evaluation order").
 
 from __future__ import annotations
 
-from goose_parser_spark.dom.parser import Element, parse_html
+from goose_parser_spark.dom.parser import Element, parse_document, parse_html
 from goose_parser_spark.dom.selector import DocIndex, Selector, select_indexed
 from goose_parser_spark.functions.transforms import apply_chain
 from goose_parser_spark.rules.compiler import Branch, CompiledRule, CompiledRules
@@ -40,9 +40,10 @@ class _DocContext:
 
     __slots__ = ("root", "index", "_cache")
 
-    def __init__(self, root: Element) -> None:
+    def __init__(self, root: Element,
+                 elements: list[Element] | None = None) -> None:
         self.root = root
-        self.index = DocIndex(root)
+        self.index = DocIndex(root, elements)
         self._cache: dict[tuple[int, ...], list[Element]] = {}
 
     def select(self, context: list[Element], selector: Selector) -> list[Element]:
@@ -135,5 +136,6 @@ def evaluate_document(compiled: CompiledRules, html: str | bytes) -> object:
     Returns a nested python value (dict / list / str) matching
     ``compiled.schema``; ``None`` if no conditional branch matched.
     """
-    doc = _DocContext(parse_html(html))
+    root, elements = parse_document(html)
+    doc = _DocContext(root, elements)
     return evaluate_branches(compiled.branches, doc)
