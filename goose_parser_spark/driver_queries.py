@@ -341,6 +341,47 @@ LIMIT 10
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical id per doc
+    (the keep-policy input of a dedup pipeline)."""
+    from goose_parser_spark.ops.dedup import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[u:u+2], ' ') AS sh
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS u FROM tok)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(root) AS canonical_id
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline)."""
     from goose_parser_spark.ops.similarity import embedding_cosine_pairs
@@ -715,6 +756,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
@@ -746,6 +788,7 @@ ORACLES: dict[str, str] = {
     "a3_conditional": SQL_A3_CONDITIONAL,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "text_stats": SQL_TEXT_STATS,

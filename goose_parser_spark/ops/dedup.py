@@ -194,6 +194,56 @@ def minhash_lsh_dedup(
     return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
 
 
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup clusters: min-label propagation over the pair graph.
+
+    Returns ``(doc_id, canonical_id)`` for EVERY id in ``ids``
+    (singletons map to themselves); ``canonical_id`` is the smallest id
+    in the component — the survivor a dedup keep-policy retains.
+
+    The loop runs until no label changes: iteration count = component
+    diameter (near-dup clusters are tiny — pairs/chains — so 2-4
+    rounds in practice). Each round is one join + one aggregate on
+    ``(node, label)`` longs; at 100 TB checkpoint every ~5 rounds to
+    truncate lineage. Deterministic.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst"))))
+    # localCheckpoint every iteration: iterative self-referencing plans
+    # otherwise grow exponentially and blow up Catalyst (OOM observed
+    # at ~10 iterations without truncation)
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.src == labels.node)
+                        .groupBy(F.col("dst").alias("node2"))
+                        .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.node2, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("label")))
+                               .alias("label"))).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("canonical_id"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -166,3 +166,26 @@ def test_embedding_cosine_pairs_exact_vs_lsh(spark, emb):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.3  # 2-plane blocking recall floor
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from goose_parser_spark.ops.dedup import connected_components
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # components: {1,2,3} chain, {4,5} pair, {6,7} via cycle, {8} singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (7, 6)],
+        "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in connected_components(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from goose_parser_spark.ops.dedup import connected_components
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in connected_components(ids, pairs).collect()}
+    assert all(v == 0 for v in out.values())
