@@ -292,7 +292,7 @@ def _write_md(out: dict) -> None:
             "minute to minute (worst observed: 71s vs 29s for the same",
             "4-core job), so levels are measured interleaved and",
             "best-of; across many sessions the efficiency landed in",
-            "0.66-0.79 with point-in-time plumbing efficiency 93% at",
+            "0.65-0.79 with point-in-time plumbing efficiency 93% at",
             "N=4 and 73-78% at 4N=16 of the measured hardware ceiling.",
         ]
     else:

@@ -1,8 +1,9 @@
 """Arrow-batched extraction over a pages DataFrame.
 
-The hot path of the engine: ``mapInPandas`` over Arrow batches — the
-ONLY JVM↔Python boundary in the job, amortized per batch (no per-row
-Python, BASELINE.json:15). Per batch we loop documents in Python
+The hot path of the engine: Arrow-batched ``mapInArrow`` — the ONLY
+JVM↔Python boundary in the job, amortized per batch (no per-row
+Python, BASELINE.json:15; design per "Accelerating Python UDFs in
+Vectorized Query Execution", CIDR 2022 — see PAPERS.md). Per batch we loop documents in Python
 (DOM parsing is inherently per-document), parse each page's HTML once,
 and evaluate the entire compiled rule tree against it (SURVEY.md §3.2).
 
