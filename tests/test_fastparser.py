@@ -44,6 +44,11 @@ TRICKY = [
     "<div a=1 a=2>dupe attr</div>",
     "<svg/><math/>",
     "北京 plain unicode 🦢 <span>x</span>",
+    "<div><![CDATA[a > b]]></div>",
+    "<div><![CDATA[unterminated > stuff",
+    "<div><?php if ($a > $b) { ?>x<?php } ?></div>",
+    '<!--[if IE]><p class="ie">old</p><![endif]--><p class="m">new</p>',
+    '<div data-x="a>b">gt in attr</div>',
 ]
 
 
@@ -83,3 +88,35 @@ def _rand_html(draw, depth=3):
 @given(html=_rand_html())
 def test_random_documents_identical(html):
     assert_same(html)
+
+
+def test_markup_soup_differential():
+    """Adversarial markup soup: both backends must agree except the
+    documented unbalanced-quote-in-tag class (fastparser.py header)."""
+    import random
+    rng = random.Random(42)
+    pieces = ['<div class="a">', "</div>", "<p>", "</p>", "<span>",
+              "</span>", "text ", "&amp;", "&eacute;", "<!-- c -->",
+              "<![CDATA[x > y]]>", "<?pi a > b ?>", "<br>",
+              "<img src=x>", "<b", ">", '<a href="u?a=1&amp;b=2">',
+              "</a>", "<li>", "<ul>", "</ul>", "<table>", "<tr>",
+              "<td>", "</table>", "3 < 5", "&#65;"]
+    diffs = 0
+    for _ in range(1500):
+        html = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 25)))
+        fast = tree_repr(parse_html(html, backend="fast"))
+        std = tree_repr(parse_html(html, backend="stdlib"))
+        if fast != std:
+            diffs += 1
+    assert diffs == 0, diffs
+
+
+def test_unbalanced_quote_divergence_is_stable():
+    """The known-divergent inputs must still parse without error on
+    both backends and never lose following well-formed content on the
+    fast path."""
+    from goose_parser_spark.dom.selector import select
+    for h in ['<b3 < 5"<p>x', "<b3 < 5'<p>x"]:
+        fast = parse_html(h, backend="fast")
+        parse_html(h, backend="stdlib")  # no crash
+        assert [e.text() for e in select(fast, "p")] == ["x"]
