@@ -8,14 +8,24 @@ where Python is genuinely required, and there it is Arrow-batched.
 """
 
 from goose_parser_spark.ops.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     shingles,
     simhash,
 )
+from goose_parser_spark.ops.layout import extract_pdf_pages
+from goose_parser_spark.ops.maincontent import extract_main_content
+from goose_parser_spark.ops.urls import (
+    host_stats,
+    registered_domain,
+    url_host,
+    url_normalize,
+)
 from goose_parser_spark.ops.similarity import (
     cosine_topk,
+    embedding_cosine_pairs,
     lsh_bucket,
     lsh_cosine_topk,
 )
@@ -28,6 +38,9 @@ from goose_parser_spark.ops.textstats import (
 
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
-    "shingles", "cosine_topk", "lsh_bucket", "lsh_cosine_topk",
+    "shingles", "connected_components", "cosine_topk",
+    "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
+    "extract_main_content", "extract_pdf_pages",
+    "url_host", "url_normalize", "registered_domain", "host_stats",
 ]
