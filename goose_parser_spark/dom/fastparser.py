@@ -14,8 +14,10 @@ two backends agree byte-for-byte):
 - entities decoded in text and attribute values (only when ``&``
   present — the common no-entity case pays nothing);
 - comments, doctypes, CDATA and processing instructions skipped;
-- ``<script>``/``<style>``/``<textarea>``/``<title>`` content is raw
-  text up to the matching close tag;
+- ``<script>``/``<style>`` content is raw text up to the matching
+  close tag when the start tag is not self-closed (ONLY those two —
+  html.parser's CDATA_CONTENT_ELEMENTS; ``<title>``/``<textarea>``
+  content parses normally so the two backends agree byte-for-byte);
 - stray ``<`` that does not open a tag is literal text.
 
 Known divergence (documented, not chased): a tag with an UNBALANCED
@@ -50,8 +52,7 @@ _TOKEN_RE = re.compile(
       | /(?P<end>[a-zA-Z][-a-zA-Z0-9:._]*)\s*>
       | /(?P<bogus>[^>]*)>
       | (?P<start>[a-zA-Z][^\t\n\r\f\x20/>\x00]*)
-        (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*?)
-        (?P<selfclose>/?)>
+        (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*)>
     )""",
     re.DOTALL | re.VERBOSE,
 )
@@ -73,12 +74,22 @@ class _FastBuilder(_TreeBuilder):
     """Reuses every recovery rule from _TreeBuilder; only the
     HTMLParser-driven feed() machinery is bypassed."""
 
-    def start(self, tag: str, attr_str: str, self_closing: bool) -> None:
+    def start(self, tag: str, attr_str: str) -> bool:
+        """Insert a start tag; returns whether the tag was self-closing.
+
+        Self-closing detection mirrors html.parser's locatestarttagend
+        semantics: a trailing ``/`` marks the tag self-closed ONLY when
+        it is not consumed as part of an unquoted attribute value
+        (``<a href=http://x.com/>`` keeps the slash in href and is a
+        normal start tag; ``<br/>`` / ``<a href="x"/>`` self-close).
+        """
         self._imply_ends_for(tag)
         self._maybe_insert_tbody(tag)
         attrs: dict[str, str] = {}
+        last_end = 0
         if attr_str and not attr_str.isspace():
             for m in _ATTR_RE.finditer(attr_str):
+                last_end = m.end()
                 name = m.group(1).lower()
                 if name in attrs:
                     continue  # first occurrence wins (HTML5)
@@ -90,12 +101,15 @@ class _FastBuilder(_TreeBuilder):
                 if v is None:
                     v = ""
                 attrs[name] = unescape(v) if "&" in v else v
+        stripped = attr_str.rstrip()
+        self_closing = stripped.endswith("/") and last_end < len(stripped)
         parent = self.stack[-1]
         el = Element(tag, attrs, parent, self._next_order())
         parent.children.append(el)
         self.created.append(el)
         if tag not in VOID_ELEMENTS and not self_closing:
             self.stack.append(el)
+        return self_closing
 
     def text(self, data: str) -> None:
         parent = self.stack[-1]
@@ -145,8 +159,11 @@ def parse_document_fast(html: str | bytes):
         start_tag = m.group("start")
         if start_tag is not None:
             tag = start_tag.lower()
-            b.start(tag, m.group("attrs"), m.group("selfclose") == "/")
-            raw = _RAWTEXT.get(tag)
+            self_closing = b.start(tag, m.group("attrs"))
+            # html.parser enters cdata mode only for NON-self-closed
+            # script/style (parse_starttag's startendtag branch skips
+            # set_cdata_mode) — mirror that so backends stay identical.
+            raw = None if self_closing else _RAWTEXT.get(tag)
             if raw is not None:
                 mm = raw.search(html, pos)
                 if mm is None:

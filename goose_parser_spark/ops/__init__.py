@@ -14,6 +14,7 @@ from goose_parser_spark.ops.dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    simhash_pairs,
 )
 from goose_parser_spark.ops.layout import extract_pdf_pages
 from goose_parser_spark.ops.maincontent import extract_main_content
@@ -38,7 +39,7 @@ from goose_parser_spark.ops.textstats import (
 
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
-    "shingles", "connected_components", "cosine_topk",
+    "shingles", "simhash_pairs", "connected_components", "cosine_topk",
     "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
     "extract_main_content", "extract_pdf_pages",

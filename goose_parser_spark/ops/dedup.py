@@ -10,8 +10,9 @@ Four tiers, all shuffle-conscious:
 - :func:`minhash_lsh_dedup` — MinHash signatures + banded LSH: the
   scale path. One shuffle to build signatures, one band-bucket join on
   (band, band_hash) — candidates only, verified by exact Jaccard.
-- :func:`simhash` — 64-bit SimHash per document (near-dup by Hamming
-  distance on a fixed-width key; join on rotated prefixes at scale).
+- :func:`simhash` — 64-bit SimHash per document; :func:`simhash_pairs`
+  — near-dup pairs within Hamming ≤ k via pigeonhole block blocking
+  (Manku et al., WWW'07) — exact recall, no all-pairs join.
 
 Everything is deterministic (xxhash64-seeded, no rand()) so re-runs
 and resume produce identical clusters. All hot-path expressions are
@@ -105,9 +106,14 @@ def ngram_jaccard_pairs(
               .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # NO broadcast hint on sa/sb: they are one-row-per-document tables,
+    # unbounded at corpus scale (a forced broadcast = driver OOM at
+    # 10^9 docs). A plain shuffle join on a (long, long) key is cheap,
+    # and AQE converts it to broadcast at runtime when the side really
+    # is small — the safe default at every scale.
     out = (common
-           .join(F.broadcast(sa), "doc_a")
-           .join(F.broadcast(sb), "doc_b")
+           .join(sa, "doc_a")
+           .join(sb, "doc_b")
            .withColumn("jaccard", F.round(
                F.col("n_common") /
                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
@@ -188,7 +194,11 @@ def minhash_lsh_dedup(
     cand_docs = (cand.select(F.col("doc_a").alias(id_col))
                  .union(cand.select(F.col("doc_b").alias(id_col)))
                  .distinct())
-    restricted = df.join(F.broadcast(cand_docs), on=id_col, how="inner")
+    # left-semi join, no broadcast hint: on dup-heavy web crawls
+    # (30-50% near-dup rate) the candidate universe is a large fraction
+    # of the corpus — forcing a broadcast would OOM. AQE picks
+    # broadcast at runtime when cand_docs is actually small.
+    restricted = df.join(cand_docs, on=id_col, how="left_semi")
     exact = ngram_jaccard_pairs(restricted, n=n, threshold=threshold,
                                 text_col=text_col, id_col=id_col)
     return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
@@ -266,12 +276,72 @@ def simhash(
         for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
+    # Full width: bit 63's weight in a signed long is -2^63 (two's
+    # complement), so the top bit is emitted without overflow and
+    # bits=64 really yields 64 effective bits (ADVICE r01).
     out_bits = [
-        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
-        * F.lit(2 ** i).cast("long")
-        for i in range(bits - 1)  # skip the sign bit to stay in long range
+        F.when(F.col(f"b{i}") > 0,
+               F.lit(-(1 << i) if i == 63 else (1 << i)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
     ]
     total = out_bits[0]
     for ob in out_bits[1:]:
         total = total + ob
     return agg.select(F.col(id_col), total.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking is the pigeonhole scheme from Manku et al. (WWW'07,
+    "Detecting Near-Duplicates for Web Crawling"): split the ``bits``-
+    wide fingerprint into ``max_hamming + 1`` disjoint blocks — any
+    pair within Hamming distance k differs in at most k blocks, so it
+    must agree EXACTLY on at least one block. Join on
+    ``(block_index, block_value)``, then verify with
+    ``bit_count(a XOR b) <= k``. 100% recall by construction (asserted
+    against brute force in tests), never an all-pairs join: the only
+    shuffles are a narrow (int, long) candidate join and one
+    fingerprint lookup join. No broadcast hints — AQE decides.
+
+    Columns: ``doc_a, doc_b, hamming``.
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    blocks = []
+    for bi in range(nblocks):
+        lo = bi * width
+        # last block absorbs the remainder bits
+        w = bits - lo if bi == nblocks - 1 else width
+        mask = (1 << w) - 1
+        blocks.append(F.struct(
+            F.lit(bi).alias("blk"),
+            F.shiftrightunsigned(F.col("simhash"), lo)
+             .bitwiseAND(F.lit(mask)).alias("bv"),
+        ))
+    banded = (fp.select(id_col, "simhash",
+                        F.explode(F.array(*blocks)).alias("b"))
+              .select(F.col(id_col).alias("doc"), F.col("simhash"),
+                      F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    out = (a.join(b, on=["blk", "bv"])
+           .where(F.col("a.doc") < F.col("b.doc"))
+           .select(F.col("a.doc").alias("doc_a"),
+                   F.col("b.doc").alias("doc_b"),
+                   F.bit_count(F.col("a.simhash")
+                               .bitwiseXOR(F.col("b.simhash")))
+                    .alias("hamming"))
+           .where(F.col("hamming") <= max_hamming)
+           .distinct())
+    return out

@@ -71,15 +71,18 @@ def lsh_bucket(
     vec_col: str | Column,
     dims: int,
     num_planes: int = 8,
+    plane_offset: int = 0,
 ) -> Column:
     """Random-hyperplane LSH bucket id (0..2^num_planes-1) as a pure
     Catalyst expression: sign pattern of ``num_planes`` fixed
-    hyperplane dot products."""
+    hyperplane dot products. ``plane_offset`` selects an independent
+    hyperplane family (for OR-amplified multi-table blocking)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = v.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(_hyperplane(p, d)) for d in range(dims)])
+        plane = F.array(*[F.lit(_hyperplane(plane_offset + p, d))
+                          for d in range(dims)])
         bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("long")) \
                .otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit * F.lit(2 ** p).cast("long")
@@ -92,33 +95,65 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 4,
-    lsh_prefilter: bool = False,
+    lsh_prefilter: bool = True,
     num_planes: int = 4,
-) -> Column:
+    num_tables: int = 4,
+    dims: int | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``id_a, id_b, sim``.
 
-    ``lsh_prefilter=False`` is the exact O(n²) baseline (self-join,
-    all cosine sims JVM-side) — correct at any n, affordable for
-    validation scales. At 100 TB set ``lsh_prefilter=True``: the join
-    key becomes the hyperplane-LSH bucket, so only same-bucket vector
-    pairs are scored — the standard blocking trick; recall/threshold
-    tradeoffs are pytest-measured against the exact baseline.
+    ``lsh_prefilter=True`` (the default — this is the path you ship at
+    100 TB): ``num_tables`` independent hyperplane-LSH bucketings,
+    OR-amplified — a pair is a candidate if it collides in ANY table
+    (recall 1-(1-p)^L for per-table collision probability p; measured
+    vs the exact baseline in pytest). Only candidates are cosine-
+    scored — never an all-pairs join. ``lsh_prefilter=False`` is the
+    exact O(n²) self-join — the validation baseline only, never the
+    default (a cartesian-shaped join at corpus scale).
+
+    Pass ``dims`` to skip the one-row schema probe (a tiny driver
+    action otherwise used to size the hyperplanes).
     """
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).cast("array<double>").alias("vb"))
-    if lsh_prefilter:
-        dims = len(df.select(vec_col).head()[0])
-        a = a.withColumn("_b", lsh_bucket("va", dims, num_planes))
-        b = b.withColumn("_b", lsh_bucket("vb", dims, num_planes))
-        joined = a.join(b, on="_b").where(F.col("id_a") < F.col("id_b"))
-    else:
+    if not lsh_prefilter:
+        a = df.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).cast("array<double>").alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).cast("array<double>").alias("vb"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), round_to)
-    return (joined.withColumn("sim", sim)
+        sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), round_to)
+        return (joined.withColumn("sim", sim)
+                .where(F.col("sim") >= threshold)
+                .select("id_a", "id_b", "sim"))
+
+    if dims is None:
+        dims = len(df.select(vec_col).head()[0])
+    # one row per (vector, table): join key (table, bucket) — a narrow
+    # (int, long) shuffle; table t uses its own hyperplane family.
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 lsh_bucket(F.col("_v"), dims, num_planes,
+                            plane_offset=t * num_planes).alias("bkt"))
+        for t in range(num_tables)
+    ])
+    banded = (df.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("_v"))
+              .select("id", "_v", F.explode(tables).alias("b"))
+              .select("id", "_v", F.col("b.tbl").alias("tbl"),
+                      F.col("b.bkt").alias("bkt")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    sim = F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), round_to)
+    # a pair colliding in several tables is scored per collision and
+    # deduped at the end — cheaper than a pair-level distinct BEFORE
+    # scoring (which would need an extra shuffle plus a vector
+    # re-join); sim is deterministic so distinct collapses exactly.
+    return (a.join(b, on=["tbl", "bkt"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    sim.alias("sim"))
             .where(F.col("sim") >= threshold)
-            .select("id_a", "id_b", "sim"))
+            .distinct())
 
 
 def lsh_cosine_topk(

@@ -55,8 +55,13 @@ def quality_score(col: str | Column, round_to: int = 6) -> Column:
     mean_len = F.length(c) / n
     len_band = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)) \
                 .otherwise(F.lit(0.5))
-    alpha_ratio = (F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")) /
-                   F.length(c))
+    # empty text: 0/0 would be NULL (or an ANSI-mode error) — a defined
+    # 0.0 alpha ratio keeps empty documents scored on both engines
+    # (ADVICE r01; the DuckDB oracle carries the same CASE guard).
+    alpha_ratio = F.when(
+        F.length(c) > 0,
+        F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")) / F.length(c),
+    ).otherwise(F.lit(0.0))
     return F.round(
         F.least(F.lit(1.0),
                 stop_ratio * 2.0 * F.lit(0.4) + len_band * F.lit(0.3)

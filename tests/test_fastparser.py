@@ -49,6 +49,23 @@ TRICKY = [
     "<div><?php if ($a > $b) { ?>x<?php } ?></div>",
     '<!--[if IE]><p class="ie">old</p><![endif]--><p class="m">new</p>',
     '<div data-x="a>b">gt in attr</div>',
+    # ADVICE r01 (high): unquoted attr values ending in '/' must keep
+    # the slash and NOT self-close the element (html.parser bare value
+    # is [^>\s]* — the '/' belongs to the value).
+    '<a href=http://x.com/>link</a>',
+    '<a href=/foo/>rel</a>',
+    '<img src=/a/b/><span>after</span>',
+    '<a foo=bar/>slash-in-value</a>',
+    '<a href=http://x.com/ >spaced</a>',
+    '<a href=http://x.com/ />self-closed-after-space</a>',
+    # XHTML-ish self-closing forms (must self-close: '/' unconsumed)
+    '<div/>after',
+    '<span attr="v"/>after',
+    '<span attr/>boolean-then-slash',
+    # self-closed script/style: html.parser skips cdata mode
+    '<script/>&amp;<p>x</p>',
+    '<style/>&amp;text',
+    '<script src=/static/app.js></script><p>y</p>',
 ]
 
 
@@ -100,7 +117,9 @@ def test_markup_soup_differential():
               "<![CDATA[x > y]]>", "<?pi a > b ?>", "<br>",
               "<img src=x>", "<b", ">", '<a href="u?a=1&amp;b=2">',
               "</a>", "<li>", "<ul>", "</ul>", "<table>", "<tr>",
-              "<td>", "</table>", "3 < 5", "&#65;"]
+              "<td>", "</table>", "3 < 5", "&#65;",
+              "<a href=http://x/>", "<img src=/a/b/>", "<a foo=bar/>",
+              "<div/>", '<span a="v"/>', "<script/>"]
     diffs = 0
     for _ in range(1500):
         html = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 25)))

@@ -71,9 +71,11 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     import random
     rng = random.Random(7)
     ids = sorted(sh)
-    rand_h = [bin(sh[rng.choice(ids)] ^ sh[rng.choice(ids)]).count("1")
+    m = (1 << 64) - 1  # fingerprints are signed 64-bit longs
+    rand_h = [bin((sh[rng.choice(ids)] ^ sh[rng.choice(ids)]) & m).count("1")
               for _ in range(200)]
-    near_h = [bin(sh[r["doc_a"]] ^ sh[r["doc_b"]]).count("1") for r in pairs]
+    near_h = [bin((sh[r["doc_a"]] ^ sh[r["doc_b"]]) & m).count("1")
+              for r in pairs]
     assert max(near_h) < sum(rand_h) / len(rand_h), (max(near_h), sum(rand_h) / len(rand_h))
 
 
@@ -157,15 +159,56 @@ def test_entry_contract(spark):
 def test_embedding_cosine_pairs_exact_vs_lsh(spark, emb):
     from goose_parser_spark.ops.similarity import embedding_cosine_pairs
     exact = {(r["id_a"], r["id_b"]) for r in
-             embedding_cosine_pairs(emb, threshold=0.45).collect()}
-    # LSH blocking returns a subset (same-bucket pairs only)
+             embedding_cosine_pairs(emb, threshold=0.45,
+                                    lsh_prefilter=False).collect()}
+    # the shipped default: OR-amplified blocking (4 tables × 4 planes)
+    # returns a subset (candidates collide in ≥1 table) at decent recall
     approx = {(r["id_a"], r["id_b"]) for r in
-              embedding_cosine_pairs(emb, threshold=0.45,
-                                     lsh_prefilter=True,
-                                     num_planes=2).collect()}
+              embedding_cosine_pairs(emb, threshold=0.45).collect()}
     assert approx <= exact
-    if exact:
-        assert len(approx) / len(exact) >= 0.3  # 2-plane blocking recall floor
+    assert exact, "testdata should contain cosine near-dups at 0.45"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"OR-amplified recall {recall}"
+
+
+def test_simhash_is_full_64_bits(spark, docs):
+    """bits=64 must emit 64 effective bits (ADVICE r01): over a corpus
+    the top bit is set for ~half the docs → some fingerprints negative
+    (two's complement), and bit 62 varies too."""
+    vals = [r["simhash"] for r in simhash(docs).collect()]
+    assert any(v < 0 for v in vals), "bit 63 never set — width regression"
+    assert any(v >= 0 for v in vals)
+    assert any((v >> 62) & 1 for v in vals)
+
+
+def test_simhash_pairs_equal_brute_force(spark, docs):
+    """Pigeonhole block join is EXACT for Hamming ≤ k: must equal the
+    all-pairs brute force, pair for pair."""
+    from goose_parser_spark.ops.dedup import simhash_pairs
+    k = 3
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if h <= k:
+                brute.add((a, b, h))
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_pairs(docs, max_hamming=k).collect()}
+    assert got == brute
+    assert brute, "testdata should contain Hamming≤3 simhash pairs"
+
+
+def test_quality_score_defined_on_empty_text(spark):
+    from goose_parser_spark.ops.textstats import quality_score
+    df = spark.createDataFrame([(1, ""), (2, "the cat sat")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["q"]
+           for r in df.select("doc_id",
+                              quality_score("text").alias("q")).collect()}
+    assert out[1] is not None and 0.0 <= out[1] <= 1.0
+    assert out[2] is not None and 0.0 <= out[2] <= 1.0
 
 
 def test_connected_components_chains_and_singletons(spark):
