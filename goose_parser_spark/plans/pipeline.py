@@ -121,6 +121,48 @@ class ExtractJob:
         except Exception:  # AnalysisException: path does not exist
             return None
 
+    def _validate_resume_config(self) -> None:
+        """Fail fast when this job's config disagrees with the one the
+        committed metrics were written under (ADVICE r01, medium).
+
+        Bucket membership is ``pmod(xxhash64(url), buckets)``: resuming
+        with a different ``buckets`` (or a different url column) reuses
+        committed bucket ids whose MEMBERSHIP changed — the anti-join
+        would silently skip never-extracted documents and re-extract
+        others. Same for a changed rule tree: committed buckets would
+        hold a different output schema/content than new ones. All three
+        are corruption-with-no-error, so they are hard errors here.
+        """
+        try:
+            m = self.spark.read.format(self.fmt).load(self.metrics_dir)
+        except Exception:
+            return
+        if "buckets" not in m.columns:  # metrics written pre-upgrade
+            return
+        row = m.select("buckets", "url_col", "rules_sha256").head()
+        if row is None:
+            return
+        if row["buckets"] != self.buckets:
+            raise ValueError(
+                f"resume config mismatch: output at {self.metrics_dir} was "
+                f"written with buckets={row['buckets']}, this job has "
+                f"buckets={self.buckets}; bucket membership differs — "
+                "resume would skip/redo the wrong documents. Use the "
+                "original bucket count or a fresh output_dir.")
+        if row["url_col"] != self.url_col:
+            raise ValueError(
+                f"resume config mismatch: url_col was {row['url_col']!r}, "
+                f"this job uses {self.url_col!r}; bucket membership "
+                "differs. Use the original url column or a fresh "
+                "output_dir.")
+        if row["rules_sha256"] != rules_sha256(self.rules_spec):
+            raise ValueError(
+                "resume config mismatch: the rule tree changed since the "
+                "committed run (rules_sha256 differs); committed buckets "
+                "would hold different outputs than resumed ones. Re-run "
+                "into a fresh output_dir (or resume with the original "
+                "rules).")
+
     # -- the run -----------------------------------------------------------------
 
     def run(self, pages: DataFrame, resume: bool = True,
@@ -146,6 +188,7 @@ class ExtractJob:
 
         skipped = 0
         if resume:
+            self._validate_resume_config()
             committed = self.committed_buckets()
             if committed is not None:
                 skipped = committed.count()
@@ -198,6 +241,10 @@ class ExtractJob:
             .withColumn("run_id", F.lit(run_id))
             .withColumn("engine_version", F.lit(_engine_version()))
             .withColumn("rules_sha256", F.lit(rules_sha256(self.rules_spec)))
+            # job config in every lineage row so a restart can detect a
+            # config change and refuse to mix incompatible bucket ids
+            .withColumn("buckets", F.lit(self.buckets))
+            .withColumn("url_col", F.lit(self.url_col))
             .withColumn("completed_at", F.current_timestamp()))
         metrics.write.format(self.fmt).mode("append").save(self.metrics_dir)
 

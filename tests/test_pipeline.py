@@ -144,3 +144,35 @@ def test_salt_shuffle_off_still_correct(spark, pages_df, tmp_path):
     job = ExtractJob(spark, RULES, out, buckets=8)
     job.run(pages_df, resume=False, salt_shuffle=False)
     assert spark.read.parquet(f"{out}/data").count() == N
+
+
+def test_resume_rejects_changed_bucket_count(spark, pages_df, tmp_path):
+    """ADVICE r01 (medium): restarting with a different `buckets` value
+    changes bucket MEMBERSHIP — the resume anti-join would silently
+    skip never-extracted documents. Must fail fast instead."""
+    import pytest
+    out = str(tmp_path / "out")
+    ExtractJob(spark, RULES, out, buckets=8).run(pages_df, resume=True)
+    job2 = ExtractJob(spark, RULES, out, buckets=16)
+    with pytest.raises(ValueError, match="buckets=8"):
+        job2.run(pages_df, resume=True)
+
+
+def test_resume_rejects_changed_url_col_and_rules(spark, pages_df, tmp_path):
+    import pytest
+    out = str(tmp_path / "out")
+    ExtractJob(spark, RULES, out, buckets=8).run(pages_df, resume=True)
+    # changed url column
+    renamed = pages_df.withColumnRenamed("url", "link")
+    job_u = ExtractJob(spark, RULES, out, buckets=8, url_col="link")
+    with pytest.raises(ValueError, match="url_col"):
+        job_u.run(renamed, resume=True)
+    # changed rule tree
+    other_rules = {"name": "t", "scope": "title"}
+    job_r = ExtractJob(spark, other_rules, out, buckets=8)
+    with pytest.raises(ValueError, match="rules_sha256"):
+        job_r.run(pages_df, resume=True)
+    # unchanged config still resumes cleanly
+    summary = ExtractJob(spark, RULES, out, buckets=8).run(pages_df,
+                                                           resume=True)
+    assert summary["buckets_skipped_by_resume"] > 0
