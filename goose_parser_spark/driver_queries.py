@@ -674,14 +674,18 @@ def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain, url_host, url_normalize,
     )
     docs = _t(spark, sf_dir, "documents")
-    v = F.col("doc_id") % 6
+    v = F.col("doc_id") % 10
     s = F.col("doc_id").cast("string")
     url = (F.when(v == 0, F.concat(F.lit("https://WWW.Example.COM:443/a"), s, F.lit("/?x=1#f")))
             .when(v == 1, F.concat(F.lit("http://news.site.co.uk:80/p"), s, F.lit("/")))
             .when(v == 2, F.concat(F.lit("http://sub.blog.org:8080/"), s))
             .when(v == 3, F.concat(F.lit("https://example.com.au/x"), s, F.lit("#y")))
             .when(v == 4, F.concat(F.lit("ftp://Files.Archive.net/data"), s))
-            .otherwise(F.concat(F.lit("https://single"), s, F.lit("/?q="))))
+            .when(v == 5, F.concat(F.lit("https://single"), s, F.lit("/?q=")))
+            .when(v == 6, F.concat(F.lit("https://shop.example.com.sg/p"), s))
+            .when(v == 7, F.concat(F.lit("http://blog.kiwi.co.nz:80/p"), s, F.lit("/")))
+            .when(v == 8, F.concat(F.lit("https://portal.gob.mx/x"), s))
+            .otherwise(F.concat(F.lit("https://www.uni.ac.za:8443/d"), s, F.lit("#frag"))))
     with_url = docs.select("doc_id", url.alias("url"))
     return with_url.select(
         "doc_id",
@@ -693,29 +697,41 @@ def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_URL_OPS = """
 SELECT doc_id,
-  CASE doc_id % 6
+  CASE doc_id % 10
     WHEN 0 THEN 'www.example.com'
     WHEN 1 THEN 'news.site.co.uk'
     WHEN 2 THEN 'sub.blog.org'
     WHEN 3 THEN 'example.com.au'
     WHEN 4 THEN 'files.archive.net'
-    ELSE 'single' || doc_id
+    WHEN 5 THEN 'single' || doc_id
+    WHEN 6 THEN 'shop.example.com.sg'
+    WHEN 7 THEN 'blog.kiwi.co.nz'
+    WHEN 8 THEN 'portal.gob.mx'
+    ELSE 'www.uni.ac.za'
   END AS host,
-  CASE doc_id % 6
+  CASE doc_id % 10
     WHEN 0 THEN 'https://www.example.com/a' || doc_id || '?x=1'
     WHEN 1 THEN 'http://news.site.co.uk/p' || doc_id
     WHEN 2 THEN 'http://sub.blog.org:8080/' || doc_id
     WHEN 3 THEN 'https://example.com.au/x' || doc_id
     WHEN 4 THEN 'ftp://files.archive.net/data' || doc_id
-    ELSE 'https://single' || doc_id || '?q='
+    WHEN 5 THEN 'https://single' || doc_id || '?q='
+    WHEN 6 THEN 'https://shop.example.com.sg/p' || doc_id
+    WHEN 7 THEN 'http://blog.kiwi.co.nz/p' || doc_id
+    WHEN 8 THEN 'https://portal.gob.mx/x' || doc_id
+    ELSE 'https://www.uni.ac.za:8443/d' || doc_id
   END AS norm,
-  CASE doc_id % 6
+  CASE doc_id % 10
     WHEN 0 THEN 'example.com'
     WHEN 1 THEN 'site.co.uk'
     WHEN 2 THEN 'blog.org'
     WHEN 3 THEN 'example.com.au'
     WHEN 4 THEN 'archive.net'
-    ELSE 'single' || doc_id
+    WHEN 5 THEN 'single' || doc_id
+    WHEN 6 THEN 'example.com.sg'
+    WHEN 7 THEN 'kiwi.co.nz'
+    WHEN 8 THEN 'portal.gob.mx'
+    ELSE 'uni.ac.za'
   END AS domain
 FROM documents
 """

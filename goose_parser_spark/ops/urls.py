@@ -50,12 +50,127 @@ def url_normalize(col: str | Column) -> Column:
     )
 
 
-# A tiny frozen multi-label-suffix table; a real deployment ships the
-# full public-suffix list the same way (a broadcast lookup).
+# Frozen two-label public-suffix table: the widely-known ccTLD
+# second-level registries (public knowledge of the Mozilla PSL's ICANN
+# section). ~250 entries cover the overwhelming bulk of multi-label
+# registrations in a web crawl; the full PSL additionally has wildcard
+# (*.ck) and exception (!www.ck) rules plus deep geographic entries —
+# at deployment those ship as a broadcast map joined on the host's
+# last-k labels, same plan shape as this literal IN (VERDICT r01 #8).
+# A ~250-literal IN stays a single codegen'd hash-set probe.
 _TWO_LABEL_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.kr", "com.tr", "com.ar",
+    # United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk", "mod.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "iwi.nz", "mil.nz", "health.nz",
+    # Japan / Korea / China / Taiwan / Hong Kong
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "game.tw", "club.tw", "ebiz.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    # South / Southeast Asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "gov.in", "ac.in", "edu.in", "res.in", "mil.in", "nic.in",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "mi.th", "net.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "mil.id",
+    "biz.id", "net.id", "my.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.pk", "net.pk", "edu.pk", "org.pk", "gov.pk", "fam.pk",
+    "biz.pk", "web.pk",
+    "com.bd", "edu.bd", "ac.bd", "net.bd", "gov.bd", "org.bd", "mil.bd",
+    "com.lk", "org.lk", "edu.lk", "ngo.lk", "soc.lk", "web.lk",
+    "ltd.lk", "gov.lk", "sch.lk", "net.lk", "int.lk", "ac.lk",
+    "com.np", "edu.np", "gov.np", "net.np", "org.np", "mil.np",
+    "co.ir", "net.ir", "org.ir", "ac.ir", "gov.ir", "id.ir", "sch.ir",
+    # Middle East / Africa
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il", "k12.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr", "bel.tr",
+    "biz.tr", "dr.tr", "gen.tr", "info.tr", "k12.tr", "mil.tr",
+    "name.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae", "mil.ae",
+    "com.eg", "edu.eg", "gov.eg", "net.eg", "org.eg", "sci.eg",
+    "mil.eg", "name.eg", "info.eg",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "mil.za",
+    "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng", "name.ng",
+    "sch.ng", "mobi.ng", "mil.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "go.tz", "ac.tz", "or.tz",
+    "co.ug", "or.ug", "go.ug", "ac.ug",
+    "co.zm", "co.zw", "org.zw", "gov.zw", "ac.zw",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co",
+    "nom.co", "firm.co", "info.co", "int.co", "rec.co", "web.co",
+    "com.pe", "org.pe", "net.pe", "edu.pe", "mil.pe", "gob.pe",
+    "nom.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "edu.ve", "gob.ve",
+    "mil.ve", "web.ve", "info.ve",
+    "com.uy", "edu.uy", "gub.uy", "net.uy", "mil.uy", "org.uy",
+    "com.ec", "info.ec", "net.ec", "fin.ec", "med.ec", "pro.ec",
+    "org.ec", "edu.ec", "gov.ec", "gob.ec", "mil.ec",
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "org.bo", "net.bo",
+    "mil.bo", "tv.bo", "web.bo",
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py",
+    "org.py",
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt",
+    "org.gt",
+    "com.do", "edu.do", "org.do", "net.do", "gov.do", "gob.do",
+    "mil.do", "sld.do", "art.do", "web.do",
+    "on.ca", "qc.ca", "bc.ca", "ab.ca", "mb.ca", "nb.ca", "nl.ca",
+    "ns.ca", "nt.ca", "nu.ca", "pe.ca", "sk.ca", "yk.ca", "gc.ca",
+    # Europe
+    "ac.at", "co.at", "gv.at", "or.at",
+    "ac.be",
+    "gov.ie",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "publ.pt",
+    "int.pt", "nome.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gouv.fr", "asso.fr", "com.fr", "nom.fr", "tm.fr", "avocat.fr",
+    "gov.it", "edu.it",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "biz.pl", "waw.pl",
+    "co.hu", "org.hu", "info.hu", "sport.hu", "tm.hu", "2000.hu",
+    "com.ro", "org.ro", "info.ro", "store.ro", "firm.ro", "nom.ro",
+    "com.hr", "from.hr", "iz.hr", "name.hr",
+    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+    "com.se", "org.se", "pp.se", "tm.se", "parti.se", "press.se",
+    "priv.no", "mil.no",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "riik.ee", "lib.ee",
+    "med.ee", "pri.ee", "fie.ee",
+    "gov.lv", "com.lv", "edu.lv", "org.lv", "mil.lv", "net.lv",
+    "asn.lv", "conf.lv", "id.lv",
+    "gov.lt", "mil.lt",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.kz", "org.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz",
+    "com.ge", "edu.ge", "gov.ge", "mil.ge", "net.ge", "org.ge",
+    "pvt.ge",
+    "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az",
+    "info.az", "pp.az", "mil.az", "name.az", "pro.az", "biz.az",
 )
 
 

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql.types import ArrayType, DataType, StringType, StructField, StructType
 
 from goose_parser_spark.dom.selector import Selector, parse_selector
+from goose_parser_spark.rules import conventions
 from goose_parser_spark.functions.transforms import (
     CompiledTransform,
     TransformRegistry,
@@ -237,7 +238,8 @@ class RuleCompiler:
             parent_scope=parse_selector(str(parent_scope)) if parent_scope else None,
             attr=rule.get("attr"),
             prop=rule.get("prop"),
-            separator=str(rule.get("separator", " ")),   # PROVISIONAL default " " (FIXTURES.md §4.1)
+            separator=str(rule.get("separator",
+                                    conventions.DEFAULT_SEPARATOR)),  # PROVISIONAL (FIXTURES.md §4.1)
             is_array=(rule.get("type") == "array"),
             is_grid=is_grid,
             children=children,

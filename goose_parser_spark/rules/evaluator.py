@@ -31,6 +31,7 @@ from __future__ import annotations
 from goose_parser_spark.dom.parser import Element, parse_document, parse_html
 from goose_parser_spark.dom.selector import DocIndex, Selector, select_indexed
 from goose_parser_spark.functions.transforms import apply_chain
+from goose_parser_spark.rules import conventions
 from goose_parser_spark.rules.compiler import Branch, CompiledRule, CompiledRules
 
 
@@ -103,8 +104,13 @@ def evaluate_rule(rule: CompiledRule, context: list[Element], doc: _DocContext) 
     value: object
     if rule.is_array:
         value = values
+    elif not values:
+        # PROVISIONAL empty-match convention (conventions.py / F-08a)
+        value = conventions.EMPTY_MATCH_VALUE
     else:
         value = rule.separator.join(values)
+    if value is None:
+        return None  # alternative convention: nothing to transform
     return apply_chain(rule.transforms, value)
 
 

@@ -22,6 +22,22 @@ CASES = [
     ("https://user:pw@secret.example.org/p",
      "secret.example.org", "/p", "https://secret.example.org/p", "example.org"),
     ("https://localhost/x", "localhost", "/x", "https://localhost/x", "localhost"),
+    # expanded suffix table (VERDICT r01 #8): previously mis-grouped
+    ("https://shop.example.com.sg/p",
+     "shop.example.com.sg", "/p", "https://shop.example.com.sg/p",
+     "example.com.sg"),
+    ("http://blog.kiwi.co.nz/p",
+     "blog.kiwi.co.nz", "/p", "http://blog.kiwi.co.nz/p", "kiwi.co.nz"),
+    ("https://portal.gob.mx/x",
+     "portal.gob.mx", "/x", "https://portal.gob.mx/x", "portal.gob.mx"),
+    ("https://www.uni.ac.za/d",
+     "www.uni.ac.za", "/d", "https://www.uni.ac.za/d", "uni.ac.za"),
+    ("https://www.city.lg.jp/",
+     "www.city.lg.jp", "/", "https://www.city.lg.jp", "city.lg.jp"),
+    ("https://dept.gouv.fr/x",
+     "dept.gouv.fr", "/x", "https://dept.gouv.fr/x", "dept.gouv.fr"),
+    # host that IS a public suffix: degrades to the suffix itself
+    ("https://co.uk/", "co.uk", "/", "https://co.uk", "co.uk"),
 ]
 
 
