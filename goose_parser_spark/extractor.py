@@ -34,16 +34,21 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
 
-def output_schema(compiled: CompiledRules, url_col: str = "url") -> StructType:
+def output_schema(compiled: CompiledRules, url_col: str = "url",
+                  udf: bool = False) -> StructType:
     """Schema of the extractor output: url + extracted + error + parse_ns.
 
     ``parse_ns`` rides along per document so per-partition metrics can
     be aggregated from the output table in one pass, without a second
-    trip through Python (SURVEY.md §2.8 I2).
+    trip through Python (SURVEY.md §2.8 I2). ``udf=True`` yields the
+    schema the Python UDF emits BEFORE native transform suffixes are
+    applied post-UDF (functions/native.py).
     """
+    extracted = (compiled.udf_schema or compiled.schema) if udf \
+        else compiled.schema
     return StructType([
         StructField(url_col, StringType(), False),
-        StructField("extracted", compiled.schema, True),
+        StructField("extracted", extracted, True),
         StructField("error", StringType(), True),
         StructField("parse_ns", LongType(), True),
         StructField("bytes_in", LongType(), True),
@@ -111,26 +116,46 @@ def build_arrow_extractor(
 
     def extract_batches(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for batch in batches:
             names = batch.schema.names
             urls = batch.column(names.index(url_col))
-            # one C-level materialization per batch (vs per-element
-            # scalar wrappers or a pandas object Series)
-            raws = batch.column(names.index(html_col)).to_pylist()
+            hcol = batch.column(names.index(html_col))
             n = batch.num_rows
+            # one C-level materialization per batch (vs per-element
+            # scalar wrappers or a pandas object Series). For binary
+            # html, cast to utf8 FIRST: the cast validates+reinterprets
+            # buffers in C and to_pylist then builds str objects
+            # directly — skipping n intermediate bytes objects and n
+            # per-doc .decode() calls (~7% of batch time at 16 cores).
+            # Invalid utf-8 anywhere in the batch falls back to the
+            # per-doc decode path so poison docs stay isolated (I4).
+            if pa.types.is_binary(hcol.type) or pa.types.is_large_binary(hcol.type):
+                lengths = pc.binary_length(hcol).to_pylist()  # true byte sizes
+                try:
+                    raws = hcol.cast(pa.large_string()).to_pylist()
+                except pa.ArrowInvalid:
+                    raws = [b.decode("utf-8", errors="replace")
+                            if b is not None else None
+                            for b in hcol.to_pylist()]
+            else:
+                raws = hcol.to_pylist()
+                lengths = None
             extracted: list[object] = [None] * n
             errors: list[str | None] = [None] * n
             parse_ns: list[int] = [0] * n
             bytes_in: list[int] = [0] * n
             for i in range(n):
                 raw = raws[i]
-                bytes_in[i] = len(raw) if raw is not None else 0
+                if raw is not None:
+                    bytes_in[i] = lengths[i] if lengths is not None else len(raw)
                 t0 = time.perf_counter_ns()
                 try:
                     if raw is None:
                         raise ValueError("html is NULL")
-                    extracted[i] = evaluate_document(compiled, raw)
+                    extracted[i] = evaluate_document(compiled, raw,
+                                                     skip_lowered=True)
                 except Exception as exc:  # noqa: BLE001 — I4 poison isolation
                     errors[i] = f"{type(exc).__name__}: {exc}"
                 parse_ns[i] = time.perf_counter_ns() - t0
@@ -167,10 +192,51 @@ def extract(
     compiled = rules if isinstance(rules, CompiledRules) else RuleCompiler().compile(rules)
     cols = [url_col, html_col, *keep_cols]
     pruned = df.select(*dict.fromkeys(cols))
-    schema = output_schema(compiled, url_col=url_col)
+    schema = output_schema(compiled, url_col=url_col, udf=True)
     if keep_cols:
         extra_fields = [pruned.schema[c] for c in keep_cols]
         schema = StructType(schema.fields + extra_fields)
     fn = build_arrow_extractor(compiled, html_col=html_col, url_col=url_col,
                                keep_cols=keep_cols, spark_schema=schema)
-    return pruned.mapInArrow(fn, schema=schema)
+    out = pruned.mapInArrow(fn, schema=schema)
+    if compiled.has_lowered:
+        # apply the native transform suffixes post-UDF: per-value work
+        # Catalyst can run byte-identically stays out of the Python
+        # workers entirely (functions/native.py; SURVEY.md §2.5)
+        out = out.withColumn("extracted", _lowered_extracted(compiled, out))
+    return out
+
+
+def _lowered_extracted(compiled: CompiledRules, df: "DataFrame"):
+    """Column expression rebuilding `extracted` with each leaf's
+    lowered transform suffix applied (single-branch trees only — the
+    compiler clears lowering on conditional specs)."""
+    from pyspark.sql import functions as F
+    from goose_parser_spark.functions.native import apply_native_suffix
+    from goose_parser_spark.rules.compiler import CompiledRule
+
+    def rebuild(rule: CompiledRule, col):
+        if rule.children:
+            fields = [c for c in rule.children if not c.virtual]
+
+            def build(node):
+                return F.struct(*[
+                    rebuild(c, node.getField(c.name or "")).alias(c.name or "")
+                    for c in fields
+                ])
+
+            if rule.is_grid:
+                return F.transform(col, build)
+            return build(col)
+        return apply_native_suffix(rule.lowered_specs, col)
+
+    root = compiled.branches[0].rules
+    col = F.col("extracted")
+    if root.children:
+        new = rebuild(root, col)
+    else:
+        name = root.name or ""
+        new = F.struct(rebuild(root, col.getField(name)).alias(name))
+    # error docs carry extracted = NULL; keep them NULL (a rebuilt
+    # struct of NULL fields would un-NULL the column)
+    return F.when(col.isNotNull(), new)

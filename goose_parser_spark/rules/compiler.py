@@ -66,10 +66,27 @@ class CompiledRule:
     virtual: bool = False
     max_results: int | None = None   # P3 maxResultsCount analog: caps grid rows
     data_type: DataType = field(default_factory=StringType)
+    # native lowering (functions/native.py): the trailing
+    # `lowered_specs` steps of the transform chain run post-UDF as
+    # Column expressions; the UDF executes only transforms[:n_python].
+    # `transforms` always holds the FULL Python chain so the pure
+    # evaluate_document() path stays byte-identical on its own.
+    lowered_specs: list[dict] = field(default_factory=list)
+    udf_data_type: DataType = field(default_factory=StringType)
+
+    @property
+    def n_python(self) -> int:
+        return len(self.transforms) - len(self.lowered_specs)
 
     @property
     def is_collection(self) -> bool:
         return bool(self.children) and not self.is_grid
+
+    def clear_lowering(self) -> None:
+        self.lowered_specs = []
+        self.udf_data_type = self.data_type
+        for c in self.children:
+            c.clear_lowering()
 
 
 @dataclass
@@ -88,12 +105,19 @@ class CompiledRules:
     ``extracted`` column."""
 
     branches: list[Branch]
-    schema: DataType                # type of the `extracted` column
+    schema: DataType                # FINAL type of the `extracted` column
     source: dict                    # normalized original spec (for lineage)
+    udf_schema: DataType | None = None   # type the UDF emits pre-lowering
 
     @property
     def spark_field(self) -> StructField:
         return StructField("extracted", self.schema, nullable=True)
+
+    @property
+    def has_lowered(self) -> bool:
+        def walk(r: CompiledRule) -> bool:
+            return bool(r.lowered_specs) or any(walk(c) for c in r.children)
+        return any(walk(b.rules) for b in self.branches)
 
 
 def _merge_struct(a: DataType, b: DataType, path: str) -> DataType:
@@ -140,12 +164,22 @@ class RuleCompiler:
         if not branches:
             raise RuleError("parse spec has no rules (and no provideRules branch)")
 
+        if len(branches) > 1:
+            # conditional trees never lower: the merged struct can't
+            # tell which branch produced a row (functions/native.py)
+            for br in branches:
+                br.rules.clear_lowering()
+
         schema: DataType | None = None
+        udf_schema: DataType | None = None
         for br in branches:
             t = self._root_type(br.rules)
             schema = t if schema is None else _merge_struct(schema, t, "$")
+            u = self._root_type(br.rules, udf=True)
+            udf_schema = u if udf_schema is None else _merge_struct(udf_schema, u, "$")
         assert schema is not None
-        return CompiledRules(branches=branches, schema=schema, source=spec)
+        return CompiledRules(branches=branches, schema=schema, source=spec,
+                             udf_schema=udf_schema)
 
     # -- actions / conditionals ------------------------------------------------
 
@@ -223,7 +257,14 @@ class RuleCompiler:
 
         scope = rule.get("scope")
         parent_scope = rule.get("parentScope")
-        transforms = self.registry.compile_chain(rule.get("transform") or [])
+        raw_chain = list(rule.get("transform") or [])
+        transforms = self.registry.compile_chain(raw_chain)
+        # native lowering split: the longest byte-safe SUFFIX of the
+        # chain runs post-UDF as Column expressions (functions/native.py)
+        from goose_parser_spark.functions.native import python_prefix_len
+        n_python = python_prefix_len(raw_chain,
+                                     input_is_array=(rule.get("type") == "array"))
+        lowered_specs = raw_chain[n_python:]
 
         max_results = rule.get("maxResultsCount")
         if max_results is not None and (not isinstance(max_results, int)
@@ -246,22 +287,27 @@ class RuleCompiler:
             transforms=transforms,
             is_id=bool(rule.get("id")),
             virtual=bool(rule.get("virtual")),
+            lowered_specs=lowered_specs,
         )
-        compiled.data_type = self._rule_type(compiled, rule)
+        compiled.data_type = self._rule_type(compiled, raw_chain)
+        compiled.udf_data_type = self._rule_type(compiled,
+                                                 raw_chain[:n_python], udf=True)
         return compiled
 
     # -- static schema derivation (SURVEY.md §1.2) -------------------------------
 
-    def _rule_type(self, rule: CompiledRule, raw: dict) -> DataType:
+    def _rule_type(self, rule: CompiledRule, chain: list[dict],
+                   udf: bool = False) -> DataType:
         if rule.children:
             struct = StructType([
-                StructField(c.name or "", c.data_type, True)
+                StructField(c.name or "",
+                            c.udf_data_type if udf else c.data_type, True)
                 for c in rule.children if not c.virtual
             ])
             return ArrayType(struct) if rule.is_grid else struct
         # leaf: string or array-of-string, then walk the transform chain
         t: DataType = ArrayType(StringType()) if rule.is_array else StringType()
-        for spec in raw.get("transform") or []:
+        for spec in chain:
             ttype = spec.get("type")
             if ttype in self.registry.ARRAY_PRODUCING:
                 t = ArrayType(StringType())
@@ -270,12 +316,13 @@ class RuleCompiler:
             # all other transforms preserve the value's shape
         return t
 
-    def _root_type(self, root: CompiledRule) -> DataType:
+    def _root_type(self, root: CompiledRule, udf: bool = False) -> DataType:
         """Type of the ``extracted`` column for one branch. A named
         simple rule at root yields ``{name: value}`` (FIXTURES.md F-01),
         so the root is always a struct or an array-of-struct (grid)."""
+        dt = root.udf_data_type if udf else root.data_type
         if root.children:
-            return root.data_type
+            return dt
         if root.name is None:
             raise RuleError("root rule needs a 'name' or a 'collection'")
-        return StructType([StructField(root.name, root.data_type, True)])
+        return StructType([StructField(root.name, dt, True)])

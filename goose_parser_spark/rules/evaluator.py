@@ -39,13 +39,18 @@ class _DocContext:
     """Per-document evaluation state: DOM root + element index +
     selector memo cache."""
 
-    __slots__ = ("root", "index", "_cache")
+    __slots__ = ("root", "index", "_cache", "skip_lowered")
 
     def __init__(self, root: Element,
-                 elements: list[Element] | None = None) -> None:
+                 elements: list[Element] | None = None,
+                 skip_lowered: bool = False) -> None:
         self.root = root
         self.index = DocIndex(root, elements)
         self._cache: dict[tuple[int, ...], list[Element]] = {}
+        # True inside the Spark UDF when the chain's native-safe suffix
+        # runs post-UDF as Column expressions (functions/native.py);
+        # the pure-Python path always applies the full chain.
+        self.skip_lowered = skip_lowered
 
     def select(self, context: list[Element], selector: Selector) -> list[Element]:
         key = (id(selector),) + tuple(e.order for e in context)
@@ -111,7 +116,9 @@ def evaluate_rule(rule: CompiledRule, context: list[Element], doc: _DocContext) 
         value = rule.separator.join(values)
     if value is None:
         return None  # alternative convention: nothing to transform
-    return apply_chain(rule.transforms, value)
+    chain = (rule.transforms[:rule.n_python] if doc.skip_lowered
+             else rule.transforms)
+    return apply_chain(chain, value)
 
 
 def _evaluate_children(rule: CompiledRule, node_ctx: list[Element], doc: _DocContext) -> dict:
@@ -136,12 +143,15 @@ def evaluate_branches(branches: list[Branch], doc: _DocContext) -> object:
     return None
 
 
-def evaluate_document(compiled: CompiledRules, html: str | bytes) -> object:
+def evaluate_document(compiled: CompiledRules, html: str | bytes,
+                      skip_lowered: bool = False) -> object:
     """Parse one document and evaluate the compiled rules against it.
 
     Returns a nested python value (dict / list / str) matching
-    ``compiled.schema``; ``None`` if no conditional branch matched.
+    ``compiled.schema`` (``compiled.udf_schema`` when ``skip_lowered``
+    — the Spark UDF mode where native-safe transform suffixes run
+    post-UDF); ``None`` if no conditional branch matched.
     """
     root, elements = parse_document(html)
-    doc = _DocContext(root, elements)
+    doc = _DocContext(root, elements, skip_lowered=skip_lowered)
     return evaluate_branches(compiled.branches, doc)
