@@ -4,7 +4,8 @@ Covers the selector surface goose-parser rules use (SURVEY.md §2.3):
 tag/universal, class/id/compound, attribute operators (incl. Sizzle's
 ``[a!=b]``), combinators (descendant, ``>``, ``+``, ``~``), structural
 pseudo-classes (``:first-child``, ``:last-child``, ``:nth-child``,
-``:only-child``, ``:empty``, ``:not``), and Sizzle extensions
+``:nth-last-child``, the ``:*-of-type`` family, ``:only-child``,
+``:empty``, ``:not``), and Sizzle extensions
 (``:eq/:first/:last/:gt/:lt`` positional filters, ``:contains``,
 ``:has``), plus comma-separated groups.
 
@@ -51,7 +52,13 @@ _token_re = re.compile(
 _POSITIONAL = frozenset(["eq", "first", "last", "gt", "lt", "even", "odd"])
 _NO_ARG_PSEUDOS = frozenset(
     ["first-child", "last-child", "only-child", "empty", "first", "last",
-     "even", "odd", "checked", "disabled", "enabled", "selected"]
+     "even", "odd", "checked", "disabled", "enabled", "selected",
+     "first-of-type", "last-of-type", "only-of-type"]
+)
+
+# pseudo-classes taking an an+b argument (CSS3 §6.6.5)
+_NTH_PSEUDOS = frozenset(
+    ["nth-child", "nth-last-child", "nth-of-type", "nth-last-of-type"]
 )
 
 
@@ -197,7 +204,7 @@ def parse_selector(src: str) -> Selector:
                 arg = _strip_quotes(str(arg))
             elif name in ("eq", "gt", "lt"):
                 arg = int(str(arg))
-            elif name == "nth-child":
+            elif name in _NTH_PSEUDOS:
                 arg = _parse_nth(str(arg))
             elif name in ("first", "last", "even", "odd"):
                 pass
@@ -281,6 +288,43 @@ def _element_index(el: Element) -> int:
     return 1
 
 
+def _sibling_count(el: Element) -> int:
+    parent = el.parent
+    if parent is None:
+        return 1
+    return len(parent.element_children())
+
+
+def _type_index(el: Element) -> int:
+    """1-based index among same-tag element siblings (CSS *-of-type)."""
+    parent = el.parent
+    if parent is None:
+        return 1
+    i = 0
+    for c in parent.children:
+        if isinstance(c, Element) and c.tag == el.tag:
+            i += 1
+            if c is el:
+                return i
+    return 1
+
+
+def _type_count(el: Element) -> int:
+    parent = el.parent
+    if parent is None:
+        return 1
+    return sum(1 for c in parent.children
+               if isinstance(c, Element) and c.tag == el.tag)
+
+
+def _nth_match(arg: object, idx: int) -> bool:
+    a, b = arg  # type: ignore[misc]
+    if a == 0:
+        return idx == b
+    k = (idx - b) / a
+    return k >= 0 and float(k).is_integer()
+
+
 def _pseudo_match(el: Element, name: str, arg: object) -> bool:
     if name == "first-child":
         return _element_index(el) == 1
@@ -296,12 +340,19 @@ def _pseudo_match(el: Element, name: str, arg: object) -> bool:
             return True
         return len(parent.element_children()) == 1
     if name == "nth-child":
-        a, b = arg  # type: ignore[misc]
-        idx = _element_index(el)
-        if a == 0:
-            return idx == b
-        k = (idx - b) / a
-        return k >= 0 and float(k).is_integer()
+        return _nth_match(arg, _element_index(el))
+    if name == "nth-last-child":
+        return _nth_match(arg, _sibling_count(el) - _element_index(el) + 1)
+    if name == "first-of-type":
+        return _type_index(el) == 1
+    if name == "last-of-type":
+        return _type_index(el) == _type_count(el)
+    if name == "only-of-type":
+        return _type_count(el) == 1
+    if name == "nth-of-type":
+        return _nth_match(arg, _type_index(el))
+    if name == "nth-last-of-type":
+        return _nth_match(arg, _type_count(el) - _type_index(el) + 1)
     if name == "empty":
         return not el.children
     if name == "not":

@@ -571,6 +571,74 @@ FROM documents
 """
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 App. A subset):
+    per-doc signals + keep verdict, shuffle-free projection."""
+    from goose_parser_spark.ops.textstats import gopher_quality
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_GOPHER_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(CASE WHEN len(words) > 0
+          THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+          ELSE 0.0 END, 4) AS mean_word_len,
+    round(CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text)
+          ELSE 0.0 END, 4) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) * 1.0
+          / len(lines), 4) AS bullet_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) * 1.0
+          / len(lines), 4) AS ellipsis_ratio,
+    len(list_filter(string_split(text, ' '), w -> w IN
+        ('the','a','of','and','to','in','is','it','that','for'))) AS stopword_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, stopword_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND stopword_hits >= 2) AS keep
+FROM sig
+"""
+
+
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (explode → tf agg → df agg →
+    idf join → per-doc window; narrow shuffle keys, never the text)."""
+    from goose_parser_spark.ops.textstats import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TEXT_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df_ FROM tf GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, term, round(score, 4) AS score, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n_docs * 1.0 / df_) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n_docs * 1.0 / df_) DESC,
+                                     tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -871,6 +939,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "text_subword_count": q_text_subword_count,
     "text_quality": q_text_quality,
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
     "maincontent_strip": q_maincontent_strip,
     "pdf_pages": q_pdf_pages,
@@ -904,6 +974,8 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_subword_count": SQL_TEXT_SUBWORD_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_gopher_quality": SQL_TEXT_GOPHER_QUALITY,
+    "text_tfidf_top_terms": SQL_TEXT_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "maincontent_strip": SQL_MAINCONTENT_STRIP,
     "pdf_pages": SQL_PDF_PAGES,

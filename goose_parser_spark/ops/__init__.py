@@ -32,8 +32,10 @@ from goose_parser_spark.ops.similarity import (
 )
 from goose_parser_spark.ops.textstats import (
     doc_fingerprint,
+    gopher_quality,
     lang_id,
     quality_score,
+    tfidf_top_terms,
     token_count,
 )
 
@@ -42,6 +44,7 @@ __all__ = [
     "shingles", "simhash_pairs", "connected_components", "cosine_topk",
     "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
+    "gopher_quality", "tfidf_top_terms",
     "extract_main_content", "extract_pdf_pages",
     "url_host", "url_normalize", "registered_domain", "host_stats",
 ]

@@ -91,6 +91,98 @@ def doc_fingerprint(col: str | Column) -> Column:
     return F.md5(c.cast("binary"))
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_ratio: float = 0.9,
+                   max_ellipsis_ratio: float = 0.3,
+                   min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (simplified subset of the
+    repetition/quality filters published in Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A — public knowledge; also
+    used by Dolma/RefinedWeb-style pipelines).
+
+    Pure Catalyst: one projection, shuffle-free, fuses with the scan.
+    Each signal is emitted alongside the final ``keep`` verdict so a
+    pipeline can re-threshold without recomputing. Deterministic and
+    reproduced digit-for-digit by the DuckDB oracle.
+
+    Columns: ``doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_ratio, ellipsis_ratio, stopword_hits, keep``.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, " "), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    mean_wl = F.round(F.when(n_words > 0, sum_len / n_words)
+                       .otherwise(F.lit(0.0)), 4)
+    n_chars = F.length(c)
+    symbol_ratio = F.round(
+        F.when(n_chars > 0,
+               F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")) / n_chars)
+         .otherwise(F.lit(0.0)), 4)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        / n_lines, 4)
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines, 4)
+    stop_hits = stopword_hits(c, "en")
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (bullet_ratio <= max_bullet_ratio)
+            & (ellipsis_ratio <= max_ellipsis_ratio)
+            & (stop_hits >= min_stopword_hits))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        stop_hits.alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Plan: explode tokens → (doc, term) tf aggregate → term df aggregate
+    → idf join → per-doc top-k window. Shuffle keys are (doc, term) and
+    (term) — narrow rows, map-side partial aggregation; never the text.
+    At 100 TB the df table is the only corpus-wide aggregate and it is
+    one long per distinct term. Deterministic: ties break on term asc.
+
+    Columns: ``doc_id, term, score, rank``.
+    """
+    from pyspark.sql import Window
+
+    tok = (df.select(F.col(id_col), F.explode(
+               F.filter(F.split(text_col, " "), lambda w: w != "")).alias("term")))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf") * F.log(F.col("n_docs") / F.col("df_"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", F.round("score", 4).alias("score"),
+                    "rank"))
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame: all expressions fuse into a

@@ -232,3 +232,40 @@ def test_connected_components_long_chain_converges(spark):
     out = {r["doc_id"]: r["canonical_id"]
            for r in connected_components(ids, pairs).collect()}
     assert all(v == 0 for v in out.values())
+
+
+def test_gopher_quality_line_signals(spark):
+    from goose_parser_spark.ops.textstats import gopher_quality
+    good = ("the quick brown fox jumped over the lazy dog and it was "
+            "good for all of them today ") * 5
+    bullets = "- item one\n- item two\n- item three\nplain line"
+    ellipses = "first line...\nsecond…\nthird line"
+    symbols = "@@@ ### $$$ %%% ^^^ &&&"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipses), (4, symbols), (5, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df, min_words=10).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["bullet_ratio"] == 0.75
+    assert out[3]["ellipsis_ratio"] == 0.6667
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["keep"] is False
+    assert out[5]["n_words"] == 0 and out[5]["keep"] is False
+
+
+def test_gopher_quality_is_shuffle_free(spark, docs):
+    from goose_parser_spark.ops.textstats import gopher_quality
+    out = gopher_quality(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_tfidf_rare_terms_outrank_common(spark):
+    from goose_parser_spark.ops.textstats import tfidf_top_terms
+    rows = [(1, "common common rare1"), (2, "common common rare2"),
+            (3, "common common rare3"), (4, "common unique4 unique4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc -> idf = ln(1) = 0; rare terms win
+    assert top == {1: "rare1", 2: "rare2", 3: "rare3", 4: "unique4"}

@@ -71,6 +71,24 @@ def test_structural_pseudos():
     assert texts("ul:only-child") == []
 
 
+def test_of_type_pseudos():
+    # #main children: p, p, span, ul, a, a
+    assert texts("#main p:first-of-type") == ["one"]
+    assert texts("#main p:last-of-type") == ["two"]
+    assert texts("#main span:only-of-type") == ["three"]
+    assert texts("#main p:only-of-type") == []
+    assert texts("#main p:nth-of-type(2)") == ["two"]
+    assert texts("#main a:nth-of-type(1)") == ["link"]
+    assert texts("#main a:nth-of-type(2)") == ["rel"]
+    assert texts("#main a:nth-last-of-type(1)") == ["rel"]
+    # span is the 3rd child but the 1st of its type
+    assert texts("#main span:nth-of-type(1)") == ["three"]
+    assert texts("#main span:nth-child(3)") == ["three"]
+    assert texts("li:nth-last-child(1)") == ["l3"]
+    assert texts("li:nth-last-child(odd)") == ["l1", "l3"]
+    assert texts("li:nth-last-child(2n)") == ["l2"]
+
+
 def test_sizzle_positional():
     assert texts("p:eq(1)") == ["two"]
     assert texts("p:eq(-1)") == ["four"]
@@ -167,6 +185,8 @@ _ALL_SELECTORS = [
     "div p", "#main > p", "p.first + p", "p.first ~ span",
     "li:first-child", "li:last-child", "li:nth-child(2)",
     "li:nth-child(odd)", "li:not(.mid)", "p:eq(1)", "p:first", "p:last",
+    "p:first-of-type", "p:last-of-type", "span:only-of-type",
+    "a:nth-of-type(2)", "a:nth-last-of-type(1)", "li:nth-last-child(2n)",
     "p:lt(2)", "p:gt(0)", "div:eq(0) p", "div:eq(1) p",
     "p:contains(wo)", "div:has(ul) > p", "div:not(#main) p",
     "p.first, span.b", "p.a, .first", "ul li", "div > ul > li",
