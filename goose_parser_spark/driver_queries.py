@@ -490,6 +490,17 @@ LIMIT 10
 """
 
 
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (coarse-quantizer probe; rows-only driver check —
+    recall vs brute force is pytest-validated; the Lloyd-trained
+    centroids are float aggregates, not SQL-reproducible)."""
+    from goose_parser_spark.ops.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(emb.where(F.col("vec_id") != 0), q, k=10,
+                    n_centroids=16, n_probe=6, iters=2)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming ≤ 3 via pigeonhole block
     join (exact recall by construction; xxhash64-seeded → no SQL
@@ -936,6 +947,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
     "text_stats": q_text_stats,
     "text_subword_count": q_text_subword_count,
     "text_quality": q_text_quality,

@@ -27,6 +27,8 @@ from goose_parser_spark.ops.urls import (
 from goose_parser_spark.ops.similarity import (
     cosine_topk,
     embedding_cosine_pairs,
+    ivf_centroids,
+    ivf_topk,
     lsh_bucket,
     lsh_cosine_topk,
 )
@@ -43,6 +45,7 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
     "shingles", "simhash_pairs", "connected_components", "cosine_topk",
     "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
+    "ivf_centroids", "ivf_topk",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
     "gopher_quality", "tfidf_top_terms",
     "extract_main_content", "extract_pdf_pages",
