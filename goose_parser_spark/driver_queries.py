@@ -852,6 +852,26 @@ FROM sess GROUP BY user_id
 """
 
 
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window counts per event type — the batch
+    analog of streaming/ingest.stream_windowed_counts (same F.window
+    expression the watermarked stream uses)."""
+    events = _t(spark, sf_dir, "events")
+    return (events.groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("event_type"), F.col("n")))
+
+
+SQL_EVENTS_WINDOWED_COUNTS = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+         AS window_start,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_rel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (decimal-exact sums)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -958,6 +978,7 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_pages": q_pdf_pages,
     "url_ops": q_url_ops,
     "events_sessionize": q_events_sessionize,
+    "events_windowed_counts": q_events_windowed_counts,
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
     "i1_bucketing": q_i1_bucketing,
@@ -993,6 +1014,7 @@ ORACLES: dict[str, str] = {
     "pdf_pages": SQL_PDF_PAGES,
     "url_ops": SQL_URL_OPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "rel_agg": SQL_REL_AGG,
     "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a

@@ -64,6 +64,114 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    text_col: str = "html",
+    available_now: bool = True,
+):
+    """Streaming exact dedup: emit each distinct content exactly once
+    ACROSS micro-batches (a continuous crawl re-fetches the same page
+    endlessly; the first sighting wins, forever).
+
+    Custom stateful operator via ``applyInPandasWithState``: the
+    stream is keyed by ``xxhash64(content)`` (a narrow 8-byte shuffle
+    key — never the blob), and per-key state is a single "seen" flag
+    persisted in the checkpoint's state store. Deterministic within a
+    batch: the minimum-url row of a new key is the survivor. At 100 TB
+    state is O(distinct keys) longs, partitioned by the state store
+    exactly like the shuffle — no driver-side anything. Exactly-once
+    end to end: state + sink commit logs share ``checkpoint_dir``.
+
+    Returns the StreamingQuery; output schema = input + ``content_h``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_schema = schema or pages_schema()
+    reader = spark.readStream.schema(in_schema).format("parquet")
+    pages = reader.load(input_dir)
+    keyed = pages.withColumn("content_h", F.xxhash64(F.col(text_col)))
+
+    out_schema = StructType(in_schema.fields
+                            + [StructField("content_h", LongType(), True)])
+    state_schema = StructType([StructField("seen", LongType(), True)])
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            return  # key already emitted in an earlier batch: drop all
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values("url").iloc[:1]
+            if first is None or cand["url"].iloc[0] < first["url"].iloc[0]:
+                first = cand
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    dedup = (keyed.groupBy("content_h")
+             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                     "append", GroupStateTimeout.NoTimeout))
+    writer = (dedup.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window counts per key — the late-data
+    pattern for streaming event aggregation: events later than
+    ``watermark`` behind the max seen ``ts`` are dropped and each
+    window finalizes (append mode emits it exactly once) when the
+    watermark passes its end. State is one count per open
+    (window, key) — bounded by the watermark horizon, not the stream
+    length. Returns the StreamingQuery.
+
+    Columns: ``window_start, window_end, <key_col>, n``.
+    """
+    from pyspark.sql import functions as F
+
+    events = (spark.readStream.schema(schema).format("parquet")
+              .load(input_dir))
+    agg = (events
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window_duration),
+                    F.col(key_col))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("window.start").alias("window_start"),
+                   F.col("window.end").alias("window_end"),
+                   F.col(key_col), F.col("n")))
+    writer = (agg.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_completion(query) -> None:
     """Block until an availableNow stream drains its backlog."""
     query.awaitTermination()

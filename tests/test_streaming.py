@@ -58,3 +58,72 @@ def test_stream_extract_available_now(spark, tmp_path):
     q = stream_extract(spark, str(in_dir), rules, out_dir, ckpt)
     q.awaitTermination()
     assert sorted(glob.glob(f"{out_dir}/*.parquet")) == files_before
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Stateful cross-batch dedup (applyInPandasWithState): a content
+    hash emitted in batch 0 must never be emitted again, even after a
+    restart; the min-url row survives within a batch."""
+    from goose_parser_spark.streaming.ingest import stream_dedup_exact
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = pages_rows(20)
+    # batch0: docs 0..9 plus an in-batch duplicate of doc 3's html
+    b0 = rows[:10] + [dict(rows[3], url="https://zzz.test/dup-of-3")]
+    _write_batch(str(in_dir / "b0.parquet"), b0)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup_exact(spark, str(in_dir), out_dir, ckpt)
+    q.awaitTermination()
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 10                      # in-batch dup dropped
+    urls1 = {r["url"] for r in out1.select("url").collect()}
+    assert rows[3]["url"] in urls1                 # min-url survivor
+    assert "https://zzz.test/dup-of-3" not in urls1
+
+    # batch1: re-fetches of docs 0..4 (cross-batch dups) + new docs 10..14
+    b1 = [dict(r, url=r["url"] + "?refetch=1") for r in rows[:5]] + rows[10:15]
+    _write_batch(str(in_dir / "b1.parquet"), b1)
+    q = stream_dedup_exact(spark, str(in_dir), out_dir, ckpt)
+    q.awaitTermination()
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 15                      # only the 5 new docs added
+    assert out2.select("content_h").distinct().count() == 15
+    urls2 = {r["url"] for r in out2.select("url").collect()}
+    assert not any(u.endswith("?refetch=1") for u in urls2)
+
+
+def test_stream_windowed_counts_with_watermark(spark, tmp_path):
+    from goose_parser_spark.streaming.ingest import stream_windowed_counts
+    import datetime as dt
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    evs = []
+    for m, et in [(0, "view"), (1, "view"), (2, "click"),
+                  (6, "view"), (7, "click"), (30, "view")]:
+        evs.append({"ts": base + dt.timedelta(minutes=m), "event_type": et})
+    table = pa.Table.from_pylist(evs, schema=pa.schema([
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("event_type", pa.string()),
+    ]))
+    pq.write_table(table, str(in_dir / "b0.parquet"))
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+    schema = StructType([StructField("ts", TimestampType(), True),
+                         StructField("event_type", StringType(), True)])
+    out_dir = str(tmp_path / "out")
+    q = stream_windowed_counts(spark, str(in_dir), out_dir,
+                               str(tmp_path / "ckpt"), schema)
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    got = {(r["window_start"].minute, r["event_type"]): r["n"]
+           for r in out.collect()}
+    # windows [12:00,12:05) and [12:05,12:10) finalize once the
+    # watermark (max ts 12:30 - 10 min = 12:20) passes their end;
+    # the open [12:30,12:35) window is NOT emitted in append mode
+    assert got == {(0, "view"): 2, (0, "click"): 1,
+                   (5, "view"): 1, (5, "click"): 1}
