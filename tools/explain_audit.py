@@ -26,8 +26,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def plan_of(df) -> str:
     # simple-mode executed plan: each operator appears exactly once, so
-    # count-based checks are meaningful
-    return df._jdf.queryExecution().executedPlan().toString()
+    # count-based checks are meaningful. The optimized LOGICAL plan is
+    # appended (marker-separated) so checks can assert hint-level
+    # properties (e.g. "no broadcast hint"); size-based checks must
+    # split on the marker and use the executed section only.
+    qe = df._jdf.queryExecution()
+    return (qe.executedPlan().toString()
+            + "\n==OPTIMIZED-LOGICAL==\n" + qe.optimizedPlan().toString())
+
+
+def _exec_part(p: str) -> str:
+    return p.split("==OPTIMIZED-LOGICAL==", 1)[0]
 
 
 CHECKS = {
@@ -36,7 +45,8 @@ CHECKS = {
         ("no shuffle in extraction (map-only stage)",
          lambda p: "Exchange" not in p),
         ("mapInArrow is the only Python node",
-         lambda p: p.count("MapInArrow") == 1 and "BatchEvalPython" not in p),
+         lambda p: _exec_part(p).count("MapInArrow") == 1
+         and "BatchEvalPython" not in p),
     ],
     "rel_broadcast_join": [
         ("both dims broadcast", lambda p: p.count("BroadcastHashJoin") == 2),
@@ -50,7 +60,7 @@ CHECKS = {
          or "LessThanOrEqual" in p),
         ("map-side partial aggregation", lambda p: "partial_" in p),
         ("scan reads only referenced columns",
-         lambda p: "l_comment" not in p),
+         lambda p: "l_comment" not in _exec_part(p).split("ReadSchema", 1)[-1]),
     ],
     "dedup_exact": [
         ("single shuffle (one Exchange pair for groupBy)",
@@ -71,9 +81,45 @@ CHECKS = {
         ("no Python UDF", lambda p: "Python" not in p),
     ],
     "dedup_ngram_jaccard": [
-        ("sizes join is broadcast (one row per doc)",
-         lambda p: "BroadcastHashJoin" in p),
+        # VERDICT r01 #2: per-doc tables must NOT carry a broadcast
+        # hint (unbounded at corpus scale); the static plan shuffles on
+        # narrow long keys and AQE upgrades to broadcast at runtime
+        # only when a side is actually small.
+        ("no broadcast HINT on per-doc sizes tables (the static "
+         "optimizer may still pick broadcast from SIZE estimates - "
+         "correct adaptivity; a hint would force it at any scale)",
+         lambda p: "ResolvedHint" not in p and "UnresolvedHint" not in p),
+        ("no cartesian / nested-loop join",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
         ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "dedup_embedding_cosine": [
+        ("LSH-blocked: no cartesian / nested-loop join",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "dedup_simhash_pairs": [
+        ("pigeonhole-blocked: no cartesian / nested-loop join",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "text_gopher_quality": [
+        ("shuffle-free single projection", lambda p: "Exchange" not in p),
+        ("no Python UDF (whole-stage codegen)", lambda p: "Python" not in p),
+    ],
+    "text_tfidf_top_terms": [
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("corpus-size side is broadcast (1 row)",
+         lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "extract_transform_chain": [
+        ("mapInArrow is the only Python node (lowered suffix runs "
+         "as Column exprs)",
+         lambda p: _exec_part(p).count("MapInArrow") == 1
+         and "BatchEvalPython" not in p),
+        ("no shuffle (map-only extraction + projection)",
+         lambda p: "Exchange" not in p),
     ],
     "n4_id_dedup": [
         ("single window exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
