@@ -57,6 +57,16 @@ _TOKEN_RE = re.compile(
     re.DOTALL | re.VERBOSE,
 )
 
+# group indices for lastindex-based token dispatch (kept in sync with
+# _TOKEN_RE by the assertion below)
+_G_BADCOMMENT = _TOKEN_RE.groupindex["badcomment"]
+_G_BADMARKED = _TOKEN_RE.groupindex["badmarked"]
+_G_END = _TOKEN_RE.groupindex["end"]
+_G_START = _TOKEN_RE.groupindex["start"]
+_G_ATTRS = _TOKEN_RE.groupindex["attrs"]
+assert _G_ATTRS == max(_TOKEN_RE.groupindex.values()), \
+    "attrs must be the last group: the dispatch keys on lastindex"
+
 _ATTR_RE = re.compile(
     r"""([^\s=/>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
 )
@@ -90,19 +100,18 @@ class _FastBuilder(_TreeBuilder):
         if attr_str and not attr_str.isspace():
             for m in _ATTR_RE.finditer(attr_str):
                 last_end = m.end()
-                name = m.group(1).lower()
+                name, v1, v2, v3 = m.group(1, 2, 3, 4)
+                name = name.lower()
                 if name in attrs:
                     continue  # first occurrence wins (HTML5)
-                v = m.group(2)
-                if v is None:
-                    v = m.group(3)
-                if v is None:
-                    v = m.group(4)
-                if v is None:
-                    v = ""
+                v = v1 if v1 is not None else v2 if v2 is not None \
+                    else v3 if v3 is not None else ""
                 attrs[name] = unescape(v) if "&" in v else v
-        stripped = attr_str.rstrip()
-        self_closing = stripped.endswith("/") and last_end < len(stripped)
+        if "/" in attr_str:
+            stripped = attr_str.rstrip()
+            self_closing = stripped.endswith("/") and last_end < len(stripped)
+        else:
+            self_closing = False
         parent = self.stack[-1]
         el = Element(tag, attrs, parent, self._next_order())
         parent.children.append(el)
@@ -150,16 +159,14 @@ def parse_document_fast(html: str | bytes):
             text_cb("<")
             pos = lt + 1
             continue
-        if m.group("badcomment") is not None or m.group("badmarked") is not None:
-            # unterminated comment/marked section: html.parser flushes
-            # the remainder as raw text at close()
-            text_cb(html[lt:])
-            break
-        pos = m.end()
-        start_tag = m.group("start")
-        if start_tag is not None:
-            tag = start_tag.lower()
-            self_closing = b.start(tag, m.group("attrs"))
+        # dispatch on the last participating group index — one C-level
+        # attribute read instead of up to four named-group lookups per
+        # token (the token loop is the hottest code in the engine)
+        gi = m.lastindex
+        if gi == _G_ATTRS:  # start tag (attrs participates, may be '')
+            pos = m.end()
+            tag = m.group(_G_START).lower()
+            self_closing = b.start(tag, m.group(_G_ATTRS))
             # html.parser enters cdata mode only for NON-self-closed
             # script/style (parse_starttag's startendtag branch skips
             # set_cdata_mode) — mirror that so backends stay identical.
@@ -174,9 +181,16 @@ def parse_document_fast(html: str | bytes):
                     text_cb(content)
                 end_cb(tag)
             continue
-        end_tag = m.group("end")
-        if end_tag is not None:
-            end_cb(end_tag.lower())
-        # comments/decls: skipped
+        if gi == _G_END:
+            pos = m.end()
+            end_cb(m.group(_G_END).lower())
+            continue
+        if gi == _G_BADCOMMENT or gi == _G_BADMARKED:
+            # unterminated comment/marked section: html.parser flushes
+            # the remainder as raw text at close()
+            text_cb(html[lt:])
+            break
+        pos = m.end()
+        # comments/decls/bogus end tags: skipped
     changed = _ensure_document_structure(b.root)
     return b.root, (None if changed else b.created)

@@ -416,6 +416,33 @@ def _bucket_sql(emb_expr: str, num_planes: int, dims: int,
     return " + ".join(parts)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup stats: per-doc fraction of 10-word chunks
+    duplicated anywhere in the corpus (the paragraph-dedup signal;
+    boundary-free chunk mode — testdata has no newlines)."""
+    from goose_parser_spark.ops.dedup import paragraph_dup_stats
+    return paragraph_dup_stats(_t(spark, sf_dir, "documents"),
+                               chunk_words=10)
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS w
+  FROM documents
+), units AS (
+  SELECT doc_id, array_to_string(w[u * 10 + 1 : u * 10 + 10], ' ') AS unit
+  FROM (SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u
+        FROM tok WHERE len(w) >= 1)
+), occ AS (SELECT unit, count(*) AS occ FROM units GROUP BY 1)
+SELECT doc_id, count(*) AS n_units,
+       count(*) FILTER (occ > 1) AS n_dup_units,
+       round(count(*) FILTER (occ > 1) * 1.0 / count(*), 4) AS dup_ratio
+FROM units JOIN occ USING (unit)
+GROUP BY doc_id
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, OR-amplified LSH blocking
     (the shipped scale path: 4 independent bucket tables, a pair is
@@ -962,6 +989,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_exact": q_dedup_embedding_cosine_exact,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1000,6 +1028,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_exact": SQL_DEDUP_EMBEDDING_COSINE_EXACT,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,

@@ -65,6 +65,12 @@ def build_extractor(
     The compiled plan (parsed selectors, compiled transforms, derived
     schema) is captured in the closure — pickled once and shipped to
     every executor, the moral equivalent of a broadcast variable.
+
+    NOTE: this variant runs the FULL transform chain in Python and
+    pairs with ``output_schema(compiled)`` (the final schema). The
+    shipped :func:`extract` path uses the Arrow variant plus native
+    post-UDF lowering of byte-safe suffixes (functions/native.py);
+    both produce identical values (test_native_lowering.py).
     """
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

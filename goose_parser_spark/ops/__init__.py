@@ -12,6 +12,7 @@ from goose_parser_spark.ops.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
+    paragraph_dup_stats,
     shingles,
     simhash,
     simhash_pairs,
@@ -43,7 +44,8 @@ from goose_parser_spark.ops.textstats import (
 
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
-    "shingles", "simhash_pairs", "connected_components", "cosine_topk",
+    "shingles", "simhash_pairs", "paragraph_dup_stats",
+    "connected_components", "cosine_topk",
     "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
     "ivf_centroids", "ivf_topk",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",

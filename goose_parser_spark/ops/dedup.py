@@ -122,6 +122,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def paragraph_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup stats: per-document fraction of units
+    that occur more than once in the CORPUS (the paragraph-dedup
+    signal Dolma/RefinedWeb-style pipelines filter on — public
+    knowledge; repeated boilerplate paragraphs mark low-quality docs).
+
+    ``sep`` (e.g. ``"\\n"``) splits on a paragraph boundary; with
+    ``sep=None`` units are non-overlapping ``chunk_words``-word chunks
+    (the boundary-free corpus case). Plan: explode units → one global
+    hash-agg on the unit (at 100 TB: on ``xxhash64(unit)`` — 8-byte
+    shuffle rows) → join occurrence counts back → per-doc aggregate.
+    Self-repetition inside one document counts as duplication (it is
+    the repetition signal). No broadcast hints — AQE decides.
+
+    Columns: ``doc_id, n_units, n_dup_units, dup_ratio``. Documents
+    with zero units (empty text) are absent from the output.
+    """
+    c = F.col(text_col)
+    if sep is not None:
+        units_col = F.filter(F.split(c, sep), lambda u: F.trim(u) != "")
+    else:
+        w = F.filter(F.split(c, " "), lambda x: x != "")
+        n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+        units_col = F.when(F.size(w) >= 1, F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * chunk_words + 1, chunk_words)),
+        )).otherwise(F.array().cast("array<string>"))
+    u = df.select(F.col(id_col), F.explode(units_col).alias("unit"))
+    occ = u.groupBy("unit").agg(F.count("*").alias("occ"))
+    return (u.join(occ, "unit")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_units"),
+                 F.count(F.when(F.col("occ") > 1, 1)).alias("n_dup_units"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup_units") / F.col("n_units"), 4))
+            .select(id_col, "n_units", "n_dup_units", "dup_ratio"))
+
+
 def minhash_signature(
     df: DataFrame,
     n: int = 3,

@@ -299,3 +299,33 @@ def test_ivf_centroids_deterministic_and_partition_the_corpus(spark, emb):
               .groupBy("centroid").count().collect())
     assert sum(r["count"] for r in counts) == emb.count()
     assert len(counts) >= 4  # no centroid collapse
+
+
+def test_paragraph_dup_stats_separator_mode(spark):
+    from goose_parser_spark.ops.dedup import paragraph_dup_stats
+    rows = [
+        (1, "unique para one\nshared boilerplate\nanother unique"),
+        (2, "shared boilerplate\ntotally different text"),
+        (3, "self repeated\nself repeated\nfresh"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in paragraph_dup_stats(df, sep="\n").collect()}
+    assert out[1]["n_units"] == 3 and out[1]["n_dup_units"] == 1
+    assert out[2]["n_dup_units"] == 1 and out[2]["dup_ratio"] == 0.5
+    # self-repetition counts as duplication
+    assert out[3]["n_dup_units"] == 2 and out[3]["dup_ratio"] == 0.6667
+    assert 4 not in out  # empty doc has no units
+
+
+def test_paragraph_dup_stats_chunk_mode(spark):
+    from goose_parser_spark.ops.dedup import paragraph_dup_stats
+    ten = "a b c d e f g h i j"
+    rows = [(1, ten + " k l m"), (2, ten + " x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in paragraph_dup_stats(df, chunk_words=10).collect()}
+    # both docs share the identical first 10-word chunk; tails differ
+    assert out[1]["n_units"] == 2 and out[1]["n_dup_units"] == 1
+    assert out[2]["n_dup_units"] == 1
