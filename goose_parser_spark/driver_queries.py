@@ -416,6 +416,27 @@ def _bucket_sql(emb_expr: str, num_planes: int, dims: int,
     return " + ".join(parts)
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup keep-policy: near-dup pairs (MinHash-LSH) →
+    connected components → keep only canonical docs. The table a
+    training pipeline actually trains on."""
+    from goose_parser_spark.ops.dedup import (
+        connected_components, keep_canonical)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, n=3, num_hashes=32, bands=32,
+                              threshold=0.5)
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    return keep_canonical(docs.select("doc_id", "text"), clusters)
+
+
+SQL_DEDUP_KEEP_CANONICAL = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT node AS doc_id, min(root) AS canonical_id\nFROM reach GROUP BY node",
+    """SELECT d.doc_id, d.text FROM documents d
+JOIN (SELECT node AS doc_id, min(root) AS canonical_id
+      FROM reach GROUP BY node) c
+  ON d.doc_id = c.doc_id AND c.doc_id = c.canonical_id""")
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup stats: per-doc fraction of 10-word chunks
     duplicated anywhere in the corpus (the paragraph-dedup signal;
@@ -989,6 +1010,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_exact": q_dedup_embedding_cosine_exact,
@@ -1028,6 +1050,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_exact": SQL_DEDUP_EMBEDDING_COSINE_EXACT,

@@ -9,6 +9,7 @@ where Python is genuinely required, and there it is Arrow-batched.
 
 from goose_parser_spark.ops.dedup import (
     connected_components,
+    keep_canonical,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -44,7 +45,7 @@ from goose_parser_spark.ops.textstats import (
 
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
-    "shingles", "simhash_pairs", "paragraph_dup_stats",
+    "shingles", "simhash_pairs", "paragraph_dup_stats", "keep_canonical",
     "connected_components", "cosine_topk",
     "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
     "ivf_centroids", "ivf_topk",

@@ -249,6 +249,20 @@ def minhash_lsh_dedup(
     return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
 
 
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the dedup keep-policy: retain only each cluster's
+    canonical (smallest-id) document. ``clusters`` is
+    :func:`connected_components` output ``(doc_id, canonical_id)``.
+    One left-semi join on the id — no hint, AQE decides."""
+    keep_ids = (clusters.where(F.col(id_col) == F.col("canonical_id"))
+                .select(id_col))
+    return df.join(keep_ids, on=id_col, how="left_semi")
+
+
 def connected_components(
     ids: DataFrame,
     pairs: DataFrame,

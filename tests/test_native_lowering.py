@@ -136,3 +136,46 @@ def test_error_docs_stay_null(spark):
     assert rows["u1"]["extracted"] is None
     assert rows["u1"]["error"] is not None
     assert rows["u2"]["extracted"]["v"] == "a"
+
+
+# --- property fuzz: random lowerable/mixed chains, random docs ---------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _chain_step(draw):
+    kind = draw(st.sampled_from(["trim", "split", "pick", "join", "replace"]))
+    if kind == "trim":
+        return {"type": "trim"}
+    if kind == "split":
+        return {"type": "split",
+                "separator": draw(st.sampled_from([",", " ", "|", "ab"]))}
+    if kind == "pick":
+        return {"type": "pick", "prop": draw(st.integers(0, 4))}
+    if kind == "join":
+        return {"type": "join",
+                "glue": draw(st.sampled_from([",", "-", "", "+"]))}
+    return {"type": "replace",
+            "re": [draw(st.sampled_from(["a", "b,", " "])), "g"],
+            "to": draw(st.sampled_from(["X", "", ",,"]))}
+
+
+@st.composite
+def _chain_and_text(draw):
+    chain = [_chain_step(draw) for _ in range(draw(st.integers(0, 4)))]
+    text = draw(st.text(
+        alphabet=st.sampled_from(list("ab, | x")), max_size=24))
+    return chain, text
+
+
+@settings(max_examples=25, deadline=None)
+@given(ct=_chain_and_text())
+def test_fuzz_lowered_equals_python(spark, ct):
+    chain, text = ct
+    html = f'<html><body><p class="v">{text}</p></body></html>'
+    rules = {"name": "v", "scope": "p.v", "transform": chain}
+    compiled = RuleCompiler().compile(rules)
+    want = _norm(evaluate_document(compiled, html))
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    got = _norm(extract(df, rules).select("extracted").head()["extracted"])
+    assert got == want, (chain, text)
