@@ -45,14 +45,6 @@ _POSITIVE = re.compile(
     r"article|content|main|post|body|entry|text|story|column", re.IGNORECASE)
 
 
-def _link_text_len(el: Element) -> int:
-    total = 0
-    for d in el.iter_elements():
-        if d.tag == "a":
-            total += len(d.text())
-    return total
-
-
 def _class_weight(el: Element) -> float:
     hint = f"{el.attrs.get('class', '')} {el.attrs.get('id', '')}"
     w = 1.0
@@ -63,27 +55,61 @@ def _class_weight(el: Element) -> float:
     return w
 
 
+def _subtree_lengths(root: Element) -> tuple[dict[int, int], dict[int, int]]:
+    """(text_len, link_text_len) per element id() in ONE post-order
+    pass — the naive per-candidate text()/anchor walk is
+    O(candidates × subtree), quadratic on deeply nested pages; this is
+    O(nodes). An anchor's whole subtree counts as link text exactly
+    once (nested <a> is not double-counted)."""
+    tl: dict[int, int] = {}
+    ll: dict[int, int] = {}
+    stack: list[tuple[Element, bool]] = [(root, False)]
+    while stack:
+        el, done = stack.pop()
+        if done:
+            t = 0
+            link = 0
+            for c in el.children:
+                if isinstance(c, str):
+                    t += len(c)
+                else:
+                    t += tl[id(c)]
+                    link += ll[id(c)]
+            if el.tag == "a":
+                link = t
+            tl[id(el)] = t
+            ll[id(el)] = link
+        else:
+            stack.append((el, True))
+            for c in el.children:
+                if not isinstance(c, str):
+                    stack.append((c, False))
+    return tl, ll
+
+
 def score_candidates(root: Element) -> list[tuple[float, int, Element]]:
     """All candidates scored; returns (score, depth, element)."""
+    tl, ll = _subtree_lengths(root)
     out = []
-    def depth_of(el: Element) -> int:
-        d = 0
-        p = el.parent
-        while p is not None:
-            d += 1
-            p = p.parent
-        return d
-    for el in root.iter_elements():
+    depth = {id(root): 0}
+    stack = [c for c in root.children if isinstance(c, Element)]
+    for el in stack:
+        depth[id(el)] = 1
+    while stack:
+        el = stack.pop()
+        d = depth[id(el)]
+        for c in el.children:
+            if isinstance(c, Element):
+                depth[id(c)] = d + 1
+                stack.append(c)
         if el.tag not in _CANDIDATE_TAGS:
             continue
-        text = el.text()
-        n = len(text)
+        n = tl[id(el)]
         if n == 0:
             continue
-        link_len = _link_text_len(el)
-        link_density = link_len / n if n else 1.0
+        link_density = ll[id(el)] / n
         score = n * (1.0 - link_density) * _class_weight(el)
-        out.append((score, depth_of(el), el))
+        out.append((score, d, el))
     return out
 
 
