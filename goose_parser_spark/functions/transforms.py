@@ -160,6 +160,33 @@ _LOCALE_MONTHS: dict[str, dict[str, list[str]]] = {
         "MMM": ["jan", "feb", "mrt", "apr", "mei", "jun",
                  "jul", "aug", "sep", "okt", "nov", "dec"],
     },
+    "pl": {
+        "MMMM": ["stycznia", "lutego", "marca", "kwietnia", "maja",
+                  "czerwca", "lipca", "sierpnia", "września",
+                  "października", "listopada", "grudnia"],
+        "MMM": ["sty", "lut", "mar", "kwi", "maj", "cze",
+                 "lip", "sie", "wrz", "paź", "lis", "gru"],
+    },
+    "sv": {
+        "MMMM": ["januari", "februari", "mars", "april", "maj", "juni",
+                  "juli", "augusti", "september", "oktober", "november",
+                  "december"],
+        "MMM": ["jan", "feb", "mar", "apr", "maj", "jun",
+                 "jul", "aug", "sep", "okt", "nov", "dec"],
+    },
+    "tr": {
+        "MMMM": ["Ocak", "Şubat", "Mart", "Nisan", "Mayıs", "Haziran",
+                  "Temmuz", "Ağustos", "Eylül", "Ekim", "Kasım",
+                  "Aralık"],
+        "MMM": ["Oca", "Şub", "Mar", "Nis", "May", "Haz",
+                 "Tem", "Ağu", "Eyl", "Eki", "Kas", "Ara"],
+    },
+    "ja": {
+        "MMMM": ["1月", "2月", "3月", "4月", "5月", "6月",
+                  "7月", "8月", "9月", "10月", "11月", "12月"],
+        "MMM": ["1月", "2月", "3月", "4月", "5月", "6月",
+                 "7月", "8月", "9月", "10月", "11月", "12月"],
+    },
 }
 
 # moment tokens, longest-first so the tokenizer is greedy.
@@ -193,7 +220,10 @@ class MomentFormat:
             if tok in ("MMMM", "MMM"):
                 months = _LOCALE_MONTHS[self.locale][tok]
                 found = None
-                for i, name in enumerate(months):
+                # longest name first: in locales with numeric month
+                # names (ja: 1月..12月) shorter names prefix longer ones
+                for i, name in sorted(enumerate(months),
+                                      key=lambda p: -len(p[1])):
                     if value[pos:pos + len(name)].lower() == name.lower():
                         found = (i + 1, len(name))
                         break

@@ -71,6 +71,15 @@ def test_date_fixture_ru():
     ("pt", "9 março 2021", "D MMMM YYYY", "2021-03-09"),
     ("it", "2 luglio 2018", "D MMMM YYYY", "2018-07-02"),
     ("nl", "5 mrt 19", "D MMM YY", "2019-03-05"),
+    ("pl", "3 września 2022", "D MMMM YYYY", "2022-09-03"),
+    ("sv", "17 augusti 2015", "D MMMM YYYY", "2015-08-17"),
+    ("tr", "29 Ağustos 2019", "D MMMM YYYY", "2019-08-29"),
+    ("tr", "1 May 20", "D MMM YY", "2020-05-01"),
+    # ja: numeric month names where 1月 prefixes 10月/11月/12月 —
+    # the longest-first matcher must pick the full name
+    ("ja", "11月 3 2023", "MMMM D YYYY", "2023-11-03"),
+    ("ja", "1月 3 2023", "MMMM D YYYY", "2023-01-03"),
+    ("ja", "12月 31 1999", "MMMM D YYYY", "1999-12-31"),
 ])
 def test_date_locales(locale, value, fmt, want):
     assert run([{"type": "date", "locale": locale,
