@@ -154,6 +154,17 @@ FAMILIES: dict[str, Family] = {f.fid: f for f in [
     Family("f21", {"name": "v", "scope": "div.w"},
            lambda i: '<div class="w">a <b>b</b>\n c</div>',
            lambda i: {"v": "a b\n c"}),
+    # CSS of-type family through the full rule path: the span sits
+    # between the <p>s so child-index and type-index differ.
+    Family("f22", {"scope": "div.ot", "collection": [
+        {"name": "p2", "scope": "p:nth-of-type(2)"},
+        {"name": "plast", "scope": "p:last-of-type"},
+        {"name": "only_span", "scope": "span:only-of-type"},
+    ]},
+           lambda i: (f'<div class="ot"><p>a{i}</p><span>s{i}</span>'
+                      f'<p>b{i}</p><p>c{i}</p></div>'),
+           lambda i: {"p2": f"b{i}", "plast": f"c{i}",
+                      "only_span": f"s{i}"}),
 ]}
 
 _FAMILY_IDS = list(FAMILIES)
