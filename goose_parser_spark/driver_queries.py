@@ -630,6 +630,33 @@ FROM documents
 """
 
 
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams — the corpus-analysis staple
+    (n-gram frequency tables for contamination checks / LM stats).
+    One explode + one count agg + TakeOrdered; ties break on the
+    ngram text for cross-engine determinism."""
+    from goose_parser_spark.ops.dedup import shingles, tokens
+    docs = _t(spark, sf_dir, "documents")
+    grams = (docs.where(F.size(tokens("text")) >= 3)
+             .select(F.explode(shingles("text", 3)).alias("ngram")))
+    return (grams.groupBy("ngram").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("ngram").asc())
+            .limit(20))
+
+
+SQL_TEXT_TOP_NGRAMS = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), grams AS (
+  SELECT array_to_string(w[u:u+2], ' ') AS ngram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS u FROM tok)
+)
+SELECT ngram, count(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+
+
 def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules (Rae et al. 2021 App. A subset):
     per-doc signals + keep verdict, shuffle-free projection."""
@@ -1021,6 +1048,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "text_subword_count": q_text_subword_count,
     "text_quality": q_text_quality,
+    "text_top_ngrams": q_text_top_ngrams,
     "text_gopher_quality": q_text_gopher_quality,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
@@ -1059,6 +1087,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_subword_count": SQL_TEXT_SUBWORD_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_top_ngrams": SQL_TEXT_TOP_NGRAMS,
     "text_gopher_quality": SQL_TEXT_GOPHER_QUALITY,
     "text_tfidf_top_terms": SQL_TEXT_TFIDF_TOP_TERMS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
