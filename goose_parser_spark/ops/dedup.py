@@ -177,12 +177,17 @@ def minhash_signature(
     """MinHash signatures: ``num_hashes`` min-values of seeded
     xxhash64 over the shingle set. One explode + one groupBy; the k
     hash functions are k aggregate expressions in a single pass (map-
-    side partial aggregation keeps the shuffle at k longs per doc)."""
+    side partial aggregation keeps the shuffle at k longs per doc).
+
+    NO distinct() before the aggregate: min() over duplicate shingles
+    equals min() over the distinct set, and the distinct would be a
+    full extra shuffle of the widest intermediate (every shingle
+    string) — the single worst shuffle in the pipeline at corpus
+    scale."""
     sh = (df
           .where(F.size(tokens(text_col)) >= n)
           .select(F.col(id_col).alias("doc"),
-                  F.explode(shingles(text_col, n)).alias("sh"))
-          .distinct())
+                  F.explode(shingles(text_col, n)).alias("sh")))
     aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = sh.groupBy("doc").agg(*aggs)
