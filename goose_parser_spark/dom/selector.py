@@ -493,7 +493,9 @@ class DocIndex:
         self.by_id: dict[str, list[Element]] = {}
         for el in self.all:
             self.by_tag.setdefault(el.tag, []).append(el)
-            for cls in el.classes():
+            # dict.fromkeys: class="x x" must not double-insert (the
+            # candidate lists are consumed without a dedup pass)
+            for cls in dict.fromkeys(el.classes()):
                 self.by_class.setdefault(cls, []).append(el)
             el_id = el.attrs.get("id")
             if el_id is not None:
@@ -587,6 +589,7 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
     ctx_orders = {e.order for e in roots}
     ctx_is_root = len(roots) == 1 and roots[0] is index.root
 
+    single = len(selector.alternatives) == 1
     seen: set[int] = set()
     results: list[Element] = []
     for alt in selector.alternatives:
@@ -605,6 +608,11 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
             ]
             if last_comp.positional:
                 matched = _apply_positional(matched, last_comp.positional)
+        if single:
+            # the common case: index candidate lists are doc-ordered
+            # and duplicate-free, so the dedup set + sort are pure
+            # overhead (select() fallback output is ordered too)
+            return matched
         for el in matched:
             if el.order not in seen:
                 seen.add(el.order)

@@ -53,7 +53,12 @@ class _DocContext:
         self.skip_lowered = skip_lowered
 
     def select(self, context: list[Element], selector: Selector) -> list[Element]:
-        key = (id(selector),) + tuple(e.order for e in context)
+        # 1-node contexts are the overwhelmingly common case: build the
+        # cheap 2-tuple key instead of a generator-driven tuple
+        if len(context) == 1:
+            key = (id(selector), context[0].order)
+        else:
+            key = (id(selector),) + tuple(e.order for e in context)
         hit = self._cache.get(key)
         if hit is None:
             hit = select_indexed(self.index, context, selector)
