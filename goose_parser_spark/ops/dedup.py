@@ -75,9 +75,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
 
-    Plan: explode distinct shingles → self-join on shingle →
-    count common shingles per pair → join per-doc shingle counts
-    (broadcast: one row per doc) → Jaccard filter.
+    Plan: explode shingles → hash to 64-bit keys → distinct →
+    self-join on the hash → count common shingles per pair → join
+    per-doc shingle counts → Jaccard filter.
+
+    Every shuffle/join key is the 8-byte ``xxhash64(shingle)`` — never
+    the shingle string (~10-40 bytes): at corpus scale the shingle
+    table is the widest intermediate in the engine and the hash
+    narrows it 3-5×. A cross-shingle hash collision would merge two
+    distinct shingles (P ≈ m²/2⁶⁵ for m distinct shingles — below
+    1e-6 even at m = 10⁶ per LSH bucket, where this runs at scale).
 
     Columns: ``doc_a, doc_b, jaccard`` (jaccard rounded to 6 dp for
     cross-engine float stability).
@@ -85,7 +92,8 @@ def ngram_jaccard_pairs(
     sh = (df
           .where(F.size(tokens(text_col)) >= n)
           .select(F.col(id_col).alias("doc"),
-                  F.explode(shingles(text_col, n)).alias("sh"))
+                  F.explode(shingles(text_col, n)).alias("s"))
+          .select("doc", F.xxhash64("s").alias("sh"))
           .distinct())
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
