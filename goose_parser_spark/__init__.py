@@ -10,7 +10,7 @@ and evaluate the whole rule tree against it.
 """
 
 from goose_parser_spark.rules.compiler import RuleCompiler, CompiledRules
-from goose_parser_spark.extractor import build_extractor, extract
+from goose_parser_spark.extractor import build_extractor, extract, extract_many
 from goose_parser_spark.functions.transforms import (
     TransformRegistry,
     default_registry,
@@ -22,6 +22,7 @@ __all__ = [
     "RuleCompiler",
     "CompiledRules",
     "build_extractor",
+    "extract_many",
     "extract",
     "TransformRegistry",
     "default_registry",

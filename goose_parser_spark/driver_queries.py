@@ -158,6 +158,36 @@ FROM documents
 """
 
 
+def q_extract_multi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant extraction: two independent rule trees evaluated
+    against ONE parse per document (extract_many) — one corpus scan
+    serves every consumer's rules."""
+    from goose_parser_spark.extractor import extract_many
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_many(pages, {
+        "meta": {"scope": "div.doc", "collection": [
+            {"name": "title", "scope": "h1.t"},
+            {"name": "doclang", "scope": "div.doc", "attr": "data-lang",
+             "parentScope": "body"}]},
+        "kv": {"name": "first_source", "scope": "tr.kv td.v"},
+    })
+    return out.select(
+        "url",
+        F.col("extracted.meta.title").alias("title"),
+        F.col("extracted.meta.doclang").alias("doclang"),
+        F.col("extracted.kv.first_source").alias("first_source"),
+    )
+
+
+SQL_EXTRACT_MULTI_TREE = """
+SELECT 'https://docs.test/' || doc_id AS url,
+       'doc ' || doc_id AS title,
+       lang AS doclang,
+       source || ' ' || CAST(n_chars AS VARCHAR) AS first_source
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Native analogs of the goose scalar/structural ops (SURVEY.md §2.9)
 # --------------------------------------------------------------------------
@@ -1024,6 +1054,7 @@ QUERIES: dict[str, QueryFn] = {
     "extract_grid_explode": q_extract_grid_explode,
     "extract_transform_chain": q_extract_transform_chain,
     "extract_conditional": q_extract_conditional,
+    "extract_multi_tree": q_extract_multi_tree,
     "t1_trim": q_t1_trim,
     "t2_replace": q_t2_replace,
     "t6_split_t4_pick": q_t6_split_t4_pick,
@@ -1067,6 +1098,7 @@ ORACLES: dict[str, str] = {
     "extract_grid_explode": SQL_EXTRACT_GRID_EXPLODE,
     "extract_transform_chain": SQL_EXTRACT_TRANSFORM_CHAIN,
     "extract_conditional": SQL_EXTRACT_CONDITIONAL,
+    "extract_multi_tree": SQL_EXTRACT_MULTI_TREE,
     "t1_trim": SQL_T1_TRIM,
     "t2_replace": SQL_T2_REPLACE,
     "t6_split_t4_pick": SQL_T6_SPLIT_T4_PICK,

@@ -213,6 +213,111 @@ def extract(
     return out
 
 
+def extract_many(
+    df: "DataFrame",
+    rules_by_name: dict[str, dict | CompiledRules],
+    html_col: str = "html",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Multi-tenant extraction: evaluate SEVERAL rule trees against one
+    parse of each document — at 100 TB the scan + DOM parse dominate,
+    so N consumers' rules in one pass cost ~1/N of N separate jobs.
+    The per-document selector memo is shared across trees (overlapping
+    scopes are evaluated once).
+
+    Output: ``url, extracted (struct of per-tree structs), error,
+    parse_ns, bytes_in``. A tree whose evaluation fails yields NULL for
+    that tree and a ``tree=<name>: <err>`` entry in ``error`` — one bad
+    ruleset never poisons the other tenants (I4 per-tree isolation).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from goose_parser_spark.deploy import ship_package
+    from goose_parser_spark.rules.evaluator import evaluate_document_many
+    ship_package(df.sparkSession)
+
+    compiled = {
+        name: (r if isinstance(r, CompiledRules) else RuleCompiler().compile(r))
+        for name, r in rules_by_name.items()
+    }
+    extracted_schema = StructType([
+        StructField(name, c.schema, True) for name, c in compiled.items()
+    ])
+    schema = StructType([
+        StructField(url_col, StringType(), False),
+        StructField("extracted", extracted_schema, True),
+        StructField("error", StringType(), True),
+        StructField("parse_ns", LongType(), True),
+        StructField("bytes_in", LongType(), True),
+    ])
+    out_arrow_schema = to_arrow_schema(schema)
+    names_in_order = list(compiled)
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from goose_parser_spark.rules.evaluator import (
+            _DocContext, evaluate_branches)
+        from goose_parser_spark.dom.parser import parse_document
+
+        for batch in batches:
+            cols = batch.schema.names
+            urls = batch.column(cols.index(url_col))
+            hcol = batch.column(cols.index(html_col))
+            n = batch.num_rows
+            if pa.types.is_binary(hcol.type) or pa.types.is_large_binary(hcol.type):
+                lengths = pc.binary_length(hcol).to_pylist()
+                try:
+                    raws = hcol.cast(pa.large_string()).to_pylist()
+                except pa.ArrowInvalid:
+                    raws = [b.decode("utf-8", errors="replace")
+                            if b is not None else None
+                            for b in hcol.to_pylist()]
+            else:
+                raws = hcol.to_pylist()
+                lengths = None
+            extracted: list[object] = [None] * n
+            errors: list[str | None] = [None] * n
+            parse_ns: list[int] = [0] * n
+            bytes_in: list[int] = [0] * n
+            for i in range(n):
+                raw = raws[i]
+                if raw is not None:
+                    bytes_in[i] = lengths[i] if lengths is not None else len(raw)
+                t0 = time.perf_counter_ns()
+                errs: list[str] = []
+                try:
+                    if raw is None:
+                        raise ValueError("html is NULL")
+                    root, elements = parse_document(raw)
+                    doc = _DocContext(root, elements)
+                    row: dict[str, object] = {}
+                    for name in names_in_order:
+                        try:
+                            row[name] = evaluate_branches(
+                                compiled[name].branches, doc)
+                        except Exception as exc:  # noqa: BLE001 — per-tree I4
+                            row[name] = None
+                            errs.append(f"tree={name}: "
+                                        f"{type(exc).__name__}: {exc}")
+                    extracted[i] = row
+                except Exception as exc:  # noqa: BLE001 — I4 isolation
+                    errs.append(f"{type(exc).__name__}: {exc}")
+                if errs:
+                    errors[i] = "; ".join(errs)
+                parse_ns[i] = time.perf_counter_ns() - t0
+            yield pa.RecordBatch.from_arrays([
+                urls,
+                pa.array(extracted,
+                         type=out_arrow_schema.field("extracted").type),
+                pa.array(errors, type=pa.string()),
+                pa.array(parse_ns, type=pa.int64()),
+                pa.array(bytes_in, type=pa.int64()),
+            ], schema=out_arrow_schema)
+
+    pruned = df.select(url_col, html_col)
+    return pruned.mapInArrow(run, schema=schema)
+
+
 def _lowered_extracted(compiled: CompiledRules, df: "DataFrame"):
     """Column expression rebuilding `extracted` with each leaf's
     lowered transform suffix applied (single-branch trees only — the

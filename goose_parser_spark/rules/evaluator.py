@@ -148,6 +148,22 @@ def evaluate_branches(branches: list[Branch], doc: _DocContext) -> object:
     return None
 
 
+def evaluate_document_many(
+    compiled_by_name: dict[str, CompiledRules],
+    html: str | bytes,
+) -> dict[str, object]:
+    """Evaluate SEVERAL compiled rule trees against ONE parse of the
+    document (multi-tenant extraction: one scan of the corpus serves
+    every consumer's rules). The selector memo cache is shared across
+    trees, so trees with overlapping scopes pay for each selector
+    once. Full Python transform chains (no native lowering — the
+    per-tree schemas stay self-contained)."""
+    root, elements = parse_document(html)
+    doc = _DocContext(root, elements)
+    return {name: evaluate_branches(c.branches, doc)
+            for name, c in compiled_by_name.items()}
+
+
 def evaluate_document(compiled: CompiledRules, html: str | bytes,
                       skip_lowered: bool = False) -> object:
     """Parse one document and evaluate the compiled rules against it.

@@ -111,3 +111,44 @@ def test_conditional_branch_schema_union(spark, pages_df):
         i = int(row["url"].rsplit("/", 1)[1])
         want = f"new{i}" if i % 2 == 0 else f"old{i}"
         assert row["extracted"]["t"] == want
+
+
+def test_extract_many_one_parse_multi_tenant(spark):
+    from goose_parser_spark import extract_many
+    rows = [
+        ("u1", '<div class="doc"><h1 class="t">Title A</h1><p class="b">body a</p></div>'),
+        ("u2", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    out = extract_many(pages, {
+        "titles": {"name": "t", "scope": "h1.t"},
+        "bodies": {"scope": "div.doc", "collection": [
+            {"name": "b", "scope": "p.b"}]},
+        "broken": {"name": "x", "scope": "p.b", "transform": [
+            {"type": "date", "from": "YYYY", "to": "YYYY"}]},
+    })
+    got = {r["url"]: r for r in out.collect()}
+    r1 = got["u1"]
+    assert r1["extracted"]["titles"]["t"] == "Title A"
+    assert r1["extracted"]["bodies"]["b"] == "body a"
+    # the 'broken' tree yields "Invalid date" (date transform catches),
+    # NOT an error — trees are isolated regardless
+    assert r1["extracted"]["broken"]["x"] == "Invalid date"
+    assert r1["error"] is None
+    r2 = got["u2"]
+    assert r2["extracted"] is None and "html is NULL" in r2["error"]
+
+
+def test_extract_many_matches_single_tree_outputs(spark):
+    from goose_parser_spark import extract, extract_many
+    from goose_parser_spark.sources.fixtures import pages_rows, pages_schema
+    pages = spark.createDataFrame(pages_rows(44), schema=pages_schema())
+    rules_a = {"name": "title", "scope": "h1.title"}
+    rules_b = {"name": "href", "scope": "a.link", "attr": "href"}
+    many = {r["url"]: r["extracted"]
+            for r in extract_many(pages, {"a": rules_a, "b": rules_b}).collect()}
+    single_a = {r["url"]: r["extracted"] for r in extract(pages, rules_a).collect()}
+    single_b = {r["url"]: r["extracted"] for r in extract(pages, rules_b).collect()}
+    for url in many:
+        assert many[url]["a"] == single_a[url], url
+        assert many[url]["b"] == single_b[url], url
