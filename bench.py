@@ -315,13 +315,24 @@ def main() -> int:
                         os.sched_setaffinity(0, prev_aff)
             rep_effs.append((thr[levels[1]] / thr[levels[0]]) / 4.0)
         rep_effs.sort()
-        eff = rep_effs[len(rep_effs) // 2]
+        eff_median = rep_effs[len(rep_effs) // 2]
         throughput = {c: docs / best[c] for c in levels}
+        # best-of-per-level ratio: each level takes its cleanest window
+        # across reps — robust when a window crushes ONE side of a rep
+        # (a per-rep ratio above 1.0 is physically impossible for true
+        # efficiency, so such reps are corrupted measurements)
+        eff_bestof = (throughput[levels[1]] / throughput[levels[0]]) / 4.0
+        if eff_median <= 1.0:
+            eff = eff_median
+        else:
+            eff = min(eff_bestof, 1.0)
         scaling = {
             "levels": list(levels),
             f"local{levels[0]}_docs_per_sec": round(throughput[levels[0]], 1),
             f"local{levels[1]}_docs_per_sec": round(throughput[levels[1]], 1),
             "efficiency": round(eff, 3),
+            "efficiency_median_of_reps": round(eff_median, 3),
+            "efficiency_bestof_levels": round(eff_bestof, 3),
             "efficiency_per_rep": [round(e, 3) for e in rep_effs],
             "host_steal_pct_max": round(steal_max * 100, 1),
         }
@@ -372,7 +383,12 @@ def _write_md(out: dict) -> None:
             f"- local[{hi}]: **{sc[f'local{hi}_docs_per_sec']} docs/sec** (best-of)",
             f"- efficiency (thr{hi}/thr{lo})/4 = **{sc['efficiency']}** "
             f"(target ≥ 0.8, BASELINE.json:2) — median of per-rep "
-            f"back-to-back ratios {sc.get('efficiency_per_rep')}",
+            f"back-to-back ratios {sc.get('efficiency_per_rep')} "
+            f"(median {sc.get('efficiency_median_of_reps')}, "
+            f"best-of-per-level {sc.get('efficiency_bestof_levels')}; a "
+            f"rep ratio above 1.0 is physically impossible and marks a "
+            f"window that crushed one side — then the best-of-per-level "
+            f"estimator is reported instead)",
             f"- max hypervisor steal observed during timed runs: "
             f"**{sc.get('host_steal_pct_max')}%** of CPU time",
             "",
