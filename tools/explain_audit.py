@@ -121,6 +121,13 @@ CHECKS = {
         ("no shuffle (map-only extraction + projection)",
          lambda p: "Exchange" not in p),
     ],
+    "extract_multi_tree": [
+        ("one Python node for ALL tenant trees (single parse per doc)",
+         lambda p: _exec_part(p).count("MapInArrow") == 1
+         and "BatchEvalPython" not in p),
+        ("no shuffle (map-only multi-tenant extraction)",
+         lambda p: "Exchange" not in p),
+    ],
     "n4_id_dedup": [
         ("single window exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
         ("pre-shuffle WindowGroupLimit (top-1 pushed below the exchange)",
