@@ -83,6 +83,14 @@ class Complex:
     """One complex selector: [(combinator, Compound), ...].
     The first combinator is ' ' (descendant-of-context)."""
     steps: list[tuple[str, Compound]]
+    # static per-selector property consulted on EVERY select call:
+    # positional pseudos on a non-final compound force the
+    # left-to-right walker (computed once at parse time)
+    inner_positional: bool = False
+
+    def __post_init__(self) -> None:
+        self.inner_positional = any(
+            comp.positional for _, comp in self.steps[:-1])
 
 
 @dataclass
@@ -593,7 +601,7 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
     seen: set[int] = set()
     results: list[Element] = []
     for alt in selector.alternatives:
-        if any(comp.positional for _, comp in alt.steps[:-1]):
+        if alt.inner_positional:
             matched = select(roots, Selector(selector.source, [alt]))
         else:
             last_idx = len(alt.steps) - 1
