@@ -52,6 +52,16 @@ CASES = [
         {"name": "up", "scope": "span.m", "transform": [
             {"type": "split", "separator": "x"}, {"type": "join", "glue": "+"}]},
     ]]}, "grid leaves with lowered chains"),
+    # regex-special separators must be literal under \\Q...\\E quoting
+    ({"name": "v", "scope": "p.v", "transform": [
+        {"type": "split", "separator": "."}, {"type": "join", "glue": ";"}]},
+     "split on '.' stays literal"),
+    ({"name": "v", "scope": "p.v", "transform": [
+        {"type": "split", "separator": "("}]},
+     "split on '(' stays literal"),
+    ({"name": "v", "scope": "p.v", "transform": [
+        {"type": "split", "separator": "*|"}]},
+     "split on '*|' stays literal"),
 ]
 
 
