@@ -342,17 +342,19 @@ def simhash(
     """
     tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
            .withColumn("h", F.xxhash64("t")))
+    # vote_i = (+1 per set bit, -1 per clear bit) = 2*sum(bit_i) - n:
+    # plain bit-extraction sums (branch-free, codegen-friendly) plus
+    # one count replace 64 conditional aggregates — identical votes.
     votes = [
-        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(F.count("*").alias("_n"), *votes)
     # Full width: bit 63's weight in a signed long is -2^63 (two's
     # complement), so the top bit is emitted without overflow and
     # bits=64 really yields 64 effective bits (ADVICE r01).
     out_bits = [
-        F.when(F.col(f"b{i}") > 0,
+        F.when(F.col(f"s{i}") * 2 > F.col("_n"),
                F.lit(-(1 << i) if i == 63 else (1 << i)).cast("long"))
         .otherwise(F.lit(0).cast("long"))
         for i in range(bits)
