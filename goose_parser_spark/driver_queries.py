@@ -39,14 +39,68 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Oracle-scale corpus amplifier (VERDICT r02 #4): hash-match checks
+# must exercise >10^4 documents, but the raw documents table has only
+# 500 rows at sf<=0.01. ×23 → 11,500 docs (10,948 distinct texts).
+_AMP = 23
+
+
+def _documents_amplified(spark: SparkSession, sf_dir: str,
+                         vary_text: bool = False) -> DataFrame:
+    """Deterministically amplify documents ×``_AMP``: replica ``r`` of
+    doc ``d`` gets ``doc_id = d*_AMP + r`` (a Generate node — no join,
+    no shuffle; extraction stays a map-only stage).
+
+    ``vary_text=True`` (dedup/pair queries): every non-final token is
+    suffixed with ``~r`` — an INJECTIVE token mapping, so Jaccard /
+    minhash / chunk-dup relationships WITHIN a replica family are
+    exactly those of the base corpus, while cross-family shingle
+    overlap is zero (shingles span ≥2 modified tokens). Without this,
+    23 byte-identical copies per doc would form 23-cliques and blow
+    pair outputs/oracle joins up quadratically.
+
+    ``vary_text=False`` (extraction/transform/map-only queries):
+    byte-identical copies under distinct doc_ids/urls.
+
+    Mirrored in SQL by the ``_SQL_DOCS_AMP_*`` CTEs. Test-scale corpus
+    synthesis only — at 100 TB the corpus is already big.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    amped = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_AMP - 1))).alias("rep"))
+    text = F.col("text")
+    if vary_text:
+        text = F.replace(
+            F.col("text"), F.lit(" "),
+            F.concat(F.lit("~"), F.col("rep").cast("string"), F.lit(" ")))
+    return amped.select(
+        (F.col("doc_id") * _AMP + F.col("rep")).alias("doc_id"),
+        text.alias("text"), "lang", "source", "n_chars")
+
+
+_SQL_DOCS_AMP_COPY = f"""docs_amp AS (
+  SELECT d.doc_id * {_AMP} + r.range AS doc_id, d.text, d.lang, d.source,
+         d.n_chars
+  FROM documents d CROSS JOIN range({_AMP}) r
+)"""
+
+_SQL_DOCS_AMP_VARIED = f"""docs_amp AS (
+  SELECT d.doc_id * {_AMP} + r.range AS doc_id,
+         replace(d.text, ' ', '~' || CAST(r.range AS VARCHAR) || ' ') AS text,
+         d.lang, d.source, d.n_chars
+  FROM documents d CROSS JOIN range({_AMP}) r
+)"""
+
+
 # --------------------------------------------------------------------------
 # DOM-extraction queries (C1-C8, N1-N5, T1-T7 through the real engine)
 # --------------------------------------------------------------------------
 
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a pages table from documents (deterministic,
-    lossless): one html document embedding title/body/lang/source."""
-    docs = _t(spark, sf_dir, "documents")
+    lossless): one html document embedding title/body/lang/source.
+    Amplified ×_AMP so the extraction oracles exercise >10^4 docs."""
+    docs = _documents_amplified(spark, sf_dir)
     html = F.concat(
         F.lit('<html><body><div class="doc" data-lang="'), F.col("lang"),
         F.lit('"><h1 class="t">doc '), F.col("doc_id").cast("string"),
@@ -90,12 +144,13 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EXTRACT_FLAGSHIP = """
+SQL_EXTRACT_FLAGSHIP = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT 'https://docs.test/' || doc_id AS url,
        'doc ' || doc_id AS title,
        text AS body,
        lang AS doclang
-FROM documents
+FROM docs_amp
 """
 
 
@@ -110,13 +165,14 @@ def q_extract_grid_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", F.inline("extracted"))
 
 
-SQL_EXTRACT_GRID_EXPLODE = """
+SQL_EXTRACT_GRID_EXPLODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT 'https://docs.test/' || doc_id AS url, 'source' AS k, source AS v
-FROM documents
+FROM docs_amp
 UNION ALL
 SELECT 'https://docs.test/' || doc_id AS url, 'n_chars' AS k,
        CAST(n_chars AS VARCHAR) AS v
-FROM documents
+FROM docs_amp
 """
 
 
@@ -132,10 +188,11 @@ def q_extract_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", F.col("extracted.first_tok").alias("first_tok"))
 
 
-SQL_EXTRACT_TRANSFORM_CHAIN = """
+SQL_EXTRACT_TRANSFORM_CHAIN = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT 'https://docs.test/' || doc_id AS url,
        replace(split_part(text, ' ', 1), 'a', 'X') AS first_tok
-FROM documents
+FROM docs_amp
 """
 
 
@@ -151,10 +208,11 @@ def q_extract_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", F.col("extracted.cls").alias("cls"))
 
 
-SQL_EXTRACT_CONDITIONAL = """
+SQL_EXTRACT_CONDITIONAL = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT 'https://docs.test/' || doc_id AS url,
        CASE WHEN n_chars > 200 THEN 'long' ELSE 'doc ' || doc_id END AS cls
-FROM documents
+FROM docs_amp
 """
 
 
@@ -179,12 +237,13 @@ def q_extract_multi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EXTRACT_MULTI_TREE = """
+SQL_EXTRACT_MULTI_TREE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT 'https://docs.test/' || doc_id AS url,
        'doc ' || doc_id AS title,
        lang AS doclang,
        source || ' ' || CAST(n_chars AS VARCHAR) AS first_source
-FROM documents
+FROM docs_amp
 """
 
 
@@ -193,42 +252,46 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def q_t1_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     padded = F.concat(F.lit("  "), F.col("text"), F.lit("  "))
     return docs.select("doc_id", F.trim(padded).alias("trimmed"))
 
 
-SQL_T1_TRIM = "SELECT doc_id, trim('  ' || text || '  ') AS trimmed FROM documents"
+SQL_T1_TRIM = (f"WITH {_SQL_DOCS_AMP_COPY} SELECT doc_id, "
+               "trim('  ' || text || '  ') AS trimmed FROM docs_amp")
 
 
 def q_t2_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     return docs.select(
         "doc_id", F.regexp_replace("text", "the", "THE").alias("replaced"))
 
 
-SQL_T2_REPLACE = ("SELECT doc_id, regexp_replace(text, 'the', 'THE', 'g') "
-                  "AS replaced FROM documents")
+SQL_T2_REPLACE = (f"WITH {_SQL_DOCS_AMP_COPY} SELECT doc_id, "
+                  "regexp_replace(text, 'the', 'THE', 'g') "
+                  "AS replaced FROM docs_amp")
 
 
 def q_t6_split_t4_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     return docs.select(
         "doc_id", F.split_part("text", F.lit(" "), F.lit(1)).alias("first_tok"))
 
 
-SQL_T6_SPLIT_T4_PICK = ("SELECT doc_id, split_part(text, ' ', 1) AS first_tok "
-                        "FROM documents")
+SQL_T6_SPLIT_T4_PICK = (f"WITH {_SQL_DOCS_AMP_COPY} SELECT doc_id, "
+                        "split_part(text, ' ', 1) AS first_tok "
+                        "FROM docs_amp")
 
 
 def q_t5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     return docs.select(
         "doc_id", F.array_join(F.split("text", " "), ",").alias("joined"))
 
 
-SQL_T5_JOIN = ("SELECT doc_id, array_to_string(string_split(text, ' '), ',') "
-               "AS joined FROM documents")
+SQL_T5_JOIN = (f"WITH {_SQL_DOCS_AMP_COPY} SELECT doc_id, "
+               "array_to_string(string_split(text, ' '), ',') "
+               "AS joined FROM docs_amp")
 
 
 def q_c6_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,15 +349,16 @@ SELECT user_id, event_type, event_id FROM (
 
 
 def q_a3_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.when(F.col("lang") == "en", F.upper("text"))
          .otherwise(F.lower("text")).alias("cased"))
 
 
-SQL_A3_CONDITIONAL = ("SELECT doc_id, CASE WHEN lang = 'en' THEN upper(text) "
-                      "ELSE lower(text) END AS cased FROM documents")
+SQL_A3_CONDITIONAL = (f"WITH {_SQL_DOCS_AMP_COPY} SELECT doc_id, "
+                      "CASE WHEN lang = 'en' THEN upper(text) "
+                      "ELSE lower(text) END AS cased FROM docs_amp")
 
 
 # --------------------------------------------------------------------------
@@ -302,21 +366,22 @@ SQL_A3_CONDITIONAL = ("SELECT doc_id, CASE WHEN lang = 'en' THEN upper(text) "
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    return exact_dedup(_documents_amplified(spark, sf_dir, vary_text=True))
 
 
-SQL_DEDUP_EXACT = ("SELECT min(doc_id) AS doc_id, text FROM documents "
-                   "GROUP BY text")
+SQL_DEDUP_EXACT = (f"WITH {_SQL_DOCS_AMP_VARIED} SELECT min(doc_id) "
+                   "AS doc_id, text FROM docs_amp GROUP BY text")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                               n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _documents_amplified(spark, sf_dir, vary_text=True),
+        n=3, threshold=0.5)
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
   WHERE len(string_split(text, ' ')) >= 3
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[u:u+2], ' ') AS sh
@@ -340,14 +405,15 @@ WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64-based → no SQL oracle;
     pytest validates it against exact Jaccard (rows-only driver check)."""
-    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
-                             n=3, num_hashes=32, bands=8, threshold=0.5)
+    return minhash_lsh_dedup(
+        _documents_amplified(spark, sf_dir, vary_text=True),
+        n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only driver check; hamming-pair
     semantics pytest-validated)."""
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_documents_amplified(spark, sf_dir, vary_text=True))
 
 
 # --------------------------------------------------------------------------
@@ -390,15 +456,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     output equals the exact-Jaccard oracle's components; LSH
     candidates are still exact-verified before clustering."""
     from goose_parser_spark.ops.dedup import connected_components
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir, vary_text=True)
     pairs = minhash_lsh_dedup(docs, n=3, num_hashes=32, bands=32,
                               threshold=0.5)
     return connected_components(docs.select("doc_id"), pairs)
 
 
-SQL_DEDUP_CLUSTERS = """
-WITH RECURSIVE tok AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_DOCS_AMP_VARIED}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
   WHERE len(string_split(text, ' ')) >= 3
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[u:u+2], ' ') AS sh
@@ -419,7 +485,7 @@ WITH RECURSIVE tok AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ), reach(node, root) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM docs_amp
   UNION
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
 )
@@ -452,7 +518,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline actually trains on."""
     from goose_parser_spark.ops.dedup import (
         connected_components, keep_canonical)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir, vary_text=True)
     pairs = minhash_lsh_dedup(docs, n=3, num_hashes=32, bands=32,
                               threshold=0.5)
     clusters = connected_components(docs.select("doc_id"), pairs)
@@ -461,7 +527,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_KEEP_CANONICAL = SQL_DEDUP_CLUSTERS.replace(
     "SELECT node AS doc_id, min(root) AS canonical_id\nFROM reach GROUP BY node",
-    """SELECT d.doc_id, d.text FROM documents d
+    """SELECT d.doc_id, d.text FROM docs_amp d
 JOIN (SELECT node AS doc_id, min(root) AS canonical_id
       FROM reach GROUP BY node) c
   ON d.doc_id = c.doc_id AND c.doc_id = c.canonical_id""")
@@ -472,14 +538,15 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated anywhere in the corpus (the paragraph-dedup signal;
     boundary-free chunk mode — testdata has no newlines)."""
     from goose_parser_spark.ops.dedup import paragraph_dup_stats
-    return paragraph_dup_stats(_t(spark, sf_dir, "documents"),
-                               chunk_words=10)
+    return paragraph_dup_stats(
+        _documents_amplified(spark, sf_dir, vary_text=True),
+        chunk_words=10)
 
 
-SQL_DEDUP_PARAGRAPHS = """
-WITH tok AS (
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS w
-  FROM documents
+  FROM docs_amp
 ), units AS (
   SELECT doc_id, array_to_string(w[u * 10 + 1 : u * 10 + 10], ' ') AS unit
   FROM (SELECT doc_id, w,
@@ -584,7 +651,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (exact recall by construction; xxhash64-seeded → no SQL
     oracle, brute-force-equality pytest instead)."""
     from goose_parser_spark.ops.dedup import simhash_pairs
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(_documents_amplified(spark, sf_dir, vary_text=True),
+                         max_hamming=3)
 
 
 # --------------------------------------------------------------------------
@@ -592,10 +660,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_stats(_t(spark, sf_dir, "documents")).drop("quality")
+    return text_stats(_documents_amplified(spark, sf_dir)).drop("quality")
 
 
-SQL_TEXT_STATS = """
+SQL_TEXT_STATS = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        length(text) AS n_chars,
@@ -620,32 +689,34 @@ SELECT doc_id,
          ELSE 'und'
        END AS lang_pred,
        md5(text) AS fingerprint
-FROM documents
+FROM docs_amp
 """
 
 
 def q_text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token-count proxy (letter runs + digit runs + marks)."""
     from goose_parser_spark.ops.textstats import subword_count
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     return docs.select("doc_id", subword_count("text").alias("n_subwords"))
 
 
-SQL_TEXT_SUBWORD_COUNT = """
+SQL_TEXT_SUBWORD_COUNT = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
            AS n_subwords
-FROM documents
+FROM docs_amp
 """
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goose_parser_spark.ops.textstats import quality_score
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
-SQL_TEXT_QUALITY = """
+SQL_TEXT_QUALITY = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
   round(least(1.0,
     (len(list_filter(string_split(text,' '), w -> w IN
@@ -656,7 +727,7 @@ SELECT doc_id,
     + (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
        / length(text)) * 0.3
   ), 6) AS quality
-FROM documents
+FROM docs_amp
 """
 
 
@@ -666,7 +737,7 @@ def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one count agg + TakeOrdered; ties break on the
     ngram text for cross-engine determinism."""
     from goose_parser_spark.ops.dedup import shingles, tokens
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     grams = (docs.where(F.size(tokens("text")) >= 3)
              .select(F.explode(shingles("text", 3)).alias("ngram")))
     return (grams.groupBy("ngram").agg(F.count("*").alias("n"))
@@ -674,9 +745,9 @@ def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
-SQL_TEXT_TOP_NGRAMS = """
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+SQL_TEXT_TOP_NGRAMS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
   WHERE len(string_split(text, ' ')) >= 3
 ), grams AS (
   SELECT array_to_string(w[u:u+2], ' ') AS ngram
@@ -691,15 +762,15 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules (Rae et al. 2021 App. A subset):
     per-doc signals + keep verdict, shuffle-free projection."""
     from goose_parser_spark.ops.textstats import gopher_quality
-    return gopher_quality(_t(spark, sf_dir, "documents"))
+    return gopher_quality(_documents_amplified(spark, sf_dir))
 
 
-SQL_TEXT_GOPHER_QUALITY = r"""
-WITH base AS (
+SQL_TEXT_GOPHER_QUALITY = rf"""
+WITH {_SQL_DOCS_AMP_COPY}, base AS (
   SELECT doc_id, text,
          list_filter(string_split(text, ' '), w -> w != '') AS words,
          string_split(text, chr(10)) AS lines
-  FROM documents
+  FROM docs_amp
 ), sig AS (
   SELECT doc_id,
     len(words) AS n_words,
@@ -731,19 +802,19 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (explode → tf agg → df agg →
     idf join → per-doc window; narrow shuffle keys, never the text)."""
     from goose_parser_spark.ops.textstats import tfidf_top_terms
-    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return tfidf_top_terms(_documents_amplified(spark, sf_dir), k=3)
 
 
-SQL_TEXT_TFIDF_TOP_TERMS = """
-WITH tok AS (
+SQL_TEXT_TFIDF_TOP_TERMS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split(text, ' '), w -> w != '')) AS term
-  FROM documents
+  FROM docs_amp
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
 ), dfreq AS (
   SELECT term, count(*) AS df_ FROM tf GROUP BY 1
-), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs_amp)
 SELECT doc_id, term, round(score, 4) AS score, rank FROM (
   SELECT tf.doc_id, tf.term,
          tf.tf * ln(n_docs * 1.0 / df_) AS score,
@@ -762,7 +833,7 @@ SELECT doc_id, term, round(score, 4) AS score, rank FROM (
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched feature extraction (decode step
     stubbed; byte-level metadata oracle-checked)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     with_payload = attach_payload(docs)
     feats = extract_features(with_payload)
     meta = with_payload.select(
@@ -771,11 +842,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bytes", "payload_sha256"))
 
 
-SQL_MULTIMODAL_FEATURES = """
+SQL_MULTIMODAL_FEATURES = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        sha256(text) AS payload_sha256
-FROM documents
+FROM docs_amp
 """
 
 
@@ -787,7 +859,7 @@ def _boilerplate_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages with heavy chrome (nav/sidebar/footer, link soup) around
     an <article> holding the document text — the boilerplate-strip
     heuristic must recover exactly the article text."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     html = F.concat(
         F.lit('<html><body><div class="header nav">'
               '<a href="/">Home</a><a href="/a">About</a>'
@@ -815,9 +887,10 @@ def q_maincontent_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages).select("url", "main_text")
 
 
-SQL_MAINCONTENT_STRIP = """
+SQL_MAINCONTENT_STRIP = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT 'https://docs.test/' || doc_id AS url, text AS main_text
-FROM documents
+FROM docs_amp
 """
 
 
@@ -825,13 +898,14 @@ def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout plumbing: binary payloads → per-page text rows
     (codec stubbed deterministically — ops/layout.py)."""
     from goose_parser_spark.ops.layout import extract_pdf_pages
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     with_payload = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return extract_pdf_pages(with_payload)
 
 
-SQL_PDF_PAGES = """
+SQL_PDF_PAGES = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
        CAST(u AS INT) AS page_no,
        substring(text, u * 512 + 1, 512) AS page_text,
@@ -839,7 +913,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id, text,
          unnest(range(0, CAST(ceil(greatest(length(text), 1) / 512.0) AS BIGINT))) AS u
-  FROM documents
+  FROM docs_amp
 )
 """
 
@@ -1035,7 +1109,7 @@ def q_i1_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic url-hash bucketing (I1): bucket histogram over a
     synthetic url column. xxhash64 differs from anything DuckDB has →
     rows-only driver check; determinism is pytest-asserted."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _documents_amplified(spark, sf_dir)
     urls = docs.select(
         F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
          .alias("url"))

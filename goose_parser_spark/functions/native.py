@@ -61,11 +61,28 @@ def _is_native_safe(spec: dict, input_is_array: bool) -> tuple[bool, bool]:
     return (False, input_is_array)
 
 
+# Transform types whose VALUE SHAPE (scalar vs array) is statically
+# known. Anything outside this set — user-registered custom transforms
+# in particular — may convert scalar<->array at runtime, so the static
+# shape walk below would mis-classify every later step (ADVICE r02).
+_KNOWN_SHAPE_TYPES = frozenset(
+    {"trim", "split", "pick", "join", "replace", "date", "decodeHTML",
+     "match"})
+
+
 def python_prefix_len(specs: list[dict], input_is_array: bool) -> int:
     """Length of the Python-executed prefix: the smallest k such that
     every step in specs[k:] is native-safe given its static input
-    shape. Returns len(specs) when nothing lowers."""
+    shape. Returns len(specs) when nothing lowers.
+
+    A chain containing ANY unknown/custom transform type never lowers:
+    its runtime output shape is unknowable statically, and a wrong
+    shape guess would surface as an Arrow/analysis type error in the
+    lowered path instead of falling back to Python.
+    """
     n = len(specs)
+    if any(spec.get("type") not in _KNOWN_SHAPE_TYPES for spec in specs):
+        return n
     # static shape before each step
     shapes = [input_is_array]
     for spec in specs:

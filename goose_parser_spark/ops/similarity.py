@@ -21,6 +21,10 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+# one-shot flag for the implicit-approximate-default warning below
+_WARNED_DEFAULT_APPROX = False
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
@@ -95,25 +99,45 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 4,
-    lsh_prefilter: bool = True,
+    lsh_prefilter: bool | None = None,
     num_planes: int = 4,
     num_tables: int = 4,
     dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``id_a, id_b, sim``.
 
-    ``lsh_prefilter=True`` (the default — this is the path you ship at
-    100 TB): ``num_tables`` independent hyperplane-LSH bucketings,
-    OR-amplified — a pair is a candidate if it collides in ANY table
-    (recall 1-(1-p)^L for per-table collision probability p; measured
-    vs the exact baseline in pytest). Only candidates are cosine-
-    scored — never an all-pairs join. ``lsh_prefilter=False`` is the
-    exact O(n²) self-join — the validation baseline only, never the
-    default (a cartesian-shaped join at corpus scale).
+    .. note:: **The default is APPROXIMATE** (``lsh_prefilter=None`` →
+       LSH blocking). Recall < 1: a true pair missed by ALL
+       ``num_tables`` hyperplane tables is silently dropped (measured
+       recall vs exact lives in tests/test_ops.py). This is the
+       approx-ops-default convention (STATE.md) — the exact path is a
+       cartesian-shaped self-join that cannot run at corpus scale. A
+       one-time warning fires when the default is used implicitly;
+       pass ``lsh_prefilter=True`` explicitly (or ``False`` for the
+       small-data exact baseline) to acknowledge the tradeoff.
+
+    ``lsh_prefilter=True``: ``num_tables`` independent hyperplane-LSH
+    bucketings, OR-amplified — a pair is a candidate if it collides in
+    ANY table (recall 1-(1-p)^L for per-table collision probability
+    p). Only candidates are cosine-scored — never an all-pairs join.
+    ``lsh_prefilter=False`` is the exact O(n²) self-join — the
+    validation baseline only (affordable for small inputs).
 
     Pass ``dims`` to skip the one-row schema probe (a tiny driver
     action otherwise used to size the hyperplanes).
     """
+    if lsh_prefilter is None:
+        global _WARNED_DEFAULT_APPROX
+        if not _WARNED_DEFAULT_APPROX:
+            import warnings
+            warnings.warn(
+                "embedding_cosine_pairs defaults to APPROXIMATE LSH "
+                "blocking (recall < 1; pairs missed by every hash table "
+                "are dropped). Pass lsh_prefilter=True to acknowledge, "
+                "or lsh_prefilter=False for the exact O(n^2) baseline "
+                "on small inputs.", stacklevel=2)
+            _WARNED_DEFAULT_APPROX = True
+        lsh_prefilter = True
     if not lsh_prefilter:
         a = df.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).cast("array<double>").alias("va"))
@@ -192,17 +216,30 @@ def ivf_centroids(
     return centroids
 
 
-def _assign_to_centroids(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(id, v, centroid): nearest-centroid assignment as a Catalyst
-    projection — the centroid table is inlined as literals (it IS the
-    index), so assignment is shuffle-free and fuses with the scan.
+# Above this K, nearest-centroid assignment switches from inlined
+# literals to a broadcast join: a K-term literal array per row is a
+# Catalyst plan-size / codegen blow-up at the K≥10³ a real 100 TB IVF
+# index needs (VERDICT r02 #1). Both paths produce identical
+# assignments (pytest-asserted at the boundary).
+_LITERAL_ASSIGN_MAX_K = 64
 
-    Shape matters: the K distances land in ONE array column and the
-    argmin is ``array_position(d, array_min(d))`` — expression size is
-    linear in K (a chained when(closer,...) alternative doubles the
-    tree per centroid: 2^K nodes, codegen blow-up at K=16).
-    Ties break to the lowest centroid index (first position).
+
+def _assign_to_centroids(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(id, v, centroid): nearest-centroid assignment. Dispatches on K:
+
+    - K ≤ ``_LITERAL_ASSIGN_MAX_K``: centroids inlined as literals —
+      shuffle-free projection that fuses with the scan.
+    - K > threshold: broadcast-join assignment — plan size stays O(1)
+      in K; see :func:`_assign_via_broadcast_join`.
+
+    Ties break to the lowest centroid index on both paths.
     """
+    if len(centroids) > _LITERAL_ASSIGN_MAX_K:
+        return _assign_via_broadcast_join(vecs, centroids)
+    # Shape matters: the K distances land in ONE array column and the
+    # argmin is ``array_position(d, array_min(d))`` — expression size
+    # is linear in K (a chained when(closer,...) alternative doubles
+    # the tree per centroid: 2^K nodes, codegen blow-up at K=16).
     dist_exprs = []
     for c in centroids:
         carr = F.array(*[F.lit(float(x)) for x in c])
@@ -214,6 +251,41 @@ def _assign_to_centroids(vecs: DataFrame, centroids: list[list[float]]) -> DataF
         "id", "v",
         (F.array_position(F.col("_d"), F.array_min("_d")) - 1)
         .cast("int").alias("centroid"))
+
+
+def _assign_via_broadcast_join(vecs: DataFrame,
+                               centroids: list[list[float]]) -> DataFrame:
+    """Large-K assignment: broadcast the K×dims centroid TABLE (it IS
+    the index — the only legitimately bounded broadcast here), cross
+    join, score, and min_by-reduce back to one row per vector.
+
+    Plan properties at 100 TB: the broadcast side is K rows regardless
+    of corpus size; the cross join fans each vector out ×K inside its
+    task (no shuffle); the ``min_by`` groupBy partial-aggregates
+    map-side, collapsing the ×K back to one row per vector BEFORE the
+    exchange — so the shuffle moves exactly one (id, v, centroid) row
+    per vector, the same volume as any repartition of the vector
+    table. Expression tree is O(1) in K.
+
+    Tie-break parity with the literal path: ``min_by`` over the
+    (dist, cid) struct orders lexicographically → lowest distance,
+    then lowest centroid index (== array_position's first match).
+    """
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>")
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (vecs.join(F.broadcast(cdf))
+              .select("id", "v", F.struct(dist.alias("d"),
+                                          F.col("cid").alias("cid"))
+                      .alias("_dc")))
+    return (scored.groupBy("id")
+            .agg(F.any_value(F.col("v")).alias("v"),
+                 F.min(F.col("_dc")).alias("_best"))
+            .select("id", "v", F.col("_best.cid").alias("centroid")))
 
 
 def ivf_topk(

@@ -139,9 +139,25 @@ class ExtractJob:
             return
         if "buckets" not in m.columns:  # metrics written pre-upgrade
             return
-        row = m.select("buckets", "url_col", "rules_sha256").head()
-        if row is None:
+        # ADVICE r02: a metrics dir can mix pre-upgrade rows (config
+        # columns NULL under schema evolution) with new rows — .head()
+        # made validation depend on which row Spark sampled. Check ALL
+        # distinct non-null config tuples instead: deterministic, and a
+        # dir written under two different configs is itself an error.
+        rows = (m.select("buckets", "url_col", "rules_sha256")
+                .where(F.col("buckets").isNotNull()
+                       & F.col("url_col").isNotNull()
+                       & F.col("rules_sha256").isNotNull())
+                .distinct().collect())  # ≤ #configs rows, never per-doc
+        if not rows:
             return
+        if len(rows) > 1:
+            raise ValueError(
+                f"resume config mismatch: metrics at {self.metrics_dir} "
+                f"carry {len(rows)} distinct (buckets, url_col, "
+                "rules_sha256) configs — the output dir mixes runs with "
+                "incompatible bucket membership. Use a fresh output_dir.")
+        row = rows[0]
         if row["buckets"] != self.buckets:
             raise ValueError(
                 f"resume config mismatch: output at {self.metrics_dir} was "

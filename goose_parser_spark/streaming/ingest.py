@@ -111,8 +111,11 @@ def stream_dedup_exact(
             cand = pdf.sort_values("url").iloc[:1]
             if first is None or cand["url"].iloc[0] < first["url"].iloc[0]:
                 first = cand
-        state.update((1,))
+        # mark seen ONLY when a survivor was actually emitted — if the
+        # runner ever hands us all-empty chunks, the key must stay
+        # unseen so a later sighting still emits (ADVICE r02)
         if first is not None:
+            state.update((1,))
             yield first
 
     dedup = (keyed.groupBy("content_h")

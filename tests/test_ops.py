@@ -148,7 +148,8 @@ def test_decode_stub_contract():
 def test_entry_contract(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
-    assert df.count() == 500
+    # flagship runs over the ×23-amplified corpus (VERDICT r02 #4)
+    assert df.count() == 500 * 23
     assert set(df.columns) == {"url", "title", "body", "doclang"}
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -162,9 +163,17 @@ def test_embedding_cosine_pairs_exact_vs_lsh(spark, emb):
              embedding_cosine_pairs(emb, threshold=0.45,
                                     lsh_prefilter=False).collect()}
     # the shipped default: OR-amplified blocking (4 tables × 4 planes)
-    # returns a subset (candidates collide in ≥1 table) at decent recall
-    approx = {(r["id_a"], r["id_b"]) for r in
-              embedding_cosine_pairs(emb, threshold=0.45).collect()}
+    # returns a subset (candidates collide in ≥1 table) at decent recall.
+    # Leaving lsh_prefilter at its implicit default must warn ONCE
+    # (ADVICE r02: the approx default is a silent recall<1 tradeoff).
+    import warnings
+    from goose_parser_spark.ops import similarity as _sim
+    _sim._WARNED_DEFAULT_APPROX = False
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        approx_df = embedding_cosine_pairs(emb, threshold=0.45)
+        assert any("APPROXIMATE" in str(w.message) for w in caught)
+    approx = {(r["id_a"], r["id_b"]) for r in approx_df.collect()}
     assert approx <= exact
     assert exact, "testdata should contain cosine near-dups at 0.45"
     recall = len(approx) / len(exact)
@@ -329,3 +338,66 @@ def test_paragraph_dup_stats_chunk_mode(spark):
     # both docs share the identical first 10-word chunk; tails differ
     assert out[1]["n_units"] == 2 and out[1]["n_dup_units"] == 1
     assert out[2]["n_dup_units"] == 1
+
+
+def test_ivf_assignment_join_path_equals_literal_path(spark, emb):
+    """VERDICT r02 #1: the broadcast-join assignment (large K) must
+    produce exactly the literal-projection assignment, including
+    lowest-index tie-breaks on duplicated centroids."""
+    from goose_parser_spark.ops.similarity import (
+        _assign_to_centroids, _assign_via_broadcast_join, ivf_centroids)
+    cents = ivf_centroids(emb, n_centroids=8, iters=1)
+    # duplicate centroid 0 so ties exist: both paths must break to the
+    # LOWEST centroid index
+    cents_with_dup = cents + [list(cents[0])]
+    vecs = emb.selectExpr("vec_id as id",
+                          "cast(embedding as array<double>) as v")
+    lit_path = {(r["id"], r["centroid"]) for r in
+                _assign_to_centroids(vecs, cents_with_dup).collect()}
+    join_path = {(r["id"], r["centroid"]) for r in
+                 _assign_via_broadcast_join(vecs, cents_with_dup).collect()}
+    assert lit_path == join_path
+    assert not any(c == len(cents_with_dup) - 1 for _, c in join_path)
+
+
+def test_ivf_large_k_uses_broadcast_join_and_plan_stays_small(spark, emb):
+    """At K=256 the assignment must be the broadcast-join path: plan
+    size O(1) in K (no K×dims literal array per row), the broadcast
+    side is the bounded K-row centroid table, and min_by partial-
+    aggregates map-side so the shuffle moves one row per vector."""
+    from goose_parser_spark.ops.similarity import (
+        _LITERAL_ASSIGN_MAX_K, _assign_to_centroids, _hyperplane)
+    K = 256
+    assert K > _LITERAL_ASSIGN_MAX_K
+    cents = [[_hyperplane(k, d) for d in range(64)] for k in range(K)]
+    vecs = emb.selectExpr("vec_id as id",
+                          "cast(embedding as array<double>) as v")
+    assigned = _assign_to_centroids(vecs, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan), plan[:500]
+    # literal inlining at K=256 × 64 dims would put ~16k float literals
+    # in the plan string; the join plan must stay compact
+    assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+    assert "partial_min" in plan  # map-side collapse before the exchange
+    counts = assigned.groupBy("centroid").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    # synthetic sin-hash centroids aren't uniform in embedding space;
+    # just require a real spread (assignment isn't degenerate)
+    assert len(counts) >= 10
+
+
+def test_ivf_topk_end_to_end_on_large_k(spark, emb):
+    """ivf_topk through the broadcast-join assignment (K>threshold):
+    still returns k rows with sane recall vs brute force."""
+    from goose_parser_spark.ops.similarity import cosine_topk, ivf_topk
+    row = emb.where(F.col("vec_id") == 1).select("embedding").head()
+    q = [float(x) for x in row["embedding"]]
+    base = emb.where("vec_id != 1")
+    exact = [r["vec_id"] for r in cosine_topk(base, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(base, q, k=10, n_centroids=80, n_probe=40,
+                       iters=1).collect()]
+    assert len(approx) == 10
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.4, (exact, approx)
