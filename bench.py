@@ -32,6 +32,10 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_ARENA_MAX", "4")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+# the ×23 oracle-scale corpus amplifier (driver_queries._AMP) exists
+# for CORRECTNESS-gate scale; the bench headline list must stay
+# comparable round over round, so bench times the unamplified queries
+os.environ.setdefault("GOOSE_ORACLE_AMP", "1")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -224,6 +228,95 @@ def _extraction_run(spark, pages_path: str) -> tuple[float, int]:
     return dt, row["n"]
 
 
+def _scaling_run(levels: tuple[int, int], reps: int) -> dict[str, object]:
+    """Measure throughput at two parallelism levels and the scaling
+    efficiency between them (the sandbox proxy for N vs 4N executors).
+
+    This Firecracker guest's service rate drifts ±20-50% minute to
+    minute (worst observed: same 4-core job 29s vs 71s) and hypervisor
+    STEAL hits wide runs hardest. Defenses:
+    (1) the two levels run BACK-TO-BACK inside each rep so a window's
+        noise hits both sides of the ratio;
+    (2) per-rep ratios above 1.05 are physically impossible for true
+        efficiency (wide CANNOT beat 4× narrow throughput) and mark a
+        window that crushed the narrow side — such reps are DISCARDED
+        before taking the median (VERDICT r02: the raw per-rep list is
+        still published for transparency);
+    (3) the reported efficiency is the MEDIAN of the plausible per-rep
+        ratios — a single bad window cannot set the number;
+    (4) each level is PINNED to a proportional CPU budget (2×cores
+        CPUs: K task threads + K python workers) — an unpinned narrow
+        job floats to healthy vCPUs in degraded windows while the wide
+        one cannot, skewing the ratio; pinning is also the honest
+        cluster proxy (a real executor has a fixed core budget).
+    Steal time is sampled around every timed run and reported.
+    """
+    best: dict[int, float] = {c: float("inf") for c in levels}
+    docs = 0
+    rep_effs: list[float] = []
+    steal_max = 0.0
+    for rep in range(reps):
+        thr: dict[int, float] = {}
+        # alternate level ORDER per rep: monotone host drift within a
+        # rep would otherwise bias the same side of every ratio
+        order = levels if rep % 2 == 0 else tuple(reversed(levels))
+        for cores in order:
+            prev_aff = None
+            try:
+                prev_aff = os.sched_getaffinity(0)
+                # rotate the pinned CPU block per rep: if a subset of
+                # vCPUs is degraded (guest-invisible host contention —
+                # observed rep ratios of 0.49 with 0% steal), a FIXED
+                # narrow pin set samples the same cores every rep;
+                # rotation lets the median see healthy windows
+                budget = min(cores * 2, CPUS)
+                start = (rep * budget) % max(CPUS - budget + 1, 1)
+                os.sched_setaffinity(0, set(range(start, start + budget)))
+            except (AttributeError, OSError):
+                pass  # non-Linux: run unpinned
+            try:
+                s = _session(cores)
+                s.sparkContext.setLogLevel("ERROR")
+                scale_path = _ensure_bench_pages(s, SCALE_PAGES, SCALE_CACHE)
+                warm_path = _ensure_bench_pages(s, WARM_PAGES, WARM_CACHE)
+                # warm JIT/page-cache/workers on the small corpus,
+                # then one timed run on the big one
+                _tune_splits(s, warm_path, cores)
+                _extraction_run(s, warm_path)
+                _tune_splits(s, scale_path, cores)
+                st0 = _cpu_times()
+                sec, docs = _extraction_run(s, scale_path)
+                steal_max = max(steal_max, _steal_share(st0))
+                thr[cores] = docs / sec
+                best[cores] = min(best[cores], sec)
+                s.stop()
+            finally:
+                if prev_aff is not None:
+                    os.sched_setaffinity(0, prev_aff)
+        rep_effs.append((thr[levels[1]] / thr[levels[0]]) / 4.0)
+    rep_effs.sort()
+    plausible = [e for e in rep_effs if e <= 1.05]
+    throughput = {c: docs / best[c] for c in levels}
+    # best-of-per-level ratio: each level takes its cleanest window
+    # across reps — the fallback when every rep was corrupted
+    eff_bestof = (throughput[levels[1]] / throughput[levels[0]]) / 4.0
+    if plausible:
+        eff = plausible[len(plausible) // 2]
+    else:
+        eff = min(eff_bestof, 1.0)
+    return {
+        "levels": list(levels),
+        f"local{levels[0]}_docs_per_sec": round(throughput[levels[0]], 1),
+        f"local{levels[1]}_docs_per_sec": round(throughput[levels[1]], 1),
+        "efficiency": round(eff, 3),
+        "efficiency_bestof_levels": round(eff_bestof, 3),
+        "efficiency_per_rep": [round(e, 3) for e in rep_effs],
+        "reps_discarded_implausible": len(rep_effs) - len(plausible),
+        "all_reps_implausible": not plausible,
+        "host_steal_pct_max": round(steal_max * 100, 1),
+    }
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -261,81 +354,20 @@ def main() -> int:
         assert n >= 0
 
     scaling: dict[str, object] = {}
+    scaling_secondary: dict[str, object] = {}
     if SCALING:
         spark.stop()
-        levels = (SCALE_N, SCALE_N * 4)
-        # This Firecracker guest's service rate drifts ±20-50% minute
-        # to minute (worst observed: same 4-core job 29s vs 71s) and
-        # hypervisor STEAL hits wide runs hardest. Three defenses:
-        # (1) the two levels run BACK-TO-BACK inside each rep so a
-        #     window's noise hits both sides of the ratio;
-        # (2) the reported efficiency is the MEDIAN of the per-rep
-        #     ratios — a single bad window can no longer set the number;
-        # (3) each level is PINNED to a proportional CPU budget
-        #     (2×cores CPUs: K task threads + K python workers) — an
-        #     unpinned narrow job floats to healthy vCPUs in degraded
-        #     windows while the wide one cannot, skewing the ratio;
-        #     pinning is also the honest cluster proxy (a real executor
-        #     has a fixed core budget). Measured: pinning cut per-rep
-        #     spread from 0.71-0.84 to 0.79-0.87 in a degraded window.
-        # Steal time is sampled around every timed run and reported as
-        # evidence of host conditions.
-        best: dict[int, float] = {c: float("inf") for c in levels}
-        docs = 0
-        reps = int(os.environ.get("GOOSE_BENCH_SCALE_REPS", "3"))
-        rep_effs: list[float] = []
-        steal_max = 0.0
-        for _rep in range(reps):
-            thr: dict[int, float] = {}
-            for cores in levels:
-                prev_aff = None
-                try:
-                    prev_aff = os.sched_getaffinity(0)
-                    os.sched_setaffinity(0, set(range(min(cores * 2, CPUS))))
-                except (AttributeError, OSError):
-                    pass  # non-Linux: run unpinned
-                try:
-                    s = _session(cores)
-                    s.sparkContext.setLogLevel("ERROR")
-                    scale_path = _ensure_bench_pages(s, SCALE_PAGES, SCALE_CACHE)
-                    warm_path = _ensure_bench_pages(s, WARM_PAGES, WARM_CACHE)
-                    # warm JIT/page-cache/workers on the small corpus,
-                    # then one timed run on the big one
-                    _tune_splits(s, warm_path, cores)
-                    _extraction_run(s, warm_path)
-                    _tune_splits(s, scale_path, cores)
-                    st0 = _cpu_times()
-                    sec, docs = _extraction_run(s, scale_path)
-                    steal_max = max(steal_max, _steal_share(st0))
-                    thr[cores] = docs / sec
-                    best[cores] = min(best[cores], sec)
-                    s.stop()
-                finally:
-                    if prev_aff is not None:
-                        os.sched_setaffinity(0, prev_aff)
-            rep_effs.append((thr[levels[1]] / thr[levels[0]]) / 4.0)
-        rep_effs.sort()
-        eff_median = rep_effs[len(rep_effs) // 2]
-        throughput = {c: docs / best[c] for c in levels}
-        # best-of-per-level ratio: each level takes its cleanest window
-        # across reps — robust when a window crushes ONE side of a rep
-        # (a per-rep ratio above 1.0 is physically impossible for true
-        # efficiency, so such reps are corrupted measurements)
-        eff_bestof = (throughput[levels[1]] / throughput[levels[0]]) / 4.0
-        if eff_median <= 1.0:
-            eff = eff_median
-        else:
-            eff = min(eff_bestof, 1.0)
-        scaling = {
-            "levels": list(levels),
-            f"local{levels[0]}_docs_per_sec": round(throughput[levels[0]], 1),
-            f"local{levels[1]}_docs_per_sec": round(throughput[levels[1]], 1),
-            "efficiency": round(eff, 3),
-            "efficiency_median_of_reps": round(eff_median, 3),
-            "efficiency_bestof_levels": round(eff_bestof, 3),
-            "efficiency_per_rep": [round(e, 3) for e in rep_effs],
-            "host_steal_pct_max": round(steal_max * 100, 1),
-        }
+        reps = int(os.environ.get("GOOSE_BENCH_SCALE_REPS", "5"))
+        scaling = _scaling_run((SCALE_N, SCALE_N * 4), reps)
+        # secondary evidence at the next-wider proxy (4→16): one rep,
+        # reported alongside — the 4N=16 level busies ~32 hw threads,
+        # so its pure-compute ceiling is 0.894 (tools/scaling_probe.py),
+        # already below a naive reading; published for transparency.
+        sec_n = int(os.environ.get("GOOSE_BENCH_SCALE_N2", "4"))
+        if sec_n and sec_n != SCALE_N:
+            scaling_secondary = _scaling_run(
+                (sec_n, sec_n * 4),
+                int(os.environ.get("GOOSE_BENCH_SCALE_REPS2", "2")))
 
     total = round(sum(results.values()), 3)
     out = {
@@ -350,6 +382,7 @@ def main() -> int:
             "docs_per_sec": round(ext_docs / ext_sec, 1),
         },
         "scaling": scaling,
+        "scaling_secondary": scaling_secondary,
     }
     print(json.dumps(out))
     _write_md(out)
@@ -382,16 +415,34 @@ def _write_md(out: dict) -> None:
             f"- local[{lo}]:  **{sc[f'local{lo}_docs_per_sec']} docs/sec** (best-of)",
             f"- local[{hi}]: **{sc[f'local{hi}_docs_per_sec']} docs/sec** (best-of)",
             f"- efficiency (thr{hi}/thr{lo})/4 = **{sc['efficiency']}** "
-            f"(target ≥ 0.8, BASELINE.json:2) — median of per-rep "
-            f"back-to-back ratios {sc.get('efficiency_per_rep')} "
-            f"(median {sc.get('efficiency_median_of_reps')}, "
-            f"best-of-per-level {sc.get('efficiency_bestof_levels')}; a "
-            f"rep ratio above 1.0 is physically impossible and marks a "
-            f"window that crushed one side — then the best-of-per-level "
-            f"estimator is reported instead)",
+            f"(target ≥ 0.8, BASELINE.json:2) — median of PLAUSIBLE "
+            f"per-rep back-to-back ratios {sc.get('efficiency_per_rep')} "
+            f"({sc.get('reps_discarded_implausible')} rep(s) above the "
+            f"physically-possible 1.05 discarded as corrupted windows; "
+            f"best-of-per-level {sc.get('efficiency_bestof_levels')} is "
+            f"the fallback when every rep is corrupted)",
             f"- max hypervisor steal observed during timed runs: "
             f"**{sc.get('host_steal_pct_max')}%** of CPU time",
             "",
+        ]
+        sc2 = out.get("scaling_secondary") or {}
+        if sc2:
+            lo2, hi2 = sc2["levels"]
+            lines += [
+                f"Secondary evidence at the next-wider proxy "
+                f"local[{lo2}]→local[{hi2}] (single rep; the {hi2}-core "
+                f"level busies ~{hi2 * 2} hw threads, where the box's "
+                "PURE-COMPUTE ceiling is already 0.894 at 4→16 / 0.746 "
+                "at 8→32 per tools/scaling_probe.py):",
+                "",
+                f"- local[{lo2}]:  **{sc2[f'local{lo2}_docs_per_sec']} docs/sec**",
+                f"- local[{hi2}]: **{sc2[f'local{hi2}_docs_per_sec']} docs/sec**",
+                f"- efficiency = **{sc2['efficiency']}** (per-rep "
+                f"{sc2.get('efficiency_per_rep')}, steal max "
+                f"{sc2.get('host_steal_pct_max')}%)",
+                "",
+            ]
+        lines += [
             "Methodology: each rep measures BOTH levels back-to-back",
             "(the same host-noise window hits both sides of the",
             "ratio); the reported efficiency is the MEDIAN of per-rep",

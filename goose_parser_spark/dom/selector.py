@@ -136,6 +136,26 @@ def _strip_quotes(v: str) -> str:
 
 
 def parse_selector(src: str) -> Selector:
+    """Parse (and INTERN) a selector: identical selector text returns
+    the same parsed object. Interning matters beyond speed — the
+    per-document selector memo (rules/evaluator._DocContext.select)
+    keys on ``id(selector)``, so multi-tenant rule trees sharing scope
+    text only share memo entries when the parsed objects are shared
+    too (extract_many's one-parse-serves-N-trees contract; VERDICT r02
+    #8). Selectors are immutable after parse, so sharing is safe."""
+    cached = _SELECTOR_INTERN.get(src)
+    if cached is not None:
+        return cached
+    sel = _parse_selector_impl(src)
+    if len(_SELECTOR_INTERN) < 65536:  # bound memory on adversarial input
+        _SELECTOR_INTERN[src] = sel
+    return sel
+
+
+_SELECTOR_INTERN: dict[str, "Selector"] = {}
+
+
+def _parse_selector_impl(src: str) -> Selector:
     alternatives: list[Complex] = []
     steps: list[tuple[str, Compound]] = []
     compound = Compound()

@@ -42,7 +42,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Oracle-scale corpus amplifier (VERDICT r02 #4): hash-match checks
 # must exercise >10^4 documents, but the raw documents table has only
 # 500 rows at sf<=0.01. ×23 → 11,500 docs (10,948 distinct texts).
-_AMP = 23
+# Env-tunable so bench.py can pin it to 1: the amplifier exists for
+# ORACLE scale; the bench headline list must stay comparable round
+# over round (r01/r02 timed the unamplified queries).
+import os as _os
+
+_AMP = int(_os.environ.get("GOOSE_ORACLE_AMP", "23"))
 
 
 def _documents_amplified(spark: SparkSession, sf_dir: str,
@@ -925,14 +930,15 @@ FROM (
 def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL host / normalization / registered-domain over a deterministic
     url mix (scheme case, default vs explicit ports, trailing slashes,
-    fragments, multi-label public suffixes). The oracle states the
-    hand-computed expected values per variant — a true specification
-    check, not a re-implementation."""
+    fragments, multi-label public suffixes, PSL wildcard `*.ck`,
+    exception `!www.ck`, and .jp geographic rules — VERDICT r02 #5).
+    The oracle states the hand-computed expected values per variant — a
+    true specification check, not a re-implementation."""
     from goose_parser_spark.ops.urls import (
-        registered_domain, url_host, url_normalize,
+        registered_domain_psl, url_host, url_normalize,
     )
-    docs = _t(spark, sf_dir, "documents")
-    v = F.col("doc_id") % 10
+    docs = _documents_amplified(spark, sf_dir)
+    v = F.col("doc_id") % 14
     s = F.col("doc_id").cast("string")
     url = (F.when(v == 0, F.concat(F.lit("https://WWW.Example.COM:443/a"), s, F.lit("/?x=1#f")))
             .when(v == 1, F.concat(F.lit("http://news.site.co.uk:80/p"), s, F.lit("/")))
@@ -943,19 +949,27 @@ def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(v == 6, F.concat(F.lit("https://shop.example.com.sg/p"), s))
             .when(v == 7, F.concat(F.lit("http://blog.kiwi.co.nz:80/p"), s, F.lit("/")))
             .when(v == 8, F.concat(F.lit("https://portal.gob.mx/x"), s))
-            .otherwise(F.concat(F.lit("https://www.uni.ac.za:8443/d"), s, F.lit("#frag"))))
-    with_url = docs.select("doc_id", url.alias("url"))
-    return with_url.select(
-        "doc_id",
-        url_host("url").alias("host"),
-        url_normalize("url").alias("norm"),
-        registered_domain("url").alias("domain"),
-    )
+            .when(v == 9, F.concat(F.lit("https://www.uni.ac.za:8443/d"), s, F.lit("#frag")))
+            # PSL wildcard *.ck: tours.ck is itself a public suffix
+            .when(v == 10, F.concat(F.lit("https://shop.tours.ck/x"), s))
+            # PSL exception !www.ck: registrable despite *.ck
+            .when(v == 11, F.concat(F.lit("http://a.www.ck/p"), s))
+            # .jp designated-city exception !city.kawasaki.jp
+            .when(v == 12, F.concat(F.lit("https://foo.city.kawasaki.jp/q"), s))
+            # .jp prefecture (normal 2-label geographic suffix aichi.jp)
+            .otherwise(F.concat(F.lit("https://blog.pref.aichi.jp/r"), s)))
+    base = docs.select(
+        "doc_id", url.alias("url"),
+        url_host(url).alias("host"),
+        url_normalize(url).alias("norm"))
+    return (registered_domain_psl(base, "url")
+            .select("doc_id", "host", "norm", "domain"))
 
 
-SQL_URL_OPS = """
+SQL_URL_OPS = f"""
+WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
-  CASE doc_id % 10
+  CASE doc_id % 14
     WHEN 0 THEN 'www.example.com'
     WHEN 1 THEN 'news.site.co.uk'
     WHEN 2 THEN 'sub.blog.org'
@@ -965,9 +979,13 @@ SELECT doc_id,
     WHEN 6 THEN 'shop.example.com.sg'
     WHEN 7 THEN 'blog.kiwi.co.nz'
     WHEN 8 THEN 'portal.gob.mx'
-    ELSE 'www.uni.ac.za'
+    WHEN 9 THEN 'www.uni.ac.za'
+    WHEN 10 THEN 'shop.tours.ck'
+    WHEN 11 THEN 'a.www.ck'
+    WHEN 12 THEN 'foo.city.kawasaki.jp'
+    ELSE 'blog.pref.aichi.jp'
   END AS host,
-  CASE doc_id % 10
+  CASE doc_id % 14
     WHEN 0 THEN 'https://www.example.com/a' || doc_id || '?x=1'
     WHEN 1 THEN 'http://news.site.co.uk/p' || doc_id
     WHEN 2 THEN 'http://sub.blog.org:8080/' || doc_id
@@ -977,9 +995,13 @@ SELECT doc_id,
     WHEN 6 THEN 'https://shop.example.com.sg/p' || doc_id
     WHEN 7 THEN 'http://blog.kiwi.co.nz/p' || doc_id
     WHEN 8 THEN 'https://portal.gob.mx/x' || doc_id
-    ELSE 'https://www.uni.ac.za:8443/d' || doc_id
+    WHEN 9 THEN 'https://www.uni.ac.za:8443/d' || doc_id
+    WHEN 10 THEN 'https://shop.tours.ck/x' || doc_id
+    WHEN 11 THEN 'http://a.www.ck/p' || doc_id
+    WHEN 12 THEN 'https://foo.city.kawasaki.jp/q' || doc_id
+    ELSE 'https://blog.pref.aichi.jp/r' || doc_id
   END AS norm,
-  CASE doc_id % 10
+  CASE doc_id % 14
     WHEN 0 THEN 'example.com'
     WHEN 1 THEN 'site.co.uk'
     WHEN 2 THEN 'blog.org'
@@ -989,9 +1011,13 @@ SELECT doc_id,
     WHEN 6 THEN 'example.com.sg'
     WHEN 7 THEN 'kiwi.co.nz'
     WHEN 8 THEN 'portal.gob.mx'
-    ELSE 'uni.ac.za'
+    WHEN 9 THEN 'uni.ac.za'
+    WHEN 10 THEN 'shop.tours.ck'
+    WHEN 11 THEN 'www.ck'
+    WHEN 12 THEN 'city.kawasaki.jp'
+    ELSE 'pref.aichi.jp'
   END AS domain
-FROM documents
+FROM docs_amp
 """
 
 
@@ -1105,6 +1131,187 @@ GROUP BY n_name
 """
 
 
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample via md5-threshold on doc_id
+    (ops/sampling.py): reproducible across engines/reruns — the oracle
+    derives the EXACT same subset. At scale: a scan-level filter."""
+    from goose_parser_spark.ops.sampling import sample_by_hash
+    docs = _documents_amplified(spark, sf_dir)
+    return sample_by_hash(docs.select("doc_id", "lang"), "doc_id",
+                          rate=0.1, salt="s1")
+
+
+SQL_SAMPLE_BY_HASH = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id, lang FROM docs_amp
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) < '19999999'
+"""
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap (stratified sampling / per-domain data budget):
+    first 40 docs per source, ordered by doc_id. WindowGroupLimit
+    pre-trims below the exchange (plan-audited)."""
+    from goose_parser_spark.ops.sampling import per_domain_quota
+    docs = _documents_amplified(spark, sf_dir)
+    return per_domain_quota(docs.select("doc_id", "source"),
+                            "source", "doc_id", quota=40)
+
+
+SQL_DOMAIN_QUOTA = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM docs_amp
+) WHERE rn <= 40
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) passage fingerprints: md5-hex k-gram hashes,
+    min per sliding window, distinct per doc — the local-overlap /
+    contamination detector (ops/dedup.py)."""
+    from goose_parser_spark.ops.dedup import winnow_fingerprints
+    docs = _documents_amplified(spark, sf_dir, vary_text=True)
+    return winnow_fingerprints(docs, k=3, window=4)
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+  WHERE len(string_split(text, ' ')) >= 3
+), h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 2),
+                        u -> substr(md5(array_to_string(w[u:u+2], ' ')), 1, 16))
+             AS hs
+  FROM tok
+)
+SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(hs) - 3),
+                        i -> list_min(hs[i:i+3])))) AS fp
+FROM h WHERE len(hs) >= 4
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: per-doc bigram concentration
+    (ops/textstats.py). Narrow (doc, gram) shuffle keys."""
+    from goose_parser_spark.ops.textstats import repetition_stats
+    return repetition_stats(_documents_amplified(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+  WHERE len(string_split(text, ' ')) >= 2
+), grams AS (
+  SELECT doc_id, array_to_string(w[u:u+1], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS u FROM tok)
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c) AS n_bigrams,
+       max(c) AS top_bigram_n,
+       round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac,
+       round(1 - count(*) * 1.0 / sum(c), 4) AS dup_bigram_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with a deterministic set of anchor links per document."""
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><p class="lnk"><a href="/u/'), s,
+        F.lit('/a">anchor a '), s, F.lit("</a></p>"),
+        F.lit('<p class="lnk"><a href="/u/'), s,
+        F.lit('/b">anchor b '), s, F.lit("</a></p>"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit('<p class="lnk"><a href="https://ext.test/'), s,
+            F.lit('">ext '), s, F.lit("</a></p>"))).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), s).alias("url"),
+        html.alias("html"))
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link/anchor-text extraction through the DOM engine (grid rule
+    over anchors + attr) — the web-graph building block (outlink
+    tables, anchor-text corpora)."""
+    pages = _link_pages(spark, sf_dir)
+    rules = {"scope": "p.lnk", "collection": [[
+        {"name": "href", "scope": "a", "attr": "href"},
+        {"name": "anchor", "scope": "a"},
+    ]]}
+    out = extract(pages, rules)
+    return out.select("url", F.inline("extracted"))
+
+
+SQL_EXTRACT_LINKS = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://docs.test/' || doc_id AS url,
+       '/u/' || doc_id || '/a' AS href, 'anchor a ' || doc_id AS anchor
+FROM docs_amp
+UNION ALL
+SELECT 'https://docs.test/' || doc_id AS url,
+       '/u/' || doc_id || '/b' AS href, 'anchor b ' || doc_id AS anchor
+FROM docs_amp
+UNION ALL
+SELECT 'https://docs.test/' || doc_id AS url,
+       'https://ext.test/' || doc_id AS href, 'ext ' || doc_id AS anchor
+FROM docs_amp WHERE doc_id % 3 = 0
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness filter (RFC 9309 longest-match subset):
+    parse per-host robots bodies → per-host rule arrays → shuffle-free
+    broadcast-join filter over the url table (ops/robots.py). The
+    oracle states the hand-computed allow/deny decision per (host,
+    path) variant — a specification check."""
+    from goose_parser_spark.ops.robots import parse_robots, robots_filter
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".test"))
+    pv = F.col("doc_id") % 3
+    path = (F.when(pv == 0, F.concat(F.lit("/private/ok/p"), s))
+             .when(pv == 1, F.concat(F.lit("/private/p"), s))
+             .otherwise(F.concat(F.lit("/public/p"), s)))
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    robots = spark.createDataFrame([
+        ("h0.test",
+         "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        ("h1.test", "User-agent: *\nDisallow: /\n"),
+        ("h2.test", "User-agent: bot\nDisallow: /\n"),   # no * group
+        ("h3.test", ""),                                  # empty file
+        ("h4.test", "User-agent: *\nDisallow:\n"),        # empty Disallow
+    ], "host string, robots_txt string")
+    rules = parse_robots(robots)
+    return robots_filter(urls, rules).select("doc_id", "url")
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       'https://h' || (doc_id % 5) || '.test' ||
+       CASE doc_id % 3
+         WHEN 0 THEN '/private/ok/p' || doc_id
+         WHEN 1 THEN '/private/p' || doc_id
+         ELSE '/public/p' || doc_id
+       END AS url
+FROM docs_amp
+WHERE NOT (doc_id % 5 = 1)                          -- h1: Disallow /
+  AND NOT (doc_id % 5 = 0 AND doc_id % 3 = 1)       -- h0: /private denied
+"""
+
+
 def q_i1_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic url-hash bucketing (I1): bucket histogram over a
     synthetic url column. xxhash64 differs from anything DuckDB has →
@@ -1165,6 +1372,12 @@ QUERIES: dict[str, QueryFn] = {
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
     "i1_bucketing": q_i1_bucketing,
+    "sample_by_hash": q_sample_by_hash,
+    "domain_quota": q_domain_quota,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "text_repetition": q_text_repetition,
+    "extract_links": q_extract_links,
+    "robots_filter": q_robots_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1204,6 +1417,12 @@ ORACLES: dict[str, str] = {
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "rel_agg": SQL_REL_AGG,
     "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,
+    "sample_by_hash": SQL_SAMPLE_BY_HASH,
+    "domain_quota": SQL_DOMAIN_QUOTA,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "extract_links": SQL_EXTRACT_LINKS,
+    "robots_filter": SQL_ROBOTS_FILTER,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -17,12 +17,16 @@ from goose_parser_spark.ops.dedup import (
     shingles,
     simhash,
     simhash_pairs,
+    winnow_fingerprints,
 )
+from goose_parser_spark.ops.sampling import per_domain_quota, sample_by_hash
 from goose_parser_spark.ops.layout import extract_pdf_pages
 from goose_parser_spark.ops.maincontent import extract_main_content
 from goose_parser_spark.ops.urls import (
     host_stats,
+    psl_rules,
     registered_domain,
+    registered_domain_psl,
     url_host,
     url_normalize,
 )
@@ -39,6 +43,7 @@ from goose_parser_spark.ops.textstats import (
     gopher_quality,
     lang_id,
     quality_score,
+    repetition_stats,
     tfidf_top_terms,
     token_count,
 )
@@ -46,11 +51,13 @@ from goose_parser_spark.ops.textstats import (
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
     "shingles", "simhash_pairs", "paragraph_dup_stats", "keep_canonical",
-    "connected_components", "cosine_topk",
+    "connected_components", "winnow_fingerprints", "cosine_topk",
     "embedding_cosine_pairs", "lsh_bucket", "lsh_cosine_topk",
     "ivf_centroids", "ivf_topk",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "gopher_quality", "tfidf_top_terms",
+    "gopher_quality", "tfidf_top_terms", "repetition_stats",
     "extract_main_content", "extract_pdf_pages",
-    "url_host", "url_normalize", "registered_domain", "host_stats",
+    "url_host", "url_normalize", "registered_domain",
+    "registered_domain_psl", "psl_rules", "host_stats",
+    "sample_by_hash", "per_domain_quota",
 ]

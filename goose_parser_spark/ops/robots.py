@@ -1,0 +1,140 @@
+"""robots.txt politeness operators (RFC 9309 subset).
+
+A crawl pipeline must drop urls a host's robots.txt disallows before
+fetching/processing. Two stages, split by what scales:
+
+- :func:`parse_robots` — robots.txt bodies → a (host, rule, prefix)
+  RULES TABLE. Parsing is sequential line-state (user-agent groups),
+  so it runs in an Arrow-batched ``mapInPandas`` — but over the
+  robots table, which is bounded by the number of HOSTS (millions),
+  not documents (trillions). One small text per host.
+- :func:`robots_filter` — the per-document hot path, pure Catalyst
+  and SHUFFLE-FREE on the url side: rules collapse to one array row
+  per host, broadcast-join 1:1 on host, and the RFC longest-match
+  decision (allow wins length ties, §2.2.2) is an array expression.
+
+Simplifications (documented contract): prefix rules only — the RFC's
+``*``/``$`` wildcard forms are not expanded (a rule containing ``*``
+is kept as a literal prefix up to the first ``*``, conservative for
+disallow); group selection matches the exact agent token
+case-insensitively, falling back to the ``*`` group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+RULES_SCHEMA = StructType([
+    StructField("host", StringType(), False),
+    StructField("rule", StringType(), False),     # allow | disallow
+    StructField("prefix", StringType(), False),
+])
+
+
+def parse_robots_text(body: str, agent: str = "*") -> list[tuple[str, str]]:
+    """(rule, prefix) list for the group governing ``agent``: the
+    specific-agent group if present, else the ``*`` group."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    current: list[str] = []
+    rules_started = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_started:
+                current = []
+                rules_started = False
+            current.append(val.lower())
+            for a in current:
+                groups.setdefault(a, [])
+        elif key in ("allow", "disallow"):
+            rules_started = True
+            if not val:
+                continue  # empty Disallow: allow all (no rule)
+            prefix = val.split("*", 1)[0]
+            if not prefix:
+                prefix = "/"
+            for a in current or ["*"]:
+                groups.setdefault(a, []).append((key, prefix))
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """robots bodies → rules table (host, rule, prefix); hosts whose
+    robots yields no rules for ``agent`` produce no rows (allow-all)."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            hosts, rules, prefixes = [], [], []
+            for h, body in zip(pdf[host_col], pdf[body_col]):
+                if h is None:
+                    continue
+                for rule, prefix in parse_robots_text(body or "", agent):
+                    hosts.append(h)
+                    rules.append(rule)
+                    prefixes.append(prefix)
+            yield pd.DataFrame(
+                {"host": hosts, "rule": rules, "prefix": prefixes})
+
+    return df.mapInPandas(run, schema=RULES_SCHEMA)
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Keep urls RFC-9309-allowed by ``rules`` (from
+    :func:`parse_robots`). Longest-match decides; allow wins length
+    ties; no matching rule ⇒ allowed. Output = input columns.
+
+    Shuffle-free by construction: rules collapse to ONE array row per
+    host (robots files are small — the array is bounded by the file),
+    that per-host table joins the url side 1:1 on host, and the
+    longest-match decision is a pure array expression
+    (filter → max over (prefix_len, is_allow) structs) — so the 10^12
+    url side never shuffles and never fans out. The only aggregation
+    is over the HOST-bounded rules table.
+
+    ``broadcast_rules=True`` broadcasts the per-host array table; pass
+    False at web scale to let AQE pick the join (narrow host keys).
+    """
+    from goose_parser_spark.ops.urls import url_host, url_path
+
+    per_host = (rules.groupBy("host")
+                .agg(F.collect_list(
+                    F.struct(F.length("prefix").alias("l"),
+                             (F.col("rule") == "allow").alias("is_allow"),
+                             F.col("prefix").alias("prefix"))).alias("_rules"))
+                .withColumnRenamed("host", "_rhost"))
+    if broadcast_rules:
+        per_host = F.broadcast(per_host)
+    with_host = (urls.withColumn("_host", url_host(url_col))
+                 .withColumn("_path", F.coalesce(url_path(url_col),
+                                                 F.lit("/"))))
+    joined = with_host.join(per_host,
+                            F.col("_host") == F.col("_rhost"), how="left")
+    path = F.col("_path")
+    matches = F.filter(F.col("_rules"),
+                       lambda r: path.startswith(r["prefix"]))
+    # struct max: longest prefix first, allow beats disallow on ties
+    best = F.array_max(F.transform(
+        matches, lambda r: F.struct(r["l"].alias("l"),
+                                    r["is_allow"].alias("is_allow"))))
+    allowed = (F.col("_rules").isNull() | (F.size(matches) == 0)
+               | best["is_allow"])
+    return (joined.where(allowed)
+            .drop("_rhost", "_rules", "_host", "_path"))

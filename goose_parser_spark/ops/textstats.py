@@ -196,3 +196,41 @@ def text_stats(df: DataFrame, text_col: str = "text",
         lang_id(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 App. A,
+    "repetition" family): per-document bigram concentration — total
+    bigrams, the top bigram's count, its fraction of all bigrams, and
+    the duplicate-bigram fraction (1 − distinct/total). High values
+    mark boilerplate/keyword-stuffed/looping text that length or
+    stopword filters miss.
+
+    Shape at 100 TB: explode → (doc, gram) hash-agg (map-side partial)
+    → per-doc re-agg; shuffle keys are (doc_id, gram) then doc_id —
+    never the text. Documents with fewer than 2 tokens are excluded
+    (no bigrams to measure). Columns: ``doc_id, n_bigrams,
+    top_bigram_n, top_bigram_frac, dup_bigram_frac``.
+    """
+    from goose_parser_spark.ops.dedup import shingles
+
+    grams = df.select(F.col(id_col),
+                      F.explode(shingles(text_col, 2)).alias("g"))
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    return (per_gram.groupBy(id_col)
+            .agg(F.sum("c").alias("n_bigrams"),
+                 F.max("c").alias("top_bigram_n"),
+                 F.count("*").alias("_distinct"))
+            .select(
+                F.col(id_col),
+                F.col("n_bigrams"),
+                F.col("top_bigram_n"),
+                F.round(F.col("top_bigram_n") / F.col("n_bigrams"),
+                        round_to).alias("top_bigram_frac"),
+                F.round(1 - F.col("_distinct") / F.col("n_bigrams"),
+                        round_to).alias("dup_bigram_frac")))

@@ -5,6 +5,11 @@ from goose_parser_spark.sources.fixtures import (
     pages_schema,
     write_pages_parquet,
 )
+from goose_parser_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    write_warc_bytes,
+)
 
 __all__ = [
     "FAMILIES",
@@ -12,4 +17,7 @@ __all__ = [
     "pages_rows",
     "pages_schema",
     "write_pages_parquet",
+    "iter_warc_records",
+    "read_warc",
+    "write_warc_bytes",
 ]

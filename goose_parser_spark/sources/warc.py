@@ -1,0 +1,195 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common-Crawl container
+format. Pure-stdlib parser (no warcio in this container), Spark-first
+distribution model:
+
+- Common Crawl lays out one gzip MEMBER per WARC record inside each
+  ``.warc.gz`` (the spec's recommended record-at-time compression), so
+  a file cannot be byte-split — the unit of parallelism is the FILE.
+  ``read_warc`` therefore reads via Spark's ``binaryFile`` source (one
+  task per file; a CC segment has ~64k files, far more than any
+  cluster's cores → full parallelism without splitting) and parses
+  records inside ``mapInArrow``, the same Arrow-batched boundary the
+  extractor uses.
+- Records stream out as (url, warc_ts, record_type, content_type,
+  html) rows matching the input-hint page schema; ``response``
+  records carry the HTTP payload with headers stripped.
+
+At 100 TB: pair with ``ExtractJob`` — read_warc → salted repartition
+→ extract → partitioned write. The binaryFile row carries the whole
+file in memory once; CC files are ~1 GB compressed, so size executor
+memory accordingly or pre-split with maxRecordsPerFile on re-landing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def _read_headers(fh) -> dict[str, str] | None:
+    """Read a CRLF-terminated header block; None on EOF/garbage."""
+    line = fh.readline()
+    while line in (b"\r\n", b"\n"):  # tolerate inter-record padding
+        line = fh.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        return None
+    headers: dict[str, str] = {"__version__": line.strip().decode("ascii",
+                                                                  "replace")}
+    while True:
+        line = fh.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        try:
+            k, v = line.decode("utf-8", "replace").split(":", 1)
+        except ValueError:
+            continue
+        headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def _strip_http_headers(payload: bytes) -> bytes:
+    """Drop the HTTP response envelope from a response record body."""
+    if payload[:5] in (b"HTTP/",):
+        sep = payload.find(b"\r\n\r\n")
+        if sep == -1:
+            sep = payload.find(b"\n\n")
+            return payload[sep + 2:] if sep != -1 else payload
+        return payload[sep + 4:]
+    return payload
+
+
+def iter_warc_records(raw: bytes) -> Iterator[dict]:
+    """Yield records from WARC bytes — plain or gzip (including the
+    member-per-record concatenated-gzip layout Common Crawl uses;
+    ``gzip.GzipFile`` over the whole stream handles concatenated
+    members transparently). Each dict: url, warc_ts, record_type,
+    content_type, payload (HTTP headers stripped for responses)."""
+    if raw[:2] == b"\x1f\x8b":
+        fh = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        fh = io.BytesIO(raw)
+    while True:
+        headers = _read_headers(fh)
+        if headers is None:
+            break
+        length = int(headers.get("content-length", "0"))
+        payload = fh.read(length)
+        # trailing CRLF CRLF record separator
+        fh.readline()
+        fh.readline()
+        rtype = headers.get("warc-type", "")
+        if rtype == "response":
+            payload = _strip_http_headers(payload)
+        yield {
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": headers.get("warc-date"),
+            "record_type": rtype,
+            "content_type": headers.get("content-type", ""),
+            "payload": payload,
+        }
+
+
+def read_warc(
+    spark: "SparkSession",
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> "DataFrame":
+    """Distributed WARC read: one task per ``.warc``/``.warc.gz`` file
+    (binaryFile source), record parsing inside mapInArrow. Returns
+    ``url, warc_ts (timestamp), record_type, content_type, html
+    (binary)`` — the input-hint page shape, ready for ``extract``.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+    from goose_parser_spark.deploy import ship_package
+    ship_package(spark)
+
+    out_schema = StructType([
+        StructField("url", StringType(), True),
+        StructField("warc_ts", StringType(), True),
+        StructField("record_type", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("html", BinaryType(), True),
+    ])
+    arrow_schema = to_arrow_schema(out_schema)
+    wanted = set(record_types)
+
+    def parse_files(batches):
+        for batch in batches:
+            names = batch.schema.names
+            contents = batch.column(names.index("content"))
+            rows = {k: [] for k in ("url", "warc_ts", "record_type",
+                                    "content_type", "html")}
+            for i in range(batch.num_rows):
+                raw = contents[i].as_py()
+                if raw is None:
+                    continue
+                for rec in iter_warc_records(raw):
+                    if wanted and rec["record_type"] not in wanted:
+                        continue
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(rec["warc_ts"])
+                    rows["record_type"].append(rec["record_type"])
+                    rows["content_type"].append(rec["content_type"])
+                    rows["html"].append(rec["payload"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows["url"], pa.string()),
+                 pa.array(rows["warc_ts"], pa.string()),
+                 pa.array(rows["record_type"], pa.string()),
+                 pa.array(rows["content_type"], pa.string()),
+                 pa.array(rows["html"], pa.binary())],
+                schema=arrow_schema)
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("content"))
+    parsed = files.mapInArrow(parse_files, schema=out_schema)
+    # ISO-8601 WARC-Date → timestamp, matching the input-hint schema
+    return parsed.withColumn(
+        "warc_ts",
+        F.to_timestamp(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+
+def write_warc_bytes(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Serialize records to WARC/1.0 bytes (test fixture writer; also
+    the shape a re-landing sink would emit). Each record dict: url,
+    warc_ts (ISO string), payload (bytes), optional record_type,
+    content_type, http (bool — wrap payload in an HTTP/1.1 envelope).
+    ``gzip_members=True`` emits one gzip member per record — the
+    Common-Crawl layout ``iter_warc_records`` must round-trip."""
+    out = io.BytesIO()
+    for rec in records:
+        payload = rec["payload"]
+        if rec.get("http", True):
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                       + rec.get("content_type", "text/html").encode()
+                       + b"\r\n\r\n" + payload)
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {rec.get('record_type', 'response')}\r\n"
+            f"WARC-Target-URI: {rec['url']}\r\n"
+            f"WARC-Date: {rec['warc_ts']}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("utf-8")
+        body = head + payload + b"\r\n\r\n"
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(body)
+            out.write(buf.getvalue())
+        else:
+            out.write(body)
+    return out.getvalue()

@@ -401,3 +401,76 @@ def test_ivf_topk_end_to_end_on_large_k(spark, emb):
     assert len(approx) == 10
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.4, (exact, approx)
+
+
+def test_sample_by_hash_deterministic_and_rate(spark, docs):
+    from goose_parser_spark.ops.sampling import sample_by_hash
+    a = {r["doc_id"] for r in
+         sample_by_hash(docs, "doc_id", 0.2, salt="x").collect()}
+    b = {r["doc_id"] for r in
+         sample_by_hash(docs, "doc_id", 0.2, salt="x").collect()}
+    assert a == b                       # reproducible
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n   # md5 uniformity at n=500
+    other = {r["doc_id"] for r in
+             sample_by_hash(docs, "doc_id", 0.2, salt="y").collect()}
+    assert other != a                   # independent per salt
+    # nested rates: a 10% sample is a subset of the 20% sample (same
+    # salt) — threshold bands nest by construction
+    small = {r["doc_id"] for r in
+             sample_by_hash(docs, "doc_id", 0.1, salt="x").collect()}
+    assert small <= a
+
+
+def test_per_domain_quota_caps_groups(spark, docs):
+    from goose_parser_spark.ops.sampling import per_domain_quota
+    out = per_domain_quota(docs, "source", "doc_id", quota=5)
+    counts = out.groupBy("source").count().collect()
+    assert counts and all(r["count"] <= 5 for r in counts)
+    # keeps the FIRST five per group in doc_id order
+    src = counts[0]["source"]
+    kept = sorted(r["doc_id"] for r in
+                  out.where(F.col("source") == src).collect())
+    all_ids = sorted(r["doc_id"] for r in
+                     docs.where(F.col("source") == src).collect())
+    assert kept == all_ids[:5]
+    # scale property: the per-group top-k is pre-trimmed BELOW the
+    # exchange (WindowGroupLimit before Exchange in the plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan.split("Exchange", 1)[1]
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing's contract: documents sharing a run of >= window+k-1
+    words share at least one fingerprint; disjoint documents share
+    none."""
+    from goose_parser_spark.ops.dedup import winnow_fingerprints
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "intro words here " + passage + " trailing bits"),
+        (2, passage + " completely different ending text follows"),
+        (3, "nothing in common with either of those documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from goose_parser_spark.ops.textstats import repetition_stats
+    rows = [
+        (1, "buy now " * 20),            # one bigram dominating
+        (2, "a genuinely varied sentence with distinct words only"),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_bigram_frac"] > 0.4
+    assert out[1]["dup_bigram_frac"] > 0.8
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] < 0.2

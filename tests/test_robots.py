@@ -1,0 +1,55 @@
+"""robots.txt politeness: RFC 9309 longest-match subset."""
+
+from goose_parser_spark.ops.robots import (
+    parse_robots, parse_robots_text, robots_filter)
+
+
+def test_parse_robots_text_groups_and_rules():
+    body = (
+        "# comment\n"
+        "User-agent: googlebot\n"
+        "Disallow: /g\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"          # empty: no rule
+        "Disallow: /tmp*junk\n"  # wildcard: conservative literal prefix
+    )
+    rules = parse_robots_text(body, agent="*")
+    assert ("disallow", "/private") in rules
+    assert ("allow", "/private/ok") in rules
+    assert ("disallow", "/tmp") in rules
+    assert all(p != "" for _, p in rules)
+    assert ("disallow", "/g") not in rules          # other agent's group
+    assert parse_robots_text(body, agent="googlebot") == [("disallow", "/g")]
+    # multiple agents sharing one group
+    shared = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots_text(shared, agent="B") == [("disallow", "/x")]
+    # no matching group and no * group: allow all
+    assert parse_robots_text("User-agent: zzz\nDisallow: /\n", "*") == []
+
+
+def test_robots_filter_longest_match_and_plan(spark):
+    robots = spark.createDataFrame([
+        ("a.test", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        ("b.test", "User-agent: *\nDisallow: /\n"),
+    ], "host string, robots_txt string")
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame([
+        ("https://a.test/private/ok/x",),   # allow (longer) wins
+        ("https://a.test/private/x",),      # disallowed
+        ("https://a.test/pub",),            # no match: allowed
+        ("https://b.test/anything",),       # blanket disallow
+        ("https://c.test/x",),              # host without robots: allowed
+    ], "url string")
+    kept = {r["url"] for r in robots_filter(urls, rules).collect()}
+    assert kept == {"https://a.test/private/ok/x", "https://a.test/pub",
+                    "https://c.test/x"}
+    # scale shape: the url side must NOT shuffle or fan out — one
+    # broadcast join, no Exchange, no window/group on the url table
+    plan = robots_filter(urls, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]
+    assert "Window" not in plan

@@ -152,3 +152,92 @@ def test_extract_many_matches_single_tree_outputs(spark):
     for url in many:
         assert many[url]["a"] == single_a[url], url
         assert many[url]["b"] == single_b[url], url
+
+
+def test_extract_many_32_trees_memo_dedup_and_schema(spark):
+    """VERDICT r02 #8: at N=32 tenant trees with overlapping scopes,
+    the shared selector memo must dedup engine evaluations (selector
+    interning + per-doc memo ⇒ tree count does not multiply selector
+    invocations), the output schema must carry one field per tree, and
+    the whole job stays a single Python node."""
+    import goose_parser_spark.rules.evaluator as ev
+    from goose_parser_spark import extract_many
+    from goose_parser_spark.rules.compiler import RuleCompiler
+
+    html = ('<html><body><div class="doc"><h1 class="t">T</h1>'
+            '<p class="b">B</p></div></body></html>')
+    tree_spec = {"scope": "div.doc", "collection": [
+        {"name": "title", "scope": "h1.t"},
+        {"name": "body", "scope": "p.b"},
+    ]}
+
+    # --- engine-level memo count (pure Python, same code the UDF runs)
+    def count_selector_calls(n_trees: int) -> int:
+        compiled = {f"t{i}": RuleCompiler().compile(tree_spec)
+                    for i in range(n_trees)}
+        calls = []
+        orig = ev.select_indexed
+        ev.select_indexed = lambda idx, ctx, sel: (
+            calls.append(1) or orig(idx, ctx, sel))
+        try:
+            out = ev.evaluate_document_many(compiled, html)
+        finally:
+            ev.select_indexed = orig
+        assert len(out) == n_trees
+        return len(calls)
+
+    one = count_selector_calls(1)
+    many = count_selector_calls(32)
+    assert one > 0
+    assert many == one, (
+        f"32 overlapping trees made {many} selector invocations vs "
+        f"{one} for a single tree — the memo is not shared across trees")
+
+    # --- Spark-level: schema width + single Python node + values
+    pages = spark.createDataFrame(
+        [("https://t.test/1", html)], "url string, html string")
+    trees = {f"t{i}": tree_spec for i in range(32)}
+    out = extract_many(pages, trees)
+    assert len(out.schema["extracted"].dataType.fields) == 32
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in plan
+    row = out.collect()[0]
+    assert row["error"] is None
+    for i in (0, 15, 31):
+        assert row["extracted"][f"t{i}"]["title"] == "T"
+        assert row["extracted"][f"t{i}"]["body"] == "B"
+
+
+def test_warc_source_end_to_end(spark, tmp_path):
+    """WARC (Common-Crawl container) → read_warc → extract: one task
+    per file, record-per-gzip-member layout, HTTP envelope stripped,
+    WARC-Date parsed to timestamp, non-response records filtered."""
+    from goose_parser_spark.sources.warc import read_warc, write_warc_bytes
+
+    def mk(i):
+        return {"url": f"https://w.test/{i}",
+                "warc_ts": f"2025-03-01T10:00:{i:02d}Z",
+                "payload": (f'<html><body><h1 class="t">doc {i}</h1>'
+                            f"</body></html>").encode()}
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    meta = {"url": "https://w.test/info", "warc_ts": "2025-03-01T10:01:00Z",
+            "record_type": "warcinfo", "http": False, "payload": b"x: y"}
+    (warc_dir / "a.warc.gz").write_bytes(
+        write_warc_bytes([mk(0), meta, mk(1)], gzip_members=True))
+    (warc_dir / "b.warc").write_bytes(
+        write_warc_bytes([mk(2)], gzip_members=False))
+
+    pages = read_warc(spark, str(warc_dir))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {f"https://w.test/{i}" for i in range(3)}  # no warcinfo
+    assert rows["https://w.test/0"]["warc_ts"].second == 0
+    assert rows["https://w.test/2"]["warc_ts"].second == 2
+    assert bytes(rows["https://w.test/1"]["html"]).startswith(b"<html>")
+
+    from goose_parser_spark import extract
+    out = extract(pages, {"name": "title", "scope": "h1.t"})
+    got = {r["url"]: r["extracted"]["title"] for r in out.collect()}
+    assert got == {f"https://w.test/{i}": f"doc {i}" for i in range(3)}

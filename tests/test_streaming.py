@@ -127,3 +127,57 @@ def test_stream_windowed_counts_with_watermark(spark, tmp_path):
     # the open [12:30,12:35) window is NOT emitted in append mode
     assert got == {(0, "view"): 2, (0, "click"): 1,
                    (5, "view"): 1, (5, "click"): 1}
+
+
+def test_stream_extract_kill_between_sink_and_checkpoint_commit(
+        spark, tmp_path):
+    """VERDICT r02 #9: exactly-once across a crash in the window AFTER
+    the sink wrote batch N's files but BEFORE the checkpoint recorded
+    batch N as committed (the classic torn-commit window). Simulated by
+    deleting the checkpoint's commit marker for the last batch: on
+    restart Spark replays the batch from the logged offsets, and the
+    file sink's own _spark_metadata transaction log must dedupe the
+    replay — zero duplicate rows, zero lost rows."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = pages_rows(100)
+    f01 = [r for r in rows if "/f01/" in r["url"]]
+    assert len(f01) >= 4
+    _write_batch(str(in_dir / "b0.parquet"), f01[:2])
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rules = {"name": "title", "scope": "h1.title"}
+
+    q = stream_extract(spark, str(in_dir), rules, out_dir, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # crash between sink commit and checkpoint commit: the offsets for
+    # the last batch exist but its commit marker does not (remove the
+    # Hadoop checksum sibling too — a real crash writes neither, since
+    # both appear atomically at rename time)
+    commits = [c for c in sorted(os.listdir(os.path.join(ckpt, "commits")))
+               if not c.startswith(".")]
+    assert commits, "expected at least one committed batch"
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # new data lands; the restarted stream must first REPLAY the torn
+    # batch (same offsets), then process the new file
+    _write_batch(str(in_dir / "b1.parquet"), f01[2:4])
+    q = stream_extract(spark, str(in_dir), rules, out_dir, ckpt)
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 4                       # zero dup, zero loss
+    assert out.select("url").distinct().count() == 4
+    got_urls = {r["url"] for r in out.select("url").collect()}
+    assert got_urls == {r["url"] for r in f01[:4]}
+    for row in out.collect():
+        i = int(row["url"].rsplit("/", 1)[1])
+        want = json.loads(expected_for(i))
+        assert row["extracted"]["title"] == want["title"]
+        assert row["error"] is None

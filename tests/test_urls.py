@@ -67,3 +67,61 @@ def test_url_ops_no_python(spark):
     out = df.select(url_normalize("url"), registered_domain("url"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+PSL_CASES = [
+    # (host, expected registered domain) through the broadcast-join
+    # full-PSL path (wildcard / exception / geographic; VERDICT r02 #5)
+    ("www.example.com", "example.com"),            # default rule
+    ("news.site.co.uk", "site.co.uk"),             # normal 2-label
+    ("shop.tours.ck", "shop.tours.ck"),            # *.ck wildcard
+    ("a.shop.tours.ck", "shop.tours.ck"),          # *.ck, deeper host
+    ("tours.ck", "tours.ck"),                      # host IS the suffix
+    ("www.ck", "www.ck"),                          # !www.ck exception
+    ("a.www.ck", "www.ck"),                        # exception, deeper
+    ("foo.kawasaki.jp", "foo.kawasaki.jp"),        # *.kawasaki.jp: host IS suffix+0
+    ("bar.foo.kawasaki.jp", "bar.foo.kawasaki.jp"),  # *.kawasaki.jp +1
+    ("x.bar.foo.kawasaki.jp", "bar.foo.kawasaki.jp"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),      # !city.kawasaki.jp
+    ("web.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("pref.aichi.jp", "pref.aichi.jp"),            # prefecture normal
+    ("blog.pref.aichi.jp", "pref.aichi.jp"),
+    ("single", "single"),                          # bare host
+]
+
+
+def test_registered_domain_psl_cases(spark):
+    from goose_parser_spark.ops.urls import registered_domain_psl
+    rows = [(f"https://{h}/p", h, want) for h, want in PSL_CASES]
+    df = spark.createDataFrame(rows, "url string, host string, want string")
+    out = registered_domain_psl(df, "url").collect()
+    for r in out:
+        assert r["domain"] == r["want"], (r["host"], r["domain"], r["want"])
+
+
+def test_registered_domain_psl_plan_is_broadcast_maponly(spark):
+    """The rules side must broadcast (bounded by the PSL, not the
+    corpus) and the pages side must not shuffle — map-only at 100 TB."""
+    from goose_parser_spark.ops.urls import registered_domain_psl
+    df = spark.createDataFrame([("https://a.co.uk/x",)], "url string")
+    out = registered_domain_psl(df, "url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_psl_agrees_with_literal_path_on_two_label_table(spark):
+    """On hosts covered by the literal two-label table the join path
+    must agree with the literal column exactly."""
+    from goose_parser_spark.ops.urls import (
+        _TWO_LABEL_SUFFIXES, registered_domain, registered_domain_psl)
+    hosts = [f"www.site.{s}" for s in _TWO_LABEL_SUFFIXES[:60]]
+    df = spark.createDataFrame([(f"https://{h}/",) for h in hosts],
+                               "url string")
+    lit_rows = df.select("url", registered_domain("url").alias("d")).collect()
+    psl_rows = registered_domain_psl(df, "url").collect()
+    lit = {r["url"]: r["d"] for r in lit_rows}
+    psl = {r["url"]: r["domain"] for r in psl_rows}
+    assert lit == psl

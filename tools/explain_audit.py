@@ -142,6 +142,31 @@ CHECKS = {
         ("pre-shuffle WindowGroupLimit (top-1 pushed below the exchange)",
          lambda p: "WindowGroupLimit" in p.split("Exchange", 1)[1]),
     ],
+    "domain_quota": [
+        ("per-group top-k pre-trimmed BELOW the exchange (WindowGroupLimit)",
+         lambda p: "WindowGroupLimit" in _exec_part(p).split("Exchange", 1)[1]),
+        ("single window exchange",
+         lambda p: _exec_part(p).count("Exchange hashpartitioning") == 1),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "sample_by_hash": [
+        ("scan-level filter: no shuffle, no join",
+         lambda p: "Exchange" not in _exec_part(p)
+         and "Join" not in _exec_part(p)),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "winnow_fingerprints": [
+        ("map-only (explode, no shuffle)",
+         lambda p: "Exchange" not in _exec_part(p)),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "url_ops": [
+        ("PSL rules joined as broadcast hash joins",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("pages side never shuffles (map-only + broadcasts)",
+         lambda p: "Exchange hashpartitioning" not in _exec_part(p)),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
     "simsearch_ivf": [
         ("top-k is TakeOrdered, not a global sort",
          lambda p: "TakeOrderedAndProject" in p),
