@@ -899,6 +899,36 @@ FROM docs_amp
 """
 
 
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown structured-text extraction (ops/maincontent.py):
+    headings/lists/links serialized to the plain-text-with-structure
+    form LLM corpora keep. Oracle reconstructs the markdown string
+    relationally from the synthesized page structure."""
+    from goose_parser_spark.ops.maincontent import extract_markdown
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>doc "), s, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(' <a href="/s/'), s, F.lit('">src</a></p><ul><li>'),
+        F.col("lang"), F.lit("</li><li>"), F.col("source"),
+        F.lit("</li></ul></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://docs.test/"), s).alias("url"),
+        html.alias("html"))
+    return extract_markdown(pages).select("url", "markdown")
+
+
+SQL_EXTRACT_MARKDOWN = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://docs.test/' || doc_id AS url,
+       '# doc ' || doc_id || chr(10) || chr(10) ||
+       text || ' [src](/s/' || doc_id || ')' || chr(10) || chr(10) ||
+       '- ' || lang || chr(10) || '- ' || source AS markdown
+FROM docs_amp
+"""
+
+
 def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout plumbing: binary payloads → per-page text rows
     (codec stubbed deterministically — ops/layout.py)."""
@@ -1268,6 +1298,63 @@ FROM docs_amp WHERE doc_id % 3 = 0
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split via disjoint md5-threshold
+    bands (ops/sampling.py): engine-reproducible, growth-stable."""
+    from goose_parser_spark.ops.sampling import hash_split
+    docs = _documents_amplified(spark, sf_dir)
+    return hash_split(docs.select("doc_id"), "doc_id",
+                      {"val": 0.05, "test": 0.05, "train": 0.90},
+                      salt="sp")
+
+
+SQL_HASH_SPLIT = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+  CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8)
+         < '0ccccccc' THEN 'val'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8)
+         < '19999999' THEN 'test'
+    ELSE 'train'
+  END AS split
+FROM docs_amp
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: per-bucket greedy fill to a 2048-token
+    budget (ops/sampling.py) — deterministic, window-cumsum per hash
+    bucket, no global sort."""
+    from goose_parser_spark.ops.sampling import pack_sequences
+    from goose_parser_spark.ops.textstats import token_count
+    docs = _documents_amplified(spark, sf_dir)
+    with_tok = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return (pack_sequences(with_tok, "n_tokens", "doc_id",
+                           tokens_per_seq=2048, buckets=16)
+            .select("doc_id", "n_tokens", "bucket", "seq_id", "seq_offset"))
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 16 AS INTEGER) AS bucket
+  FROM docs_amp
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(seq_offset * 1.0 / 2048) AS BIGINT) AS seq_id,
+       seq_offset
+FROM (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS seq_offset
+  FROM tok
+)
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness filter (RFC 9309 longest-match subset):
     parse per-host robots bodies → per-host rule arrays → shuffle-free
@@ -1378,6 +1465,9 @@ QUERIES: dict[str, QueryFn] = {
     "text_repetition": q_text_repetition,
     "extract_links": q_extract_links,
     "robots_filter": q_robots_filter,
+    "hash_split": q_hash_split,
+    "pack_sequences": q_pack_sequences,
+    "extract_markdown": q_extract_markdown,
 }
 
 ORACLES: dict[str, str] = {
@@ -1423,6 +1513,9 @@ ORACLES: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "extract_links": SQL_EXTRACT_LINKS,
     "robots_filter": SQL_ROBOTS_FILTER,
+    "hash_split": SQL_HASH_SPLIT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "extract_markdown": SQL_EXTRACT_MARKDOWN,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -19,7 +19,13 @@ from goose_parser_spark.ops.dedup import (
     simhash_pairs,
     winnow_fingerprints,
 )
-from goose_parser_spark.ops.sampling import per_domain_quota, sample_by_hash
+from goose_parser_spark.ops.robots import parse_robots, robots_filter
+from goose_parser_spark.ops.sampling import (
+    hash_split,
+    pack_sequences,
+    per_domain_quota,
+    sample_by_hash,
+)
 from goose_parser_spark.ops.layout import extract_pdf_pages
 from goose_parser_spark.ops.maincontent import extract_main_content
 from goose_parser_spark.ops.urls import (
@@ -59,5 +65,6 @@ __all__ = [
     "extract_main_content", "extract_pdf_pages",
     "url_host", "url_normalize", "registered_domain",
     "registered_domain_psl", "psl_rules", "host_stats",
-    "sample_by_hash", "per_domain_quota",
+    "sample_by_hash", "per_domain_quota", "hash_split", "pack_sequences",
+    "parse_robots", "robots_filter",
 ]

@@ -182,3 +182,156 @@ def extract_main_content(
 
     pruned = df.select(url_col, html_col)
     return pruned.mapInArrow(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# HTML → Markdown (structured-text output for training corpora)
+# ---------------------------------------------------------------------------
+
+_MD_SKIP = frozenset(["script", "style", "noscript", "template", "head"])
+_MD_HEADINGS = {"h1": "#", "h2": "##", "h3": "###", "h4": "####",
+                "h5": "#####", "h6": "######"}
+_MD_BLOCKS = frozenset(["p", "div", "section", "article", "main", "body",
+                        "html", "header", "footer", "aside", "figure",
+                        "figcaption", "table", "ul", "ol", "blockquote",
+                        "pre"])
+
+
+def _md_inline(el: Element) -> str:
+    """Serialize an element's content as markdown INLINE text."""
+    parts: list[str] = []
+    for c in el.children:
+        if isinstance(c, str):
+            parts.append(c)
+            continue
+        if c.tag in _MD_SKIP:
+            continue
+        inner = _md_inline(c)
+        if c.tag == "a":
+            href = c.attrs.get("href", "")
+            parts.append(f"[{inner}]({href})")
+        elif c.tag in ("strong", "b"):
+            parts.append(f"**{inner}**")
+        elif c.tag in ("em", "i"):
+            parts.append(f"*{inner}*")
+        elif c.tag == "code":
+            parts.append(f"`{inner}`")
+        elif c.tag == "br":
+            parts.append("\n")
+        else:
+            parts.append(inner)
+    return "".join(parts)
+
+
+def _md_blocks(el: Element, out: list[str]) -> None:
+    """Accumulate markdown BLOCKS for an element's children."""
+    for c in el.children:
+        if isinstance(c, str):
+            s = c.strip()
+            if s:
+                out.append(s)
+            continue
+        tag = c.tag
+        if tag in _MD_SKIP:
+            continue
+        if tag in _MD_HEADINGS:
+            out.append(f"{_MD_HEADINGS[tag]} {_md_inline(c).strip()}")
+        elif tag in ("ul", "ol"):
+            items = [x for x in c.children
+                     if isinstance(x, Element) and x.tag == "li"]
+            lines = []
+            for i, li in enumerate(items):
+                marker = "-" if tag == "ul" else f"{i + 1}."
+                lines.append(f"{marker} {_md_inline(li).strip()}")
+            if lines:
+                out.append("\n".join(lines))
+        elif tag == "pre":
+            out.append("```\n" + c.text() + "\n```")
+        elif tag == "blockquote":
+            inner: list[str] = []
+            _md_blocks(c, inner)
+            if inner:
+                out.append("\n".join("> " + ln for blk in inner
+                                     for ln in blk.split("\n")))
+        elif tag == "table":
+            rows = []
+            for tr in c.iter_elements():
+                if tr.tag != "tr":
+                    continue
+                cells = [x for x in tr.children
+                         if isinstance(x, Element) and x.tag in ("td", "th")]
+                if cells:
+                    rows.append("| " + " | ".join(
+                        _md_inline(x).strip() for x in cells) + " |")
+            if rows:
+                if len(rows) > 1:
+                    ncols = rows[0].count("|") - 1
+                    rows.insert(1, "|" + "---|" * ncols)
+                out.append("\n".join(rows))
+        elif tag == "hr":
+            out.append("---")
+        elif tag == "p":
+            s = _md_inline(c).strip()
+            if s:
+                out.append(s)
+        elif tag in _MD_BLOCKS:
+            _md_blocks(c, out)   # transparent container
+        else:
+            s = _md_inline(c).strip()
+            if s:
+                out.append(s)
+
+
+def html_to_markdown(html: str | bytes) -> str:
+    """Deterministic HTML→Markdown: headings/#, lists, links
+    [text](href), emphasis, code fences, tables, blockquotes;
+    script/style dropped; blocks joined by blank lines. The structured
+    plain-text form LLM training corpora keep when layout carries
+    meaning flat text loses."""
+    root = parse_html(html)
+    out: list[str] = []
+    _md_blocks(root, out)
+    return "\n\n".join(out)
+
+
+def extract_markdown(
+    df: "DataFrame",
+    html_col: str = "html",
+    url_col: str = "url",
+) -> "DataFrame":
+    """HTML→Markdown over a pages DataFrame: ``url, markdown, error``.
+    Same map-only Arrow-batched profile as the other extractors."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from goose_parser_spark.deploy import ship_package
+
+    ship_package(df.sparkSession)
+    out_schema = StructType([
+        StructField(url_col, StringType(), False),
+        StructField("markdown", StringType(), True),
+        StructField("error", StringType(), True),
+    ])
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def run(batches):
+        import pyarrow as pa
+        for batch in batches:
+            names = batch.schema.names
+            urls = batch.column(names.index(url_col))
+            raws = batch.column(names.index(html_col)).to_pylist()
+            n = batch.num_rows
+            mds: list[str | None] = [None] * n
+            errors: list[str | None] = [None] * n
+            for i in range(n):
+                try:
+                    if raws[i] is None:
+                        raise ValueError("html is NULL")
+                    mds[i] = html_to_markdown(raws[i])
+                except Exception as exc:  # noqa: BLE001 — I4 isolation
+                    errors[i] = f"{type(exc).__name__}: {exc}"
+            yield pa.RecordBatch.from_arrays([
+                urls,
+                pa.array(mds, type=pa.string()),
+                pa.array(errors, type=pa.string()),
+            ], schema=arrow_schema)
+
+    return df.select(url_col, html_col).mapInArrow(run, schema=out_schema)

@@ -63,3 +63,87 @@ def per_domain_quota(
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= quota)
             .drop("_rn"))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: label each row by which
+    md5-threshold BAND its key falls in. Bands are disjoint by
+    construction, so splits provably never overlap and never change as
+    the corpus grows (a key's band depends only on (key, salt)) — the
+    property random splits can't give a resumable 100 TB pipeline.
+
+    ``weights`` maps label → fraction; must sum to ≤ 1 (any remainder
+    is dropped — useful for "1% val, 1% test, rest train" via
+    explicit weights plus a train band). Iteration order of the dict
+    fixes band order, so pass the same dict across runs.
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    bucket = hash_bucket_hex(F.col(key_col), salt)
+    expr = None
+    lo = 0.0
+    for label, w in weights.items():
+        hi = lo + w
+        if hi >= 1.0 - 1e-12:
+            # final band covers everything: no upper bound, so the
+            # (astronomically rare) key hashing to 'ffffffff' keeps
+            # its label too
+            cond = F.lit(True)
+        else:
+            hi_hex = format(min(int(hi * 16 ** 8), 16 ** 8 - 1), "08x")
+            cond = bucket < F.lit(hi_hex)
+        branch = F.lit(label)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        lo = hi
+    expr = expr.otherwise(F.lit(None).cast("string"))
+    return df.withColumn(out_col, expr).where(F.col(out_col).isNotNull())
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    order_col: str,
+    tokens_per_seq: int,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for LM training: assign documents to
+    fixed-token-budget training sequences. Deterministic greedy
+    fill-in-order WITHIN hash buckets:
+
+    - ``bucket = md5-prefix(order_col) % buckets`` spreads work;
+      packing never crosses buckets, so at 100 TB each bucket packs
+      independently (one narrow shuffle on the bucket key, window
+      cumsum inside — no global sort, no single-partition bottleneck).
+      md5 (not xxhash64) keeps the bucket engine-reproducible, so the
+      whole packing is oracle-checkable.
+    - within a bucket, docs are taken in ``order_col`` order and
+      ``seq_id = floor((cumsum(tokens) - tokens) / tokens_per_seq)``
+      — the CUMULATIVE-BUDGET discipline: a doc starts in the
+      sequence its running offset falls in (docs longer than the
+      budget span sequences; real packers chunk those upstream).
+
+    Output: input columns + ``bucket, seq_id, seq_offset`` where
+    ``seq_offset`` is the doc's token offset within its bucket's
+    stream. Deterministic — the same corpus always packs identically.
+    """
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(order_col).cast("string")), 1, 4),
+               16, 10).cast("int"),
+        F.lit(buckets)).cast("int")
+    with_b = df.withColumn("bucket", b)
+    w = (Window.partitionBy("bucket").orderBy(F.col(order_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(F.col(tokens_col)).over(w)
+    start = (cum - F.col(tokens_col)).cast("long")
+    return (with_b
+            .withColumn("seq_offset", start)
+            .withColumn("seq_id", F.floor(F.col("seq_offset")
+                                          / tokens_per_seq).cast("long")))

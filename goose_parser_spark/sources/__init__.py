@@ -5,6 +5,11 @@ from goose_parser_spark.sources.fixtures import (
     pages_schema,
     write_pages_parquet,
 )
+from goose_parser_spark.sources.jsonl import (
+    JSONL_PAGES_SCHEMA,
+    read_pages_jsonl,
+    write_pages_jsonl,
+)
 from goose_parser_spark.sources.warc import (
     iter_warc_records,
     read_warc,
@@ -17,6 +22,9 @@ __all__ = [
     "pages_rows",
     "pages_schema",
     "write_pages_parquet",
+    "JSONL_PAGES_SCHEMA",
+    "read_pages_jsonl",
+    "write_pages_jsonl",
     "iter_warc_records",
     "read_warc",
     "write_warc_bytes",

@@ -83,3 +83,37 @@ def test_extract_pdf_pages_dataframe(spark):
     assert len(by_doc[2]) == 1
     assert 3 not in by_doc  # NULL payload skipped
     assert sorted(r["page_no"] for r in by_doc[1]) == [0, 1]
+
+
+def test_html_to_markdown_structure():
+    from goose_parser_spark.ops.maincontent import html_to_markdown
+    html = ('<html><head><style>x{}</style></head><body>'
+            '<h1>T</h1><p>Hi <a href="/x">lnk</a> and <b>bold</b>.</p>'
+            '<ul><li>a</li><li>b</li></ul>'
+            '<ol><li>one</li><li>two</li></ol>'
+            '<table><tr><th>k</th></tr><tr><td>v</td></tr></table>'
+            '<blockquote><p>q</p></blockquote>'
+            '<pre>c</pre><hr><h2>S</h2></body></html>')
+    md = html_to_markdown(html)
+    assert md.startswith("# T\n\nHi [lnk](/x) and **bold**.")
+    assert "- a\n- b" in md
+    assert "1. one\n2. two" in md
+    assert "| k |\n|---|\n| v |" in md
+    assert "> q" in md
+    assert "```\nc\n```" in md
+    assert "\n\n---\n\n## S" in md
+    assert "style" not in md
+
+
+def test_extract_markdown_spark_maponly(spark):
+    from goose_parser_spark.ops.maincontent import extract_markdown
+    pages = spark.createDataFrame(
+        [("u1", "<html><body><h1>A</h1><p>b</p></body></html>"),
+         ("u2", None)],
+        "url string, html string")
+    out = extract_markdown(pages)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["u1"]["markdown"] == "# A\n\nb"
+    assert rows["u2"]["error"] is not None      # poison isolation
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

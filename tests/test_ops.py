@@ -474,3 +474,43 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out[1]["dup_bigram_frac"] > 0.8
     assert out[2]["dup_bigram_frac"] == 0.0
     assert out[2]["top_bigram_frac"] < 0.2
+
+
+def test_hash_split_disjoint_stable_and_covering(spark, docs):
+    from goose_parser_spark.ops.sampling import hash_split
+    w = {"val": 0.1, "test": 0.1, "train": 0.8}
+    out = hash_split(docs.select("doc_id"), "doc_id", w, salt="z")
+    rows = out.collect()
+    assert len(rows) == docs.count()          # weights sum to 1: all kept
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"val", "test", "train"}
+    assert not (by["val"] & by["test"]) and not (by["val"] & by["train"])
+    # growth-stability: the split of a doc does not depend on the corpus
+    half = hash_split(docs.where("doc_id < 250").select("doc_id"),
+                      "doc_id", w, salt="z").collect()
+    for r in half:
+        assert r["doc_id"] in by[r["split"]]
+
+
+def test_pack_sequences_budget_discipline(spark, docs):
+    from goose_parser_spark.ops.sampling import pack_sequences
+    from goose_parser_spark.ops.textstats import token_count
+    with_tok = docs.select("doc_id", token_count("text").alias("t"))
+    out = pack_sequences(with_tok, "t", "doc_id",
+                         tokens_per_seq=500, buckets=4)
+    rows = sorted(out.collect(), key=lambda r: (r["bucket"], r["doc_id"]))
+    assert len(rows) == docs.count()
+    # per bucket: offsets are the running token sum in doc_id order and
+    # seq_id is the 500-token bin of the starting offset
+    from collections import defaultdict
+    run = defaultdict(int)
+    for r in rows:
+        assert r["seq_offset"] == run[r["bucket"]]
+        assert r["seq_id"] == r["seq_offset"] // 500
+        run[r["bucket"]] += r["t"]
+    # deterministic
+    again = sorted(pack_sequences(with_tok, "t", "doc_id", 500, 4).collect(),
+                   key=lambda r: (r["bucket"], r["doc_id"]))
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

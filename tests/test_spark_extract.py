@@ -241,3 +241,28 @@ def test_warc_source_end_to_end(spark, tmp_path):
     out = extract(pages, {"name": "title", "scope": "h1.t"})
     got = {r["url"]: r["extracted"]["title"] for r in out.collect()}
     assert got == {f"https://w.test/{i}": f"doc {i}" for i in range(3)}
+
+
+def test_jsonl_pages_roundtrip(spark, tmp_path):
+    """JSONL interchange: write pages (binary html → base64), read them
+    back byte-identically, and extract through the engine."""
+    from goose_parser_spark.sources.jsonl import (
+        read_pages_jsonl, write_pages_jsonl)
+    import datetime as dt
+    rows = [("https://j.test/%d" % i,
+             dt.datetime(2025, 1, 1, 0, 0, i),
+             ('<html><body><h1 class="t">J %d</h1></body></html>' % i)
+             .encode(), "j %d" % i, "en") for i in range(5)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    path = str(tmp_path / "pages.jsonl")
+    write_pages_jsonl(pages, path)
+    back = read_pages_jsonl(spark, path)
+    got = {r["url"]: bytes(r["html"]) for r in back.collect()}
+    want = {u: h for u, _, h, _, _ in rows}
+    assert got == want
+    from goose_parser_spark import extract
+    out = extract(back, {"name": "t", "scope": "h1.t"})
+    titles = {r["url"]: r["extracted"]["t"] for r in out.collect()}
+    assert titles["https://j.test/3"] == "J 3"
