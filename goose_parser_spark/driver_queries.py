@@ -1087,6 +1087,36 @@ FROM sess GROUP BY user_id
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/asof.py): each purchase joined to the most
+    recent prior-or-simultaneous click by the same user (the
+    attribution staple). Right side pre-deduped to max event_id per
+    (user, ts) so ties are deterministic; oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — an independent implementation."""
+    from goose_parser_spark.ops.asof import asof_join
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    clicks = (events.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    return (asof_join(purchases, clicks, "user_id", "ts",
+                      value_cols=["click_id"])
+            .select("user_id", "ts", "event_id",
+                    F.col("click_id_asof").alias("click_id")))
+
+
+SQL_EVENTS_ASOF_JOIN = """
+SELECT p.user_id, p.ts, p.event_id, c.click_id
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window counts per event type — the batch
     analog of streaming/ingest.stream_windowed_counts (same F.window
@@ -1455,6 +1485,7 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_pages": q_pdf_pages,
     "url_ops": q_url_ops,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
     "events_windowed_counts": q_events_windowed_counts,
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
@@ -1504,6 +1535,7 @@ ORACLES: dict[str, str] = {
     "pdf_pages": SQL_PDF_PAGES,
     "url_ops": SQL_URL_OPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "rel_agg": SQL_REL_AGG,
     "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,

@@ -34,7 +34,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--rules", required=True, help="path to rule JSON file")
     p.add_argument("--input", required=True, help="input pages path/table")
     p.add_argument("--output", required=True, help="output directory/table")
-    p.add_argument("--input-format", default="parquet")
+    p.add_argument("--input-format", default="parquet",
+                   help="parquet|iceberg|warc|jsonl (warc: Common-Crawl "
+                        ".warc/.warc.gz archives, one task per file; "
+                        "jsonl: base64-html lines)")
     p.add_argument("--format", default="parquet", help="output format")
     p.add_argument("--buckets", type=int, default=4096,
                    help="url-hash bucket count (resume granularity); "
@@ -72,7 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ship_package(spark)
 
-    pages = spark.read.format(args.input_format).load(args.input)
+    if args.input_format == "warc":
+        from goose_parser_spark.sources.warc import read_warc
+        pages = read_warc(spark, args.input)
+    elif args.input_format == "jsonl":
+        from goose_parser_spark.sources.jsonl import read_pages_jsonl
+        pages = read_pages_jsonl(spark, args.input)
+    else:
+        pages = spark.read.format(args.input_format).load(args.input)
     if args.lang:
         pages = pages.filter(F.col("lang") == args.lang)
     if args.since:

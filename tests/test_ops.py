@@ -514,3 +514,23 @@ def test_pack_sequences_budget_discipline(spark, docs):
     again = sorted(pack_sequences(with_tok, "t", "doc_id", 500, 4).collect(),
                    key=lambda r: (r["bucket"], r["doc_id"]))
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_asof_join_semantics(spark):
+    from goose_parser_spark.ops.asof import asof_join
+    views = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 101), (1, 20, 102), (2, 5, 200)],
+        "u long, ts long, vid long")
+    clicks = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (1, 25, "c"), (2, 1, "d")],
+        "u long, ts long, cid string")
+    out = asof_join(clicks, views, "u", "ts", value_cols=["vid"])
+    got = {(r["u"], r["ts"]): r["vid_asof"] for r in out.collect()}
+    # equal-ts right row matches (<=); max-order wins the tie; no
+    # prior right row → NULL
+    assert got == {(1, 10): 101, (1, 15): 101, (1, 25): 102, (2, 1): None}
+    # scale shape: ONE hash exchange on the key (the union sides read
+    # through it), no range/cartesian join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # one per union leg

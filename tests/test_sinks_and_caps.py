@@ -97,3 +97,47 @@ def test_spark_submit_cli(tmp_path):
     files = glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == 30
+
+
+@pytest.mark.slow
+def test_spark_submit_cli_warc_input(tmp_path):
+    """jobs/extract.py with --input-format warc: the Common-Crawl
+    ingestion path through the CLI end-to-end."""
+    import shutil
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    from goose_parser_spark.deploy import build_package_zip
+    from goose_parser_spark.sources.warc import write_warc_bytes
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    recs = [{"url": f"https://cc.test/{i}",
+             "warc_ts": f"2025-02-01T00:00:{i:02d}Z",
+             "payload": (f'<html><body><h1 class="title">W {i}</h1>'
+                         f"</body></html>").encode()} for i in range(6)]
+    (warc_dir / "seg0.warc.gz").write_bytes(write_warc_bytes(recs[:4]))
+    (warc_dir / "seg1.warc.gz").write_bytes(write_warc_bytes(recs[4:]))
+
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(json.dumps({"name": "title", "scope": "h1.title"}))
+    out_dir = str(tmp_path / "out")
+    zip_path = build_package_zip(str(tmp_path))
+
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "jobs/extract.py", "--rules", str(rules_file),
+         "--input", str(warc_dir), "--input-format", "warc",
+         "--output", out_dir, "--buckets", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import glob
+    import pyarrow.parquet as pq
+    files = glob.glob(f"{out_dir}/data/**/*.parquet", recursive=True)
+    tbl = pq.read_table(files[0])
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 6
+    assert "extracted" in tbl.schema.names

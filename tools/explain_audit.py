@@ -167,6 +167,30 @@ CHECKS = {
          lambda p: "Exchange hashpartitioning" not in _exec_part(p)),
         ("no Python UDF", lambda p: "Python" not in p),
     ],
+    "robots_filter": [
+        # the one hash exchange lives on the RULES side (host-bounded
+        # per-host aggregation under the BroadcastExchange); the url
+        # side — everything printed before BroadcastExchange — must be
+        # map-only
+        ("rules join is broadcast; url side never shuffles",
+         lambda p: "BroadcastHashJoin" in p
+         and "Exchange hashpartitioning" not in
+         _exec_part(p).split("BroadcastExchange", 1)[0]),
+        ("no window / per-url fan-out aggregation",
+         lambda p: "Window" not in _exec_part(p)),
+    ],
+    "pack_sequences": [
+        ("single bucket exchange (window cumsum per bucket, no global sort)",
+         lambda p: _exec_part(p).count("Exchange hashpartitioning") == 1
+         and "Exchange rangepartitioning" not in _exec_part(p)),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "extract_markdown": [
+        ("map-only (no shuffle)", lambda p: "Exchange" not in _exec_part(p)),
+        ("mapInArrow is the only Python node",
+         lambda p: _exec_part(p).count("MapInArrow") == 1
+         and "BatchEvalPython" not in p),
+    ],
     "simsearch_ivf": [
         ("top-k is TakeOrdered, not a global sort",
          lambda p: "TakeOrderedAndProject" in p),
