@@ -1117,6 +1117,91 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (ops/asof.py range_join): each error event joined
+    to its user's first-activity hour window. Bucketized equi-join —
+    never a per-key nested loop."""
+    from goose_parser_spark.ops.asof import range_join
+    events = _t(spark, sf_dir, "events")
+    intervals = (events.groupBy("user_id")
+                 .agg(F.min("ts").alias("win_start"))
+                 .withColumn("win_end",
+                             F.col("win_start") + F.expr("INTERVAL 1 HOUR")))
+    errors = (events.where(F.col("event_type") == "error")
+              .select("user_id", "ts", "event_id"))
+    return (range_join(errors, intervals, "user_id", "ts",
+                       "win_start", "win_end", bucket_seconds=3600)
+            .select("user_id", "event_id", "ts", "win_start"))
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH iv AS (
+  SELECT user_id, min(ts) AS win_start,
+         min(ts) + INTERVAL 1 HOUR AS win_end
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.ts, iv.win_start
+FROM events e JOIN iv ON e.user_id = iv.user_id
+ AND e.ts >= iv.win_start AND e.ts <= iv.win_end
+WHERE e.event_type = 'error'
+"""
+
+
+def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading time rollup (ops/asof.py
+    time_rollups): per-event-type counts at 1m/1h/1d, coarser levels
+    re-aggregated from the finest — one raw scan total."""
+    from goose_parser_spark.ops.asof import time_rollups
+    events = _t(spark, sf_dir, "events")
+    return time_rollups(events, "ts", ["event_type"],
+                        granularities_seconds=(60, 3600, 86400))
+
+
+SQL_EVENTS_ROLLUPS = """
+SELECT to_timestamp(CAST(floor(epoch(ts) / 60) AS BIGINT) * 60)::TIMESTAMP
+         AS bucket_start,
+       60 AS granularity_seconds, event_type, count(*) AS n
+FROM events GROUP BY 1, 3
+UNION ALL
+SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)::TIMESTAMP,
+       3600, event_type, count(*) FROM events GROUP BY 1, 3
+UNION ALL
+SELECT to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400)::TIMESTAMP,
+       86400, event_type, count(*) FROM events GROUP BY 1, 3
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (ops/textstats.redact_pii): emails / IPv4 / phone
+    runs replaced by tokens; patterns are RE2-compatible so the oracle
+    runs the IDENTICAL regexes."""
+    from goose_parser_spark.ops.textstats import redact_pii
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.col("text"), F.lit(" contact user"), s, F.lit("@ex.com at 10.0."),
+        (F.col("doc_id") % 200).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.lit(" or +1-555-00"), (F.col("doc_id") % 90 + 10).cast("string"))
+    return docs.select("doc_id", redact_pii(salted).alias("clean"))
+
+
+SQL_REDACT_PII = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || doc_id || '@ex.com at 10.0.'
+             || (doc_id % 200) || '.' || ((doc_id * 7) % 250)
+             || ' or +1-555-00' || (doc_id % 90 + 10),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+    '\\+?\\d[\\d-]{{7,}}\\d', '<PHONE>', 'g') AS clean
+FROM docs_amp
+"""
+
+
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window counts per event type — the batch
     analog of streaming/ingest.stream_windowed_counts (same F.window
@@ -1486,6 +1571,9 @@ QUERIES: dict[str, QueryFn] = {
     "url_ops": q_url_ops,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
+    "events_rollups": q_events_rollups,
+    "redact_pii": q_redact_pii,
     "events_windowed_counts": q_events_windowed_counts,
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
@@ -1536,6 +1624,9 @@ ORACLES: dict[str, str] = {
     "url_ops": SQL_URL_OPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_rollups": SQL_EVENTS_ROLLUPS,
+    "redact_pii": SQL_REDACT_PII,
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "rel_agg": SQL_REL_AGG,
     "rel_broadcast_join": SQL_REL_BROADCAST_JOIN,

@@ -19,6 +19,7 @@ from goose_parser_spark.ops.dedup import (
     simhash_pairs,
     winnow_fingerprints,
 )
+from goose_parser_spark.ops.asof import asof_join, range_join, time_rollups
 from goose_parser_spark.ops.robots import parse_robots, robots_filter
 from goose_parser_spark.ops.sampling import (
     hash_split,
@@ -49,6 +50,7 @@ from goose_parser_spark.ops.textstats import (
     gopher_quality,
     lang_id,
     quality_score,
+    redact_pii,
     repetition_stats,
     tfidf_top_terms,
     token_count,
@@ -67,4 +69,5 @@ __all__ = [
     "registered_domain_psl", "psl_rules", "host_stats",
     "sample_by_hash", "per_domain_quota", "hash_split", "pack_sequences",
     "parse_robots", "robots_filter",
+    "asof_join", "range_join", "time_rollups", "redact_pii",
 ]

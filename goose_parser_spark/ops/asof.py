@@ -79,3 +79,82 @@ def asof_join(
     return (filled.where(F.col("_side") == 1).drop("_side")
             .select(key_col, ts_col, *left_only,
                     *[f"{c}{suffix}" for c in value_cols]))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: pair each left row with every right
+    interval of the same key containing its timestamp
+    (``start <= ts <= end``) — sessions, maintenance windows, price
+    validity periods.
+
+    Spark's optimizer turns a raw ``BETWEEN`` join condition into a
+    cartesian-shaped nested-loop per key; the scale-safe formulation
+    BUCKETIZES time: the left side gets one bucket per row, the right
+    side explodes each interval over the buckets it spans (bounded by
+    interval length / bucket_seconds), and the join runs on the narrow
+    EQUI key (key, bucket) with the exact BETWEEN as a post-filter.
+    A pair can only meet in the left row's single bucket, so no dedup
+    pass is needed. Choose ``bucket_seconds`` ≈ typical interval
+    length: shorter → more right-side rows; longer → more false
+    candidates per bucket.
+    """
+    b = F.lit(bucket_seconds)
+    lb = (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+    l = left.withColumn("_b", lb)
+    rspan = F.sequence((F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                       (F.unix_timestamp(F.col(end_col)) / b).cast("long"))
+    r = right.withColumn("_b", F.explode(rspan))
+    joined = l.join(r, on=[key_col, "_b"], how="inner")
+    return (joined.where((F.col(ts_col) >= F.col(start_col))
+                         & (F.col(ts_col) <= F.col(end_col)))
+            .drop("_b"))
+
+
+def time_rollups(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    granularities_seconds: tuple[int, ...] = (60, 3600, 86400),
+) -> DataFrame:
+    """Hypertable-style cascading rollup: counts per key at several
+    time granularities, where each COARSER level re-aggregates the
+    FINEST level's partial counts instead of rescanning the raw table
+    — at 100 TB the raw scan happens once, and every additional
+    granularity costs only an agg over the (much smaller) finest
+    rollup. Granularities must be ascending multiples of the finest.
+
+    Output: ``bucket_start (timestamp), granularity_seconds,
+    <key_cols...>, n``.
+    """
+    for g in granularities_seconds[1:]:
+        if g % granularities_seconds[0]:
+            raise ValueError("granularities must be multiples of the finest")
+    finest = granularities_seconds[0]
+    epoch = F.unix_timestamp(F.col(ts_col))
+    base = (df.groupBy(((epoch / finest).cast("long") * finest)
+                       .alias("_bs"), *key_cols)
+            .agg(F.count("*").alias("n")))
+    levels = [base.select(
+        F.timestamp_seconds(F.col("_bs")).alias("bucket_start"),
+        F.lit(finest).alias("granularity_seconds"), *key_cols, "n")]
+    for g in granularities_seconds[1:]:
+        lvl = (base.groupBy(((F.col("_bs") / g).cast("long") * g)
+                            .alias("_gs"), *key_cols)
+               .agg(F.sum("n").alias("n"))
+               .select(F.timestamp_seconds(F.col("_gs"))
+                       .alias("bucket_start"),
+                       F.lit(g).alias("granularity_seconds"),
+                       *key_cols, F.col("n")))
+        levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

@@ -234,3 +234,27 @@ def repetition_stats(
                         round_to).alias("top_bigram_frac"),
                 F.round(1 - F.col("_distinct") / F.col("n_bigrams"),
                         round_to).alias("dup_bigram_frac")))
+
+
+# PII patterns (redaction): RE2-compatible — no lookaround, no
+# backrefs — so the DuckDB oracle runs the IDENTICAL expressions.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d-]{7,}\d"
+
+
+def redact_pii(
+    col: str | Column,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Redact emails, IPv4 addresses, and phone-shaped digit runs —
+    the standard pre-training scrub pass. Pure Catalyst regexp_replace
+    chain (one codegen projection, shuffle-free); replacement order is
+    part of the contract (email → ip → phone) so engines agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _PII_EMAIL, email_token)
+    c = F.regexp_replace(c, _PII_IPV4, ip_token)
+    c = F.regexp_replace(c, _PII_PHONE, phone_token)
+    return c

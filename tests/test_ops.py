@@ -534,3 +534,65 @@ def test_asof_join_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # one per union leg
+
+
+def test_range_join_bucketized_equi(spark):
+    """range_join finds interval containment across bucket boundaries
+    with an EQUI join (no cartesian/nested-loop in the plan)."""
+    from goose_parser_spark.ops.asof import range_join
+    import datetime as dt
+    t = lambda m, s=0: (dt.datetime(2025, 1, 1)
+                        + dt.timedelta(minutes=m, seconds=s))
+    ivals = spark.createDataFrame(
+        [(1, t(0), t(90)),            # spans two hour buckets
+         (1, t(30), t(40)),           # nested interval: multi-match
+         (2, t(10), t(20))],
+        "k long, s timestamp, e timestamp")
+    pts = spark.createDataFrame(
+        [(1, t(35), "a"),             # inside both intervals of k=1
+         (1, t(80), "b"),             # second hour bucket of ival 1
+         (1, t(95), "c"),             # outside all
+         (2, t(15), "d"), (3, t(15), "e")],
+        "k long, ts timestamp, tag string")
+    out = range_join(pts, ivals, "k", "ts", "s", "e",
+                     bucket_seconds=3600)
+    got = sorted((r["tag"], (r["s"].hour * 60 + r["s"].minute))
+                 for r in out.collect())
+    assert got == [("a", 0), ("a", 30), ("b", 0), ("d", 10)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_time_rollups_cascade_consistency(spark):
+    """Coarser levels re-aggregate the finest: totals agree at every
+    granularity and with the raw table."""
+    from goose_parser_spark.ops.asof import time_rollups
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = time_rollups(events, "ts", ["event_type"],
+                       granularities_seconds=(60, 3600, 86400))
+    n = events.count()
+    sums = {r["granularity_seconds"]: r["total"] for r in
+            out.groupBy("granularity_seconds")
+               .agg(F.sum("n").alias("total")).collect()}
+    assert sums == {60: n, 3600: n, 86400: n}
+    # the cascade reuses the finest level's shuffle: after execution
+    # the adaptive plan shows BOTH coarser branches as ReusedExchange
+    # (the raw scan physically runs once)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") == 2, plan[:500]
+
+
+def test_redact_pii_patterns(spark):
+    from goose_parser_spark.ops.textstats import redact_pii
+    rows = [(1, "mail a.b+c@ex-am.ple.org here"),
+            (2, "server at 192.168.0.1 port"),
+            (3, "call +1-555-123-4567 now"),
+            (4, "clean text with nothing 12 34")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {r["i"]: r["c"] for r in
+           df.select("i", redact_pii("t").alias("c")).collect()}
+    assert out[1] == "mail <EMAIL> here"
+    assert out[2] == "server at <IP> port"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "clean text with nothing 12 34"
