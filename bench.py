@@ -353,6 +353,28 @@ def main() -> int:
         results[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
+    # extended set: ops added after r01 — timed for visibility but kept
+    # OUT of the headline total so round-over-round totals compare
+    extended = [
+        "dedup_paragraphs", "dedup_keep_canonical", "dedup_simhash_pairs",
+        "text_gopher_quality", "text_tfidf_top_terms", "text_repetition",
+        "url_ops", "robots_filter", "sample_by_hash", "domain_quota",
+        "hash_split", "pack_sequences", "winnow_fingerprints",
+        "contamination", "extract_links", "extract_markdown",
+        "extract_multi_tree", "events_asof_join", "events_range_join",
+        "events_rollups", "redact_pii", "simsearch_ivf",
+        "dedup_embedding_cosine",
+    ]
+    ext_results: dict[str, float] = {}
+    for name in extended:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        ext_results[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
     scaling: dict[str, object] = {}
     scaling_secondary: dict[str, object] = {}
     if SCALING:
@@ -383,6 +405,8 @@ def main() -> int:
         },
         "scaling": scaling,
         "scaling_secondary": scaling_secondary,
+        "extended_queries": ext_results,
+        "extended_total": round(sum(ext_results.values()), 3),
     }
     print(json.dumps(out))
     _write_md(out)
@@ -489,6 +513,18 @@ def _write_md(out: dict) -> None:
     ]
     for k, v in out["queries"].items():
         lines.append(f"| {k} | {v} |")
+    ext = out.get("extended_queries") or {}
+    if ext:
+        lines += [
+            "",
+            "## Extended set (post-r01 operators — not in the headline "
+            f"total; sum {out.get('extended_total')} s)",
+            "",
+            "| query | sec |",
+            "|---|---|",
+        ]
+        for k, v in ext.items():
+            lines.append(f"| {k} | {v} |")
     lines.append("")
     with open("BENCH/BASELINE.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines))

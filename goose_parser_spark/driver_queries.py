@@ -1413,6 +1413,70 @@ FROM docs_amp WHERE doc_id % 3 = 0
 """
 
 
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles (p50/p90/p99) — the
+    corpus-profile rollup every curation run reports. EXACT percentile
+    (Spark's `percentile`, linear interpolation) so DuckDB's
+    quantile_cont reproduces it bit-for-bit after rounding; at 100 TB
+    swap in percentile_approx (t-digest sketch, one pass, mergeable) —
+    same query shape, documented accuracy tradeoff."""
+    docs = _documents_amplified(spark, sf_dir)
+    return (docs.groupBy("lang")
+            .agg(*[F.round(F.percentile(F.col("n_chars"), F.lit(q)), 4)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.9, 0.99)],
+                 F.count("*").alias("n_docs")))
+
+
+SQL_CORPUS_PERCENTILES = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99,
+       count(*) AS n_docs
+FROM docs_amp GROUP BY lang
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: winnow-fingerprint overlap between a
+    'train' half and an 'eval' half of the corpus (even/odd doc_ids —
+    near-dup replica families straddle the split, so planted overlap
+    exists; vary_text=True keeps replica families fp-disjoint so pairs stay the planted overlaps, not 23^2 cliques). Guaranteed to catch any shared run of ≥ window+k-1 words
+    (ops/dedup.contamination_pairs)."""
+    from goose_parser_spark.ops.dedup import contamination_pairs
+    docs = _documents_amplified(spark, sf_dir, vary_text=True)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    return contamination_pairs(train, ev, k=3, window=4, min_shared=2)
+
+
+SQL_CONTAMINATION = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+  WHERE len(string_split(text, ' ')) >= 3
+), h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 2),
+                        u -> substr(md5(array_to_string(w[u:u+2], ' ')), 1, 16))
+             AS hs
+  FROM tok
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(hs) - 3),
+                          i -> list_min(hs[i:i+3])))) AS fp
+  FROM h WHERE len(hs) >= 4
+)
+SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+       count(*) AS n_shared_fps
+FROM (SELECT * FROM fps WHERE doc_id % 2 = 1) e
+JOIN (SELECT * FROM fps WHERE doc_id % 2 = 0) t USING (fp)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split via disjoint md5-threshold
     bands (ops/sampling.py): engine-reproducible, growth-stable."""
@@ -1587,6 +1651,8 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
     "extract_markdown": q_extract_markdown,
+    "contamination": q_contamination,
+    "corpus_percentiles": q_corpus_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1639,6 +1705,8 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "extract_markdown": SQL_EXTRACT_MARKDOWN,
+    "contamination": SQL_CONTAMINATION,
+    "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

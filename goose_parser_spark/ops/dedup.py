@@ -451,3 +451,37 @@ def winnow_fingerprints(
         lambda i: F.array_min(F.slice(F.col("_h"), i, window))))
     return (df_h.select(F.col(id_col),
                         F.explode(F.array_distinct(fps)).alias("fp")))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: which eval documents share passages
+    with which training documents. Winnow-fingerprint both corpora and
+    equi-join on the fingerprint — any shared run of ≥ window+k-1
+    words is guaranteed to collide (the winnowing coverage property),
+    so benchmark leakage cannot hide from this join the way it hides
+    from whole-document dedup.
+
+    Scale shape: two map-only fingerprint passes, one narrow
+    (fp → ids) shuffle join, one pair-count agg; shuffle rows are
+    (16-hex-char, id) pairs, never text. ``min_shared`` filters to
+    pairs sharing at least that many distinct fingerprints.
+    Columns: ``eval_id, train_id, n_shared_fps``.
+    """
+    t = (winnow_fingerprints(train, k=k, window=window,
+                             text_col=text_col, id_col=id_col)
+         .select(F.col(id_col).alias("train_id"), "fp"))
+    e = (winnow_fingerprints(eval_df, k=k, window=window,
+                             text_col=text_col, id_col=id_col)
+         .select(F.col(id_col).alias("eval_id"), "fp"))
+    return (e.join(t, on="fp")
+            .groupBy("eval_id", "train_id")
+            .agg(F.count("*").alias("n_shared_fps"))
+            .where(F.col("n_shared_fps") >= min_shared))
