@@ -71,6 +71,12 @@ _ATTR_RE = re.compile(
     r"""([^\s=/>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
 )
 
+# fast path for the overwhelmingly common attribute shape — exactly
+# one double-quoted attribute, no entity, e.g. ' class="title"'.
+# Cannot be self-closing (ends in `"` or space) and needs no unescape,
+# so the general finditer loop + trailing-slash analysis is skipped.
+_FAST_ONE_ATTR = re.compile(r'\s*([A-Za-z-]+)\s*=\s*"([^"&]*)"\s*\Z')
+
 # Content of these elements is raw character data (no tags inside).
 # Deliberately ONLY script/style: html.parser parses title/textarea
 # content normally and the two backends must agree byte-for-byte.
@@ -96,22 +102,27 @@ class _FastBuilder(_TreeBuilder):
         self._imply_ends_for(tag)
         self._maybe_insert_tbody(tag)
         attrs: dict[str, str] = {}
-        last_end = 0
+        self_closing = False
         if attr_str and not attr_str.isspace():
-            for m in _ATTR_RE.finditer(attr_str):
-                last_end = m.end()
-                name, v1, v2, v3 = m.group(1, 2, 3, 4)
-                name = name.lower()
-                if name in attrs:
-                    continue  # first occurrence wins (HTML5)
-                v = v1 if v1 is not None else v2 if v2 is not None \
-                    else v3 if v3 is not None else ""
-                attrs[name] = unescape(v) if "&" in v else v
-        if "/" in attr_str:
-            stripped = attr_str.rstrip()
-            self_closing = stripped.endswith("/") and last_end < len(stripped)
-        else:
-            self_closing = False
+            fm = _FAST_ONE_ATTR.match(attr_str)
+            if fm is not None:
+                name = fm.group(1)
+                attrs[name if name.islower() else name.lower()] = fm.group(2)
+            else:
+                last_end = 0
+                for m in _ATTR_RE.finditer(attr_str):
+                    last_end = m.end()
+                    name, v1, v2, v3 = m.group(1, 2, 3, 4)
+                    name = name.lower()
+                    if name in attrs:
+                        continue  # first occurrence wins (HTML5)
+                    v = v1 if v1 is not None else v2 if v2 is not None \
+                        else v3 if v3 is not None else ""
+                    attrs[name] = unescape(v) if "&" in v else v
+                if "/" in attr_str:
+                    stripped = attr_str.rstrip()
+                    self_closing = (stripped.endswith("/")
+                                    and last_end < len(stripped))
         parent = self.stack[-1]
         el = Element(tag, attrs, parent, self._next_order())
         parent.children.append(el)

@@ -519,15 +519,22 @@ class DocIndex:
         self.by_tag: dict[str, list[Element]] = {}
         self.by_class: dict[str, list[Element]] = {}
         self.by_id: dict[str, list[Element]] = {}
+        by_tag, by_class, by_id = self.by_tag, self.by_class, self.by_id
         for el in self.all:
-            self.by_tag.setdefault(el.tag, []).append(el)
-            # dict.fromkeys: class="x x" must not double-insert (the
-            # candidate lists are consumed without a dedup pass)
-            for cls in dict.fromkeys(el.classes()):
-                self.by_class.setdefault(cls, []).append(el)
-            el_id = el.attrs.get("id")
+            by_tag.setdefault(el.tag, []).append(el)
+            attrs = el.attrs
+            if "class" in attrs:
+                cl = el.classes()
+                if len(cl) == 1:  # common case: skip the dedup pass
+                    by_class.setdefault(cl[0], []).append(el)
+                else:
+                    # dict.fromkeys: class="x x" must not double-insert
+                    # (candidate lists are consumed without dedup)
+                    for cls in dict.fromkeys(cl):
+                        by_class.setdefault(cls, []).append(el)
+            el_id = attrs.get("id")
             if el_id is not None:
-                self.by_id.setdefault(el_id, []).append(el)
+                by_id.setdefault(el_id, []).append(el)
 
     def candidates(self, comp: Compound) -> list[Element]:
         """Smallest indexed candidate list for a compound (doc order)."""
