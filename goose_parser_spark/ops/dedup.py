@@ -485,3 +485,85 @@ def contamination_pairs(
             .groupBy("eval_id", "train_id")
             .agg(F.count("*").alias("n_shared_fps"))
             .where(F.col("n_shared_fps") >= min_shared))
+
+
+def build_minhash_index(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materializable LSH index: ``(band, bh, doc)`` rows — the table
+    an incremental pipeline keeps alongside the corpus (write it
+    partitioned/bucketed by ``(band, bh)``; an increment then prunes
+    to matching buckets instead of rescanning the corpus). A doc
+    contributes ``bands`` narrow long rows, never text."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, n=n, num_hashes=num_hashes,
+                            text_col=text_col, id_col=id_col)
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col("signature")[bi * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for bi in range(bands)
+    ])
+    return (sig.select("doc", F.explode(band_cols).alias("b"))
+            .select(F.col("b.band").alias("band"),
+                    F.col("b.bh").alias("bh"), "doc"))
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: a daily increment is
+    checked against the standing corpus WITHOUT re-pairing the corpus
+    with itself. The increment's band hashes join the stored
+    :func:`build_minhash_index` (at 100 TB that join prunes to
+    matching ``(band, bh)`` buckets of the index table); only matched
+    corpus docs are pulled for exact-Jaccard verification.
+
+    Returns ``(new_id, corpus_id, jaccard)`` — increment docs that
+    near-duplicate something already in the corpus (drop them, or
+    route to the keep-policy). Cost is proportional to the INCREMENT
+    and its collisions, never corpus².
+    """
+    new_bands = build_minhash_index(new_docs, n=n, num_hashes=num_hashes,
+                                    bands=bands, text_col=text_col,
+                                    id_col=id_col)
+    cand = (new_bands.alias("nw")
+            .join(index.alias("ix"), on=["band", "bh"])
+            .select(F.col("nw.doc").alias("new_id"),
+                    F.col("ix.doc").alias("corpus_id"))
+            .distinct())
+    # exact verification over the matched docs only
+    cand = cand.cache()
+    new_r = new_docs.join(cand.select(F.col("new_id").alias(id_col))
+                          .distinct(), on=id_col, how="left_semi")
+    corp_r = corpus.join(cand.select(F.col("corpus_id").alias(id_col))
+                         .distinct(), on=id_col, how="left_semi")
+    a = new_r.select(F.col(id_col).alias("new_id"),
+                     shingles(text_col, n).alias("_sa"))
+    b = corp_r.select(F.col(id_col).alias("corpus_id"),
+                      shingles(text_col, n).alias("_sb"))
+    scored = (cand.join(a, on="new_id").join(b, on="corpus_id")
+              .withColumn("_inter", F.size(F.array_intersect(
+                  F.array_distinct("_sa"), F.array_distinct("_sb"))))
+              .withColumn("_union", F.size(F.array_union("_sa", "_sb")))
+              .withColumn("jaccard",
+                          F.round(F.col("_inter") / F.col("_union"), 6)))
+    return (scored.where(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard"))

@@ -178,3 +178,110 @@ def stream_windowed_counts(
 def run_stream_to_completion(query) -> None:
     """Block until an availableNow stream drains its backlog."""
     query.awaitTermination()
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    available_now: bool = True,
+):
+    """Streaming gap-based sessionization — the custom stateful
+    operator Structured Streaming has no built-in for: group events by
+    key, close a session when ``gap_seconds`` passes with no event.
+
+    ``applyInPandasWithState`` with EVENT-TIME timeout: per-key state
+    is the open session (start, last_ts, n). Within a batch, sorted
+    events split on gaps and every CLOSED session is emitted
+    immediately; the still-open tail stays in state with a timeout at
+    ``last_ts + gap`` — when the WATERMARK (not wall clock) passes it,
+    the final session flushes. State is one row per key with an open
+    session, bounded by the watermark horizon. Exactly-once via the
+    shared checkpoint. Late data older than the watermark is dropped
+    by the watermark itself (standard semantics).
+
+    Output: ``<key_col>, session_start, session_end, n_events``.
+    Batch counterpart: driver_queries.q_events_sessionize (same gap
+    discipline via windows); equality on a replayed corpus is
+    pytest-asserted.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    events = (spark.readStream.schema(schema).format("parquet")
+              .load(input_dir)
+              .withWatermark(ts_col, f"{gap_seconds} seconds"))
+
+    key_type = schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type, True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n", LongType(), True),
+    ])
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(start_us, last_us, n):
+            return pd.DataFrame({
+                key_col: [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            })
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        ts_list = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_list.extend(
+                    int(v.value // 1_000) for v in pd.to_datetime(pdf[ts_col]))
+        if not ts_list:
+            return
+        ts_list.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = ts_list[0]
+            n = 0
+        for t in ts_list:
+            if n and t - last_us > gap_us:
+                yield emit(start_us, last_us, n)
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    sessions = (events.groupBy(key_col)
+                .applyInPandasWithState(fn, out_schema, state_schema,
+                                        "append",
+                                        GroupStateTimeout.EventTimeTimeout))
+    writer = (sessions.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -596,3 +596,36 @@ def test_redact_pii_patterns(spark):
     assert out[2] == "server at <IP> port"
     assert out[3] == "call <PHONE> now"
     assert out[4] == "clean text with nothing 12 34"
+
+
+def test_incremental_dedup_against_index(spark, docs):
+    """dedup_against_index must find exactly the cross (increment ×
+    corpus) near-dup pairs that full minhash over the union finds —
+    without ever pairing the corpus with itself."""
+    from goose_parser_spark.ops.dedup import (
+        build_minhash_index, dedup_against_index, minhash_lsh_dedup)
+    corpus = docs.where("doc_id % 2 = 0")
+    # increment: near-dup copies of some corpus docs (prepend 2 tokens)
+    # + genuinely new docs (reversed token order kills shingle overlap)
+    inc_dup = (corpus.where("doc_id < 100")
+               .selectExpr("doc_id + 100000 as doc_id",
+                           "concat('xq zq ', text) as text"))
+    inc_new = (corpus.where("doc_id >= 100 and doc_id < 140")
+               .selectExpr("doc_id + 200000 as doc_id",
+                           "array_join(reverse(split(text, ' ')), ' ') as text"))
+    increment = inc_dup.unionByName(inc_new)
+
+    index = build_minhash_index(corpus)
+    got = {(r["new_id"], r["corpus_id"]) for r in
+           dedup_against_index(increment, index, corpus,
+                               threshold=0.5).collect()}
+
+    union = corpus.select("doc_id", "text").unionByName(
+        increment.select("doc_id", "text"))
+    full = minhash_lsh_dedup(union, n=3, num_hashes=32, bands=8,
+                             threshold=0.5).collect()
+    want = {(r["doc_b"], r["doc_a"]) for r in full
+            if r["doc_b"] >= 100000 and r["doc_a"] < 100000}
+    assert got == want
+    assert got, "planted increment near-dups must be found"
+    assert not any(n >= 200000 for n, _ in got)   # fresh docs not flagged

@@ -181,3 +181,59 @@ def test_stream_extract_kill_between_sink_and_checkpoint_commit(
         want = json.loads(expected_for(i))
         assert row["extracted"]["title"] == want["title"]
         assert row["error"] is None
+
+
+def test_stream_sessionize_gap_and_timeout(spark, tmp_path):
+    """Streaming gap sessionization (applyInPandasWithState +
+    event-time timeout): in-batch gaps close sessions immediately; the
+    open tail session flushes when the WATERMARK passes last_ts+gap;
+    state survives a restart between batches."""
+    import datetime as dt
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType)
+    from goose_parser_spark.streaming.ingest import stream_sessionize
+
+    schema = StructType([StructField("user_id", LongType(), True),
+                         StructField("ts", TimestampType(), True)])
+    base = dt.datetime(2025, 6, 1, 12, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, rows):
+        table = pa.Table.from_pylist(
+            [{"user_id": u, "ts": t} for u, t in rows],
+            schema=pa.schema([pa.field("user_id", pa.int64()),
+                              pa.field("ts", pa.timestamp("us"))]))
+        pq.write_table(table, str(in_dir / fname))
+
+    # batch 0: user 1 has two clusters separated by > 30 min (first
+    # closes in-batch); user 2 has one open cluster
+    write("b0.parquet", [(1, m(0)), (1, m(5)), (1, m(50)),
+                         (2, m(10)), (2, m(20))])
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_sessionize(spark, str(in_dir), out_dir, ckpt, schema,
+                          gap_seconds=1800)
+    q.awaitTermination()
+    out1 = {(r["user_id"], r["session_start"].minute, r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (1, 0, 2) in out1            # first cluster closed by the gap
+    assert all(u != 2 for u, _, _ in out1)  # user 2 still open
+
+    # batch 1 (restart): far-future event pushes the watermark past
+    # every open session's timeout → they flush; the new event opens
+    # its own session (still open, not emitted)
+    write("b1.parquet", [(9, m(600))])
+    q = stream_sessionize(spark, str(in_dir), out_dir, ckpt, schema,
+                          gap_seconds=1800)
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["user_id"], r["session_start"].minute,
+            r["session_end"].minute, r["n_events"]) for r in rows}
+    assert (1, 0, 5, 2) in got
+    assert (1, 50, 50, 1) in got        # user 1 open tail flushed
+    assert (2, 10, 20, 2) in got        # user 2 flushed
+    assert all(u != 9 for u, _, _, _ in got)
+    assert len(rows) == 3
