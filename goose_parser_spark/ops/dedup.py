@@ -221,6 +221,14 @@ def minhash_lsh_dedup(
     :func:`ngram_jaccard_pairs` restricted to LSH candidates — at high
     signature width the two converge, which the test suite asserts.
 
+    Verification is PER CANDIDATE PAIR (``array_intersect`` over each
+    side's distinct hashed-shingle array), not a shingle self-join
+    over candidate docs: the self-join re-derives every co-shingle
+    pair among candidate-touched documents, which at aggressive
+    banding (r=1) or on dup-heavy crawls approaches the quadratic
+    blow-up LSH exists to avoid. Pair-wise verify costs
+    O(|candidate pairs| · doc_len) and is strictly scale-safer.
+
     Columns: ``doc_a, doc_b, jaccard``.
     """
     if num_hashes % bands != 0:
@@ -245,9 +253,9 @@ def minhash_lsh_dedup(
                     F.col("y.doc").alias("doc_b"))
             .distinct())
 
-    # Exact-Jaccard verification restricted to candidate docs only —
-    # the LSH point at scale: the expensive shingle self-join runs on
-    # the (tiny, broadcastable) candidate universe, never the corpus.
+    # Exact-Jaccard verification per candidate pair only — the LSH
+    # point at scale: shingle arrays are materialized just for
+    # candidate-touched docs, and each pair is scored independently.
     cand = cand.cache()
     cand_docs = (cand.select(F.col("doc_a").alias(id_col))
                  .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -257,9 +265,43 @@ def minhash_lsh_dedup(
     # of the corpus — forcing a broadcast would OOM. AQE picks
     # broadcast at runtime when cand_docs is actually small.
     restricted = df.join(cand_docs, on=id_col, how="left_semi")
-    exact = ngram_jaccard_pairs(restricted, n=n, threshold=threshold,
-                                text_col=text_col, id_col=id_col)
-    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+    return verify_pairs_jaccard(cand, restricted, n=n,
+                                threshold=threshold, text_col=text_col,
+                                id_col=id_col)
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit pair list: join each side's
+    distinct hashed-shingle ARRAY onto the pair and ``array_intersect``
+    — numerically identical to :func:`ngram_jaccard_pairs` (same
+    xxhash64'd distinct shingles, same 6-dp rounding) but with cost
+    proportional to the pair list, never to co-shingle pair counts.
+    Returns ``(a_col, b_col, jaccard)`` filtered to ≥ threshold."""
+    sh_arr = (df.where(F.size(tokens(text_col)) >= n)
+              .select(F.col(id_col),
+                      F.array_distinct(
+                          F.transform(shingles(text_col, n),
+                                      lambda s: F.xxhash64(s)))
+                      .alias("_sh")))
+    a = sh_arr.select(F.col(id_col).alias(a_col), F.col("_sh").alias("_sa"))
+    b = sh_arr.select(F.col(id_col).alias(b_col), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (pairs.join(a, on=a_col).join(b, on=b_col)
+            .withColumn("_c", inter)
+            .withColumn("jaccard", F.round(
+                F.col("_c") /
+                (F.size("_sa") + F.size("_sb") - F.col("_c")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select(a_col, b_col, "jaccard"))
 
 
 def keep_canonical(
@@ -271,9 +313,13 @@ def keep_canonical(
     canonical (smallest-id) document. ``clusters`` is
     :func:`connected_components` output ``(doc_id, canonical_id)``.
     One left-semi join on the id — no hint, AQE decides."""
-    keep_ids = (clusters.where(F.col(id_col) == F.col("canonical_id"))
+    # Anti-join on the NON-canonical ids: that side is bounded by the
+    # dup count (often a small fraction of the corpus), whereas a
+    # semi-join on the keep list carries corpus-sized build sides.
+    # No hint — AQE broadcasts the drop list when it is small.
+    drop_ids = (clusters.where(F.col(id_col) != F.col("canonical_id"))
                 .select(id_col))
-    return df.join(keep_ids, on=id_col, how="left_semi")
+    return df.join(drop_ids, on=id_col, how="left_anti")
 
 
 def connected_components(
@@ -292,9 +338,14 @@ def connected_components(
 
     The loop runs until no label changes: iteration count = component
     diameter (near-dup clusters are tiny — pairs/chains — so 2-4
-    rounds in practice). Each round is one join + one aggregate on
-    ``(node, label)`` longs; at 100 TB checkpoint every ~5 rounds to
-    truncate lineage. Deterministic.
+    rounds in practice). The propagation loop runs ONLY over nodes
+    that appear in at least one edge — a table bounded by 2·|pairs|,
+    NOT the corpus: at 100 TB the per-round shuffles touch just the
+    dup graph, and the corpus is visited exactly once, by the final
+    singleton-assembly join (singletons can never receive a smaller
+    label, so looping them is pure waste). Each round is one join +
+    one aggregate on ``(node, label)`` longs; localCheckpoint per
+    round truncates lineage. Deterministic.
     """
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
@@ -302,28 +353,35 @@ def connected_components(
     # localCheckpoint every iteration: iterative self-referencing plans
     # otherwise grow exponentially and blow up Catalyst (OOM observed
     # at ~10 iterations without truncation)
-    labels = ids.select(F.col(id_col).alias("node"),
-                        F.col(id_col).alias("label")).localCheckpoint()
     edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.src == labels.node)
                         .groupBy(F.col("dst").alias("node2"))
                         .agg(F.min("label").alias("nmin")))
+        # the changed flag rides along in the checkpointed result, so
+        # counting it re-reads the materialized rows — no extra
+        # old-vs-new join per round
         new_labels = (labels.join(neighbor_min,
                                   labels.node == neighbor_min.node2, "left")
                       .select(F.col("node"),
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nmin"),
                                                  F.col("label")))
-                               .alias("label"))).localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="node")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+                               .alias("label"),
+                              (F.col("nmin") < F.col("label"))
+                               .alias("_changed"))).localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col),
-                         F.col("label").alias("canonical_id"))
+    return (ids.select(F.col(id_col))
+            .join(labels.withColumnRenamed("node", id_col),
+                  on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("label"), F.col(id_col))
+                     .alias("canonical_id")))
 
 
 def simhash(
@@ -549,21 +607,17 @@ def dedup_against_index(
             .select(F.col("nw.doc").alias("new_id"),
                     F.col("ix.doc").alias("corpus_id"))
             .distinct())
-    # exact verification over the matched docs only
+    # exact verification over the matched docs only (ids are disjoint
+    # across increment and corpus, so one unioned doc table serves
+    # both sides of the pair)
     cand = cand.cache()
     new_r = new_docs.join(cand.select(F.col("new_id").alias(id_col))
                           .distinct(), on=id_col, how="left_semi")
     corp_r = corpus.join(cand.select(F.col("corpus_id").alias(id_col))
                          .distinct(), on=id_col, how="left_semi")
-    a = new_r.select(F.col(id_col).alias("new_id"),
-                     shingles(text_col, n).alias("_sa"))
-    b = corp_r.select(F.col(id_col).alias("corpus_id"),
-                      shingles(text_col, n).alias("_sb"))
-    scored = (cand.join(a, on="new_id").join(b, on="corpus_id")
-              .withColumn("_inter", F.size(F.array_intersect(
-                  F.array_distinct("_sa"), F.array_distinct("_sb"))))
-              .withColumn("_union", F.size(F.array_union("_sa", "_sb")))
-              .withColumn("jaccard",
-                          F.round(F.col("_inter") / F.col("_union"), 6)))
-    return (scored.where(F.col("jaccard") >= threshold)
-            .select("new_id", "corpus_id", "jaccard"))
+    union_docs = (new_r.select(id_col, text_col)
+                  .unionByName(corp_r.select(id_col, text_col)))
+    return verify_pairs_jaccard(cand, union_docs, n=n,
+                                threshold=threshold, text_col=text_col,
+                                id_col=id_col,
+                                a_col="new_id", b_col="corpus_id")
