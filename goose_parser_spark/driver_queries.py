@@ -1590,6 +1590,248 @@ def q_i1_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket").count().orderBy("bucket"))
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization: normalize (case, default
+    ports, trailing slash, fragment) + strip tracking params + sort
+    survivors (ops/urls.py). The oracle states hand-computed expected
+    values per variant — a specification check."""
+    from goose_parser_spark.ops.urls import url_canonicalize
+    docs = _documents_amplified(spark, sf_dir)
+    v = F.col("doc_id") % 6
+    s = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(F.lit("https://Example.COM/a"), s,
+                                   F.lit("?utm_source=x&b=2&a=1#f")))
+           .when(v == 1, F.concat(F.lit("http://shop.net:80/p"), s,
+                                  F.lit("?gclid=abc")))
+           .when(v == 2, F.concat(F.lit("https://news.org/x"), s,
+                                  F.lit("/?z=9&fbclid=1&y=8")))
+           .when(v == 3, F.concat(F.lit("https://plain.com/q"), s,
+                                  F.lit("/")))
+           .when(v == 4, F.concat(F.lit("https://a.site.org/p"), s,
+                                  F.lit("?b=1&a=2&utm_campaign=c&ref=tw")))
+           .otherwise(F.concat(F.lit("https://t.co/h"), s,
+                               F.lit("?utm_x=1"))))
+    return docs.select("doc_id", url.alias("url"),
+                       url_canonicalize(url).alias("canon"))
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://Example.COM/a' || doc_id || '?utm_source=x&b=2&a=1#f'
+    WHEN 1 THEN 'http://shop.net:80/p' || doc_id || '?gclid=abc'
+    WHEN 2 THEN 'https://news.org/x' || doc_id || '/?z=9&fbclid=1&y=8'
+    WHEN 3 THEN 'https://plain.com/q' || doc_id || '/'
+    WHEN 4 THEN 'https://a.site.org/p' || doc_id || '?b=1&a=2&utm_campaign=c&ref=tw'
+    ELSE 'https://t.co/h' || doc_id || '?utm_x=1'
+  END AS url,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://example.com/a' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'http://shop.net/p' || doc_id
+    WHEN 2 THEN 'https://news.org/x' || doc_id || '?y=8&z=9'
+    WHEN 3 THEN 'https://plain.com/q' || doc_id
+    WHEN 4 THEN 'https://a.site.org/p' || doc_id || '?a=2&b=1'
+    ELSE 'https://t.co/h' || doc_id
+  END AS canon
+FROM docs_amp
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 16, stride 12) — the
+    unit-of-training split for embedding/context-bound models
+    (ops/textstats.py). Map-side Generate only: no shuffle."""
+    from goose_parser_spark.ops.textstats import chunk_documents
+    docs = _documents_amplified(spark, sf_dir)
+    return chunk_documents(docs.select("doc_id", "text"),
+                           size=16, stride=12)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM docs_amp
+), st AS (
+  SELECT doc_id, w, generate_series(0, len(w) - 1, 12) AS starts
+  FROM tok WHERE len(w) >= 1
+)
+SELECT doc_id,
+       CAST(unnest(range(len(starts))) AS INTEGER) AS chunk_id,
+       CAST(unnest(starts) AS INTEGER) AS chunk_start,
+       CAST(len(w[unnest(starts) + 1 : unnest(starts) + 16]) AS INTEGER)
+           AS n_tokens,
+       array_to_string(w[unnest(starts) + 1 : unnest(starts) + 16], ' ')
+           AS chunk_text
+FROM st
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source sampling rates
+    (src0 0.9, src1 0.5, src2 0.2, src3 0.05, others 0.1) via the
+    md5-threshold discipline — one scan-level CASE filter, zero
+    shuffles (ops/sampling.py)."""
+    from goose_parser_spark.ops.sampling import stratified_sample_by_hash
+    docs = _documents_amplified(spark, sf_dir)
+    return stratified_sample_by_hash(
+        docs.select("doc_id", "source"), "doc_id", "source",
+        rates={"src0": 0.9, "src1": 0.5, "src2": 0.2, "src3": 0.05},
+        salt="mx", default_rate=0.1)
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id, source FROM docs_amp
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mx'), 1, 8) <
+  CASE source
+    WHEN 'src0' THEN 'e6666666'
+    WHEN 'src1' THEN '80000000'
+    WHEN 'src2' THEN '33333333'
+    WHEN 'src3' THEN '0ccccccc'
+    ELSE '19999999'
+  END
+"""
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: md5 shard
+    assignment + md5-order position within the shard — a reproducible
+    pseudo-random permutation with one exchange (ops/sampling.py)."""
+    from goose_parser_spark.ops.sampling import assign_shards
+    docs = _documents_amplified(spark, sf_dir)
+    return assign_shards(docs.select("doc_id"), "doc_id",
+                         n_shards=8, salt="sh")
+
+
+SQL_TRAIN_SHARDS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'sh') AS hh FROM docs_amp
+)
+SELECT doc_id,
+  CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+  row_number() OVER (
+    PARTITION BY CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
+    ORDER BY hh, doc_id) AS pos
+FROM h
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (fastText-style
+    serving path; frozen md5 weight function → fully oracle-checkable;
+    ops/textstats.py). Integer-exact accumulation, one codegen
+    projection."""
+    from goose_parser_spark.ops.textstats import classifier_score
+    docs = _documents_amplified(spark, sf_dir)
+    return docs.select("doc_id",
+                       classifier_score("text").alias("clf_score"))
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM docs_amp
+)
+SELECT doc_id,
+  CASE WHEN len(w) > 0 THEN
+    round(CAST(list_sum(list_transform(w,
+        t -> CAST(('0x' || substr(md5(t || 'clf'), 1, 8)) AS BIGINT)
+             - 2147483648)) AS BIGINT)
+      / (len(w) * 2147483648.0), 6)
+  ELSE 0.0 END AS clf_score
+FROM tok
+"""
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training text cleanup over deterministically dirtied text
+    (tabs / newlines / DEL / VT / space runs injected per doc_id
+    variant); control chars → space, collapse, trim
+    (ops/textstats.py). The oracle runs the identical RE2-compatible
+    patterns (with DuckDB's explicit 'g' flag)."""
+    from goose_parser_spark.ops.textstats import clean_text
+    docs = _documents_amplified(spark, sf_dir)
+    v = F.col("doc_id") % 4
+    dirty = (F.when(v == 0, F.concat(F.lit("\t "), F.col("text"),
+                                     F.lit(" \n")))
+             .when(v == 1, F.replace(F.col("text"), F.lit(" "),
+                                     F.lit("\t")))
+             .when(v == 2, F.concat(F.lit("  "), F.col("text"),
+                                    F.lit("  \x7f")))
+             .otherwise(F.concat(F.col("text"), F.lit("\x0btail"))))
+    return docs.select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
+SQL_CLEAN_TEXT = f"""
+WITH {_SQL_DOCS_AMP_COPY}, dirty AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN chr(9) || ' ' || text || ' ' || chr(10)
+      WHEN 1 THEN replace(text, ' ', chr(9))
+      WHEN 2 THEN '  ' || text || '  ' || chr(127)
+      ELSE text || chr(11) || 'tail'
+    END AS d
+  FROM docs_amp
+)
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(d, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                      ' +', ' ', 'g')) AS cleaned
+FROM dirty
+"""
+
+
+def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: embedding-cosine
+    near-dup pairs (LSH-blocked, the oracle-checkable scale path) →
+    connected components → keep each cluster's canonical vector. The
+    embedding-side twin of dedup_keep_canonical."""
+    from goose_parser_spark.ops.dedup import (
+        connected_components, keep_canonical)
+    from goose_parser_spark.ops.similarity import embedding_cosine_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.45,
+                                   lsh_prefilter=True,
+                                   num_planes=4, num_tables=4, dims=64)
+    clusters = connected_components(emb.select("vec_id"), pairs,
+                                    id_col="vec_id",
+                                    a_col="id_a", b_col="id_b")
+    return keep_canonical(emb.select("vec_id"), clusters,
+                          id_col="vec_id")
+
+
+SQL_DEDUP_SEMANTIC_KEEP = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {{b0}} AS b0,
+         {{b1}} AS b1,
+         {{b2}} AS b2,
+         {{b3}} AS b3
+  FROM embeddings
+), pr AS (
+  SELECT x.vec_id AS a, y.vec_id AS bb
+  FROM b x JOIN b y
+    ON x.vec_id < y.vec_id
+   AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+  WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.45
+), edges AS (
+  SELECT a AS ea, bb AS eb FROM pr UNION SELECT bb, a FROM pr
+), reach(node, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.eb, r.root FROM reach r JOIN edges e ON e.ea = r.node
+)
+SELECT node AS vec_id FROM (
+  SELECT node, min(root) AS canon FROM reach GROUP BY node
+) WHERE node = canon
+""".format(
+    b0=_bucket_sql('CAST(embedding AS DOUBLE[])', 4, 64, 0),
+    b1=_bucket_sql('CAST(embedding AS DOUBLE[])', 4, 64, 4),
+    b2=_bucket_sql('CAST(embedding AS DOUBLE[])', 4, 64, 8),
+    b3=_bucket_sql('CAST(embedding AS DOUBLE[])', 4, 64, 12),
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1653,6 +1895,13 @@ QUERIES: dict[str, QueryFn] = {
     "extract_markdown": q_extract_markdown,
     "contamination": q_contamination,
     "corpus_percentiles": q_corpus_percentiles,
+    "url_canonicalize": q_url_canonicalize,
+    "chunk_documents": q_chunk_documents,
+    "mixture_sample": q_mixture_sample,
+    "train_shards": q_train_shards,
+    "quality_classifier": q_quality_classifier,
+    "clean_text": q_clean_text,
+    "dedup_semantic_keep": q_dedup_semantic_keep,
 }
 
 ORACLES: dict[str, str] = {
@@ -1707,6 +1956,13 @@ ORACLES: dict[str, str] = {
     "extract_markdown": SQL_EXTRACT_MARKDOWN,
     "contamination": SQL_CONTAMINATION,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "train_shards": SQL_TRAIN_SHARDS,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "clean_text": SQL_CLEAN_TEXT,
+    "dedup_semantic_keep": SQL_DEDUP_SEMANTIC_KEEP,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -30,6 +30,17 @@ def hash_bucket_hex(key: Column, salt: str = "") -> Column:
     return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
 
 
+def rate_threshold_hex(rate: float) -> str:
+    """Hex threshold for ``hash_bucket_hex(k) < thr`` keeping ``rate``
+    of keys. rate=1.0 needs care: int(16^8) formats to the NINE-char
+    '100000000', and 8-char prefixes compare lexicographically against
+    it char-by-char — only prefixes starting '0' pass (a 1/16 sample
+    silently). 'g' sorts after every hex digit, so it keeps all."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16 ** 8), "08x")
+
+
 def sample_by_hash(
     df: DataFrame,
     key_col: str,
@@ -46,7 +57,7 @@ def sample_by_hash(
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    thr = format(int(rate * 16 ** 8), "08x")
+    thr = rate_threshold_hex(rate)
     return df.where(hash_bucket_hex(F.col(key_col), salt) < F.lit(thr))
 
 
@@ -147,3 +158,71 @@ def pack_sequences(
             .withColumn("seq_offset", start)
             .withColumn("seq_id", F.floor(F.col("seq_offset")
                                           / tokens_per_seq).cast("long")))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Training-mixture construction: sample each ``group_col`` stratum
+    at its own rate (e.g. books 0.9, web 0.3, boilerplate 0.05 — the
+    per-source weighting step of an LM data recipe). Same md5-threshold
+    discipline as :func:`sample_by_hash`, so membership is a pure
+    function of (key, salt): reruns, engine swaps, and corpus growth
+    never change which rows are in.
+
+    ``rates`` is a literal map (data mixtures have dozens of sources,
+    not millions) compiled into one CASE expression — a scan-level
+    filter, zero joins, zero shuffles at any corpus size. Groups
+    absent from ``rates`` sample at ``default_rate`` (0.0 = drop).
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+
+    def thr(rate: float) -> Column:
+        return F.lit(rate_threshold_hex(rate))
+
+    expr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        expr = F.when(cond, thr(r)) if expr is None else expr.when(cond, thr(r))
+    expr = thr(default_rate) if expr is None else expr.otherwise(thr(default_rate))
+    return df.where(hash_bucket_hex(F.col(key_col), salt) < expr)
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row
+    gets a ``shard`` (md5-prefix mod ``n_shards``) and a dense ``pos``
+    within its shard (rank in md5 order). Together they define a
+    reproducible pseudo-random permutation of the corpus — the
+    shuffle a training run reads back shard-by-shard — without
+    ``rand()`` and without a global sort: one exchange on the shard
+    key, per-shard ordering inside (at 100 TB: write with
+    ``partitionBy(shard)`` + sort within partitions, same plan).
+
+    md5 everywhere (not xxhash64) so the oracle reproduces the exact
+    permutation. ``pos`` orders by the FULL md5 hex (independent of
+    the shard-assignment prefix) with the key as tiebreak.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    full = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    shard = F.pmod(F.conv(F.substring(full, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    with_s = df.withColumn("shard", shard).withColumn("_h", full)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                            F.col(key_col).asc())
+    return (with_s.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_h"))

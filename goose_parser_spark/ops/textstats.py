@@ -258,3 +258,89 @@ def redact_pii(
     c = F.regexp_replace(c, _PII_IPV4, ip_token)
     c = F.regexp_replace(c, _PII_PHONE, phone_token)
     return c
+
+
+def clean_text(col: str | Column) -> Column:
+    """Pre-training text cleanup: control characters (C0 + DEL) become
+    spaces, space runs collapse, ends trim. Two regexp_replace passes
+    in one codegen projection. The control-char pass runs FIRST, so
+    tabs/newlines join the collapse — after it only U+0020 remains as
+    whitespace, making the second pattern a plain ``' +'`` that means
+    the same thing in Java regex and RE2 (the oracle's engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    return F.trim(F.regexp_replace(c, r" +", " "))
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the chunking step feeding embedding models / context-window-bound
+    training. Chunk ``i`` starts at token ``i*stride`` (0-based) and
+    spans up to ``size`` tokens; the final chunk may be short; starts
+    past the end are not emitted. Map-side Generate only (sequence →
+    slice → posexplode), no shuffle, no Python.
+
+    Output: ``id_col, chunk_id, chunk_start, n_tokens, chunk_text``.
+    Empty documents produce no chunks.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.size(F.slice(w, s + 1, size)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(w, s + 1, size)).alias("chunk_text"),
+        ))
+    return (df.where(n >= 1)
+            .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c"))
+            .select(id_col, "chunk_id", F.col("c.chunk_start"),
+                    F.col("c.n_tokens"), F.col("c.chunk_text")))
+
+
+# classifier_score weight scale: md5-prefix ints are uniform in
+# [0, 16^8); subtracting half centres them on zero.
+_CLF_HALF = 16 ** 8 // 2
+
+
+def classifier_score(
+    col: str | Column,
+    salt: str = "clf",
+    round_to: int = 6,
+) -> Column:
+    """Linear text classifier over hashed token features — the
+    fastText-style quality-classifier *serving* path: score(doc) =
+    mean over tokens of w[h(token)], where the weight table is
+    addressed by a hash of the token (no vocabulary file ships with
+    the job). Here the weight of a token IS a pure md5 function of
+    (token, salt) — i.e. a frozen random model — which keeps the
+    operator fully oracle-checkable; swapping in trained weights
+    means joining/broadcasting a (hash → weight) table in the same
+    plan shape.
+
+    All arithmetic before the final division is EXACT int64 (md5
+    prefix minus centre, summed) — float summation order can differ
+    across engines, integer sums cannot. Score lands in [-1, 1],
+    rounded. Empty/whitespace-only text scores 0.0.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, " "), lambda x: x != "")
+    weights = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(
+            F.md5(F.concat(t, F.lit(salt))), 1, 8), 16, 10)
+        .cast("long") - F.lit(_CLF_HALF).cast("long"))
+    total = F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(toks)
+    return F.when(n > 0, F.round(
+        total / (n.cast("double") * F.lit(float(_CLF_HALF))), round_to)
+    ).otherwise(F.lit(0.0))

@@ -50,6 +50,43 @@ def url_normalize(col: str | Column) -> Column:
     )
 
 
+# Tracking parameters stripped by url_canonicalize: the widely-known
+# analytics/click-id query keys (public knowledge; any crawl dedup
+# pipeline drops these — they vary per visitor, not per content).
+# Anchored regex over a single `key=` prefix; RE2-compatible so the
+# DuckDB oracle runs the identical pattern.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|dclid|fbclid|msclkid|mc_eid|igshid|twclid|"
+    r"yclid|ref|ref_src)=")
+
+
+def strip_tracking_params(col: str | Column,
+                          pattern: str = TRACKING_PARAM_RE) -> Column:
+    """Drop tracking query parameters and SORT the survivors so that
+    param order never distinguishes two URLs. Pure Catalyst: split the
+    query on '&', filter on the anchored key regex, array_sort,
+    re-join. Keeps everything before '?' byte-identical; a URL whose
+    query empties out loses its '?'. Fragments should already be gone
+    (apply after :func:`url_normalize`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pre = F.regexp_extract(c, r"^([^?#]*)", 1)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(pattern)))
+    newq = F.array_join(kept, "&")
+    return F.when(newq != "", F.concat(pre, F.lit("?"), newq)).otherwise(pre)
+
+
+def url_canonicalize(col: str | Column) -> Column:
+    """Full canonical URL for crawl-frontier / dedup keys:
+    :func:`url_normalize` (case, default ports, trailing slash,
+    fragment) then :func:`strip_tracking_params` (tracking keys out,
+    survivors sorted). One codegen'd projection — a scan-level rewrite
+    at any corpus size."""
+    return strip_tracking_params(url_normalize(col))
+
+
 # Frozen two-label public-suffix table: the widely-known ccTLD
 # second-level registries (public knowledge of the Mozilla PSL's ICANN
 # section). ~250 entries cover the overwhelming bulk of multi-label

@@ -629,3 +629,112 @@ def test_incremental_dedup_against_index(spark, docs):
     assert got == want
     assert got, "planted increment near-dups must be found"
     assert not any(n >= 200000 for n, _ in got)   # fresh docs not flagged
+
+
+def test_url_canonicalize_cases(spark):
+    from goose_parser_spark.ops.urls import (
+        strip_tracking_params, url_canonicalize)
+    df = spark.createDataFrame(
+        [("https://Ex.COM:443/a/?b=2&utm_source=x&a=1#frag",),
+         ("http://s.net/p?gclid=1",),
+         ("https://s.net/p",),
+         ("https://s.net/p?ref=tw&fbclid=z&utm_campaign=c",),
+         ("https://s.net/p?&&a=1",),          # empty segments dropped
+         ("https://s.net/p?refresh=1",)],     # 'refresh' is NOT 'ref'
+        "url string")
+    out = [r[0] for r in
+           df.select(url_canonicalize("url")).collect()]
+    assert out == [
+        "https://ex.com/a?a=1&b=2",
+        "http://s.net/p",
+        "https://s.net/p",
+        "https://s.net/p",
+        "https://s.net/p?a=1",
+        "https://s.net/p?refresh=1",
+    ]
+    # strip alone keeps the pre-? part byte-identical (no normalize)
+    raw = spark.createDataFrame([("https://A.COM/X?b=1&utm_x=2",)],
+                                "url string")
+    assert raw.select(strip_tracking_params("url")).first()[0] == \
+        "https://A.COM/X?b=1"
+
+
+def test_chunk_documents_windows(spark):
+    from goose_parser_spark.ops.textstats import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a"), (3, "")],
+        "doc_id long, text string")
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["n_tokens"],
+         r["chunk_text"])
+        for r in chunk_documents(df, size=4, stride=3).collect())
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+        (2, 0, 0, 1, "a"),
+    ]  # doc 3 (empty) emits nothing; final short chunk kept
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from goose_parser_spark.ops.sampling import (
+        sample_by_hash, stratified_sample_by_hash)
+    df = spark.range(2000).selectExpr(
+        "id as doc_id", "concat('g', id % 2) as grp")
+    out = stratified_sample_by_hash(df, "doc_id", "grp",
+                                    {"g0": 1.0, "g1": 0.0}, salt="t")
+    got = out.groupBy("grp").count().collect()
+    assert {(r["grp"], r["count"]) for r in got} == {("g0", 1000)}
+    # same salt => lower-rate stratum is a SUBSET of the higher rate
+    lo = {r["doc_id"] for r in stratified_sample_by_hash(
+        df, "doc_id", "grp", {"g0": 0.2, "g1": 0.2}, salt="u").collect()}
+    hi = {r["doc_id"] for r in stratified_sample_by_hash(
+        df, "doc_id", "grp", {"g0": 0.6, "g1": 0.6}, salt="u").collect()}
+    assert lo <= hi
+    # and equals the unstratified sample at the same rate/salt
+    flat = {r["doc_id"] for r in
+            sample_by_hash(df, "doc_id", 0.2, salt="u").collect()}
+    assert lo == flat
+
+
+def test_assign_shards_permutation(spark):
+    from goose_parser_spark.ops.sampling import assign_shards
+    df = spark.range(500).selectExpr("id as doc_id")
+    out = assign_shards(df, "doc_id", n_shards=4, salt="z").collect()
+    assert len(out) == 500
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    again = assign_shards(df, "doc_id", n_shards=4, salt="z").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == \
+        {(r["doc_id"], r["shard"], r["pos"]) for r in again}
+
+
+def test_classifier_score_exact_and_bounds(spark):
+    import hashlib
+    from goose_parser_spark.ops.textstats import classifier_score
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", classifier_score("text").alias("s"))
+           .collect()}
+    half = 16 ** 8 // 2
+    want = sum(int(hashlib.md5((t + "clf").encode()).hexdigest()[:8], 16)
+               - half for t in ("hello", "world"))
+    assert got[1] == round(want / (2 * half), 6)
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_clean_text_cases(spark):
+    from goose_parser_spark.ops.textstats import clean_text
+    df = spark.createDataFrame(
+        [("\t a  b \n",), ("a\tb\x7fc",), ("clean",), ("",)],
+        "t string")
+    out = [r[0] for r in df.select(clean_text("t")).collect()]
+    assert out == ["a b", "a b c", "clean", ""]

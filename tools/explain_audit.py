@@ -207,10 +207,18 @@ CHECKS = {
 #    one mean-collect per Lloyd iteration; K rows each — it IS the
 #    index). Everything else must build its plan with ZERO driver
 #    actions (VERDICT r02 #7: no hidden schema-probe jobs at scale).
+#  - dedup_clusters / dedup_keep_canonical / dedup_semantic_keep:
+#    connected_components runs one O(1)-result convergence count()
+#    per label-propagation round over the (dup-graph-bounded) label
+#    table; near-dup components converge in 2-4 rounds, 12 is a
+#    pathological-diameter ceiling.
 ALLOWED_PLAN_ACTIONS = {
     "simsearch_topk": 1,
     "simsearch_lsh": 1,
     "simsearch_ivf": 8,
+    "dedup_clusters": 12,
+    "dedup_keep_canonical": 12,
+    "dedup_semantic_keep": 12,
 }
 
 
@@ -240,14 +248,25 @@ def main() -> int:
     ]
 
     # -- driver-action audit: plan CONSTRUCTION must not run jobs ------
-    from pyspark.sql import DataFrame as _DF
-    action_count = {"n": 0}
+    # Patch the CONCRETE DataFrame class: pyspark.sql.DataFrame is the
+    # abstract parent in PySpark 4, and the classic subclass defines
+    # its own head/count/... — patching only the parent intercepts
+    # NOTHING (the audit was vacuously green until this was caught).
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+    action_count = {"n": 0, "depth": 0}
     originals = {}
 
     def _counting(fn):
+        # re-entrancy guard: head() delegates to take() which calls
+        # collect() — one user-level action, not three
         def wrapper(self, *a, **kw):
-            action_count["n"] += 1
-            return fn(self, *a, **kw)
+            if action_count["depth"] == 0:
+                action_count["n"] += 1
+            action_count["depth"] += 1
+            try:
+                return fn(self, *a, **kw)
+            finally:
+                action_count["depth"] -= 1
         return wrapper
 
     for meth in ("head", "first", "collect", "take", "count"):
@@ -258,8 +277,10 @@ def main() -> int:
         "Building each query's DataFrame must fire ZERO driver actions "
         "(head/first/collect/take/count) — a hidden schema-probe job at "
         "plan time is an extra cluster round-trip per query at 100 TB. "
-        "Documented exceptions: the 1-row query vector (simsearch_*) "
-        "and IVF centroid training (K-row collects; the index itself).\n")
+        "Documented exceptions: the 1-row query vector (simsearch_*), "
+        "IVF centroid training (K-row collects; the index itself), and "
+        "the per-round convergence counts of the connected-components "
+        "loop (dedup_clusters/keep_canonical/semantic_keep).\n")
     try:
         for name, fn in qs.items():
             action_count["n"] = 0
