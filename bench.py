@@ -364,6 +364,9 @@ def main() -> int:
         "extract_multi_tree", "events_asof_join", "events_range_join",
         "events_rollups", "redact_pii", "simsearch_ivf",
         "dedup_embedding_cosine",
+        "url_canonicalize", "chunk_documents", "mixture_sample",
+        "train_shards", "quality_classifier", "clean_text",
+        "dedup_semantic_keep", "corpus_percentiles",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -285,3 +285,87 @@ def stream_sessionize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_near(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup admission control against a standing corpus
+    — the production shape of continuous crawl ingestion: every
+    micro-batch of freshly crawled docs is
+
+    1. self-deduped within the batch (minhash pairs → connected
+       components → keep canonical), then
+    2. checked against the persisted ``build_minhash_index`` table of
+       the standing corpus (:func:`ops.dedup.dedup_against_index` —
+       cost ∝ batch and its collisions, never corpus²), and
+    3. survivors land in ``output_dir`` under a ``batch_id=N``
+       partition written with DYNAMIC PARTITION OVERWRITE — a replayed
+       micro-batch rewrites exactly its own partition, which is the
+       standard foreachBatch idempotence discipline (exactly-once
+       without a transactional sink).
+
+    The index/corpus dirs are the STANDING snapshot: merging admitted
+    survivors back into them is the periodic batch compaction job
+    (append survivors + their band rows), deliberately decoupled so
+    the hot path never rewrites the big tables. At 100 TB the
+    per-batch index join prunes to matching (band, bh) buckets of an
+    index table partitioned by band.
+    """
+    from goose_parser_spark.ops.dedup import (
+        connected_components, dedup_against_index, keep_canonical,
+        minhash_lsh_dedup)
+    from pyspark.sql import functions as F
+
+    def admit(batch_df, batch_id: int):
+        sess = batch_df.sparkSession
+        docs = batch_df.select(id_col, text_col)
+        # 1. in-batch near-dedup
+        pairs = minhash_lsh_dedup(docs, n=n, num_hashes=num_hashes,
+                                  bands=bands, threshold=threshold,
+                                  text_col=text_col, id_col=id_col)
+        clusters = connected_components(docs.select(id_col), pairs,
+                                        id_col=id_col)
+        kept = keep_canonical(batch_df, clusters, id_col=id_col)
+        # 2. cross-corpus check via the standing index
+        from pyspark.errors import AnalysisException
+        try:
+            index = sess.read.parquet(index_dir)
+            corpus = sess.read.parquet(corpus_dir)
+        except AnalysisException:
+            index = corpus = None  # first run: no standing corpus yet
+        if index is not None:
+            dup_new = (dedup_against_index(
+                kept.select(id_col, text_col), index, corpus, n=n,
+                num_hashes=num_hashes, bands=bands, threshold=threshold,
+                text_col=text_col, id_col=id_col)
+                .select(F.col("new_id").alias(id_col)).distinct())
+            kept = kept.join(dup_new, on=id_col, how="left_anti")
+        # 3. idempotent append: replayed batch overwrites its partition
+        (kept.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(output_dir))
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    writer = (reader.load(input_dir)
+              .writeStream
+              .foreachBatch(admit)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -237,3 +237,63 @@ def test_stream_sessionize_gap_and_timeout(spark, tmp_path):
     assert (2, 10, 20, 2) in got        # user 2 flushed
     assert all(u != 9 for u, _, _, _ in got)
     assert len(rows) == 3
+
+
+def test_stream_dedup_near_against_standing_corpus(spark, tmp_path):
+    """Streaming near-dup admission: in-batch near-dups collapse to one
+    canonical; docs near-duplicating the STANDING corpus are rejected;
+    genuinely new docs are admitted; a replayed batch overwrites its
+    own batch_id partition (idempotent foreachBatch)."""
+    import os
+    from goose_parser_spark.ops.dedup import build_minhash_index
+    from goose_parser_spark.streaming.ingest import stream_dedup_near
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([StructField("doc_id", LongType(), True),
+                         StructField("text", StringType(), True)])
+    base = ("spark shuffles data between stages using hash partitioning "
+            "and sorts within partitions for joins and aggregations")
+    other = ("ducks swim in ponds and rivers eating plants and insects "
+             "while geese prefer open grass fields near the water")
+
+    corpus = spark.createDataFrame([(1, base), (2, other)], schema)
+    corpus_dir, index_dir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    corpus.write.parquet(corpus_dir)
+    build_minhash_index(corpus).write.parquet(index_dir)
+
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    batch_rows = [
+        (10, "prefix one " + base),        # near-dup of corpus doc 1
+        (11, "alpha beta " + other),       # near-dup of corpus doc 2
+        (12, "totally fresh content about volcanic rocks and " +
+             "mineral formations deep underground with crystals"),
+        (13, "xx yy totally fresh content about volcanic rocks and " +
+             "mineral formations deep underground with crystals"),
+    ]                                      # 12/13 are near-dups of each other
+    table = pa.Table.from_pylist(
+        [{"doc_id": d, "text": t} for d, t in batch_rows],
+        schema=pa.schema([pa.field("doc_id", pa.int64()),
+                          pa.field("text", pa.string())]))
+    pq.write_table(table, str(in_dir / "b0.parquet"))
+
+    q = stream_dedup_near(spark, str(in_dir), corpus_dir, index_dir,
+                          out_dir, ckpt, schema)
+    q.awaitTermination()
+    admitted = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {12}                # canonical of {12,13}; 10/11 rejected
+
+    # replay the batch (torn-commit): drop the commit marker, restart —
+    # the batch_id partition is OVERWRITTEN, not appended
+    commits = [c for c in sorted(os.listdir(os.path.join(ckpt, "commits")))
+               if not c.startswith(".")]
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = stream_dedup_near(spark, str(in_dir), corpus_dir, index_dir,
+                          out_dir, ckpt, schema)
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert [r["doc_id"] for r in rows] == [12]   # still exactly one row
