@@ -369,3 +369,52 @@ def stream_dedup_near(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_admitted(
+    spark: SparkSession,
+    admitted_dir: str,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> int:
+    """Periodic compaction companion to :func:`stream_dedup_near`:
+    fold the admitted survivors back into the standing corpus and its
+    MinHash-LSH index so future batches dedup against them too.
+
+    Two parquet APPENDS — the corpus rows (batch_id dropped) and their
+    :func:`ops.dedup.build_minhash_index` band rows. Only NEW docs are
+    appended (left-anti on ids already in the corpus), so re-running
+    compaction after a crash between the two appends is idempotent for
+    the corpus side; an index append replayed after such a crash adds
+    duplicate band rows, which only cost extra (deduped) candidates —
+    correctness is unaffected. At 100 TB both appends are Iceberg
+    appends and the index is partitioned by band. Returns the number
+    of docs folded in.
+    """
+    from pyspark.errors import AnalysisException
+    from goose_parser_spark.ops.dedup import build_minhash_index
+
+    try:
+        admitted = spark.read.parquet(admitted_dir)
+    except AnalysisException:
+        return 0  # nothing admitted yet
+    new_docs = admitted.drop("batch_id").select(id_col, text_col)
+    try:
+        existing = spark.read.parquet(corpus_dir).select(id_col)
+        new_docs = new_docs.join(existing, on=id_col, how="left_anti")
+    except AnalysisException:
+        pass  # corpus dir doesn't exist yet: everything is new
+    new_docs = new_docs.localCheckpoint()  # stable across the 2 appends
+    n_new = new_docs.count()
+    if n_new == 0:
+        return 0
+    new_docs.write.mode("append").parquet(corpus_dir)
+    (build_minhash_index(new_docs, n=n, num_hashes=num_hashes,
+                         bands=bands, text_col=text_col, id_col=id_col)
+     .write.mode("append").parquet(index_dir))
+    return n_new

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the corpus-curation pipeline.
+
+Chains the training-data operators the way a pre-training run consumes
+them — one declarative DataFrame plan end to end, so Catalyst fuses
+the map-only stages (clean → redact → quality score → mixture filter)
+into a single scan-side projection and the only exchanges are the two
+the semantics require (exact-dedup hash-agg; shard window)::
+
+    spark-submit --py-files goose_parser_spark.zip jobs/curate.py \\
+        --input  /path/to/documents.parquet \\
+        --output /path/to/curated \\
+        [--clean] [--redact-pii] [--min-quality 0.3] \\
+        [--mixture "src0=0.9,src1=0.5,*=0.1"] \\
+        [--near-dedup] [--split "train=0.9,val=0.05,test=0.05"] \\
+        [--shards 8]
+
+Stages (each optional, in this order — the order a real recipe uses):
+
+1. ``--clean``        control-char / whitespace cleanup (map-only)
+2. ``--redact-pii``   email/IP/phone scrubbing (map-only)
+3. ``--min-quality``  heuristic quality-score filter (map-only)
+4. ``--mixture``      per-source md5-threshold sampling (map-only;
+                      ``*=R`` sets the default rate, absent → 0.0)
+5. exact dedup        keep smallest doc_id per identical text (always
+                      on — one hash-agg exchange)
+6. ``--near-dedup``   MinHash-LSH → connected components → keep
+                      canonical (bands=32 full-recall config)
+7. ``--split``        disjoint md5-band train/val/test labels
+8. ``--shards``       deterministic shard + position (one window
+                      exchange); output partitioned by (split, shard)
+
+Output parquet is partitioned by ``split`` (and ``shard`` when
+``--shards``), ready to be read back shard-by-shard by a data loader.
+Prints one summary JSON line: input/output row counts and per-split
+sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_rates(spec: str) -> tuple[dict[str, float], float]:
+    rates: dict[str, float] = {}
+    default = 0.0
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k, v = k.strip(), v.strip()
+        if not k or not v:
+            raise ValueError(f"bad rate entry {part!r} (want key=rate)")
+        if k == "*":
+            default = float(v)
+        else:
+            rates[k] = float(v)
+    return rates, default
+
+
+def _parse_split(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if not k or not v:
+            raise ValueError(f"bad split entry {part!r} (want name=frac)")
+        out[k.strip()] = float(v)
+    return out
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="goose-spark curation job")
+    p.add_argument("--input", required=True,
+                   help="documents table (doc_id, text, source?)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--input-format", default="parquet")
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--clean", action="store_true",
+                   help="control-char/whitespace cleanup")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="scrub emails/IPs/phone numbers")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="drop docs with quality_score below this")
+    p.add_argument("--mixture", default=None,
+                   help="per-source rates, e.g. 'src0=0.9,src1=0.5,*=0.1'")
+    p.add_argument("--near-dedup", action="store_true",
+                   help="MinHash-LSH near-dup removal (keep canonical)")
+    p.add_argument("--split", default=None,
+                   help="hash split, e.g. 'train=0.9,val=0.05,test=0.05'")
+    p.add_argument("--shards", type=int, default=None,
+                   help="deterministic shard count")
+    p.add_argument("--salt", default="curate",
+                   help="salt for every hash-derived decision")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import SparkSession, functions as F
+
+    from goose_parser_spark.deploy import ship_package
+
+    args = parse_args(argv)
+    spark = (
+        SparkSession.builder.appName("goose-spark-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .getOrCreate()
+    )
+    ship_package(spark)
+
+    from goose_parser_spark.ops.dedup import (
+        connected_components, keep_canonical, minhash_lsh_dedup)
+    from goose_parser_spark.ops.sampling import (
+        assign_shards, hash_split, stratified_sample_by_hash)
+    from goose_parser_spark.ops.textstats import (
+        clean_text, quality_score, redact_pii)
+
+    docs = spark.read.format(args.input_format).load(args.input)
+    n_in = docs.count()
+
+    if args.clean:
+        docs = docs.withColumn("text", clean_text("text"))
+    if args.redact_pii:
+        docs = docs.withColumn("text", redact_pii("text"))
+    if args.min_quality is not None:
+        docs = docs.where(quality_score("text") >= args.min_quality)
+    if args.mixture:
+        rates, default = _parse_rates(args.mixture)
+        docs = stratified_sample_by_hash(docs, "doc_id", "source", rates,
+                                         salt=args.salt,
+                                         default_rate=default)
+
+    # exact dedup, always: smallest doc_id per identical text survives
+    w_min = (docs.groupBy("text")
+             .agg(F.min("doc_id").alias("doc_id")))
+    docs = docs.join(w_min, on=["doc_id", "text"], how="left_semi")
+
+    if args.near_dedup:
+        pairs = minhash_lsh_dedup(docs.select("doc_id", "text"),
+                                  n=3, num_hashes=32, bands=32,
+                                  threshold=0.5)
+        clusters = connected_components(docs.select("doc_id"), pairs)
+        docs = keep_canonical(docs, clusters)
+
+    part_cols: list[str] = []
+    if args.split:
+        docs = hash_split(docs, "doc_id", _parse_split(args.split),
+                          salt=args.salt + "-split")
+        part_cols.append("split")
+    if args.shards:
+        docs = assign_shards(docs, "doc_id", args.shards,
+                             salt=args.salt + "-shard")
+        part_cols.append("shard")
+
+    writer = docs.write.mode("overwrite").format(args.format)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(args.output)
+
+    out = spark.read.format(args.format).load(args.output)
+    summary = {"rows_in": n_in, "rows_out": out.count()}
+    if args.split:
+        summary["splits"] = {
+            r["split"]: r["count"]
+            for r in out.groupBy("split").count().collect()}
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

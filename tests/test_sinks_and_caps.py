@@ -141,3 +141,52 @@ def test_spark_submit_cli_warc_input(tmp_path):
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == 6
     assert "extracted" in tbl.schema.names
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_cli(tmp_path):
+    """jobs/curate.py end-to-end via spark-submit: clean + quality
+    filter + exact dedup + near-dedup + split + shards, partitioned
+    output, summary JSON."""
+    import glob
+    import shutil
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from goose_parser_spark.deploy import build_package_zip
+
+    filler = ("the quick brown fox jumps over the lazy dog near the "
+              "river bank while herons watch from tall reeds ")
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "source": f"src{i % 2}",
+                     "text": filler + f"unique tail token{i}"})
+    rows.append({"doc_id": 100, "source": "src0",
+                 "text": filler + "unique tail token0"})  # exact dup of 0
+    rows.append({"doc_id": 101, "source": "src0",
+                 "text": "@@@@@@@@@@@@@@@ ###############"})  # low quality
+    table = pa.Table.from_pylist(rows)
+    docs = str(tmp_path / "documents.parquet")
+    pq.write_table(table, docs)
+
+    out_dir = str(tmp_path / "curated")
+    zip_path = build_package_zip(str(tmp_path))
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "jobs/curate.py", "--input", docs, "--output", out_dir,
+         "--clean", "--min-quality", "0.2",
+         "--split", "train=0.9,val=0.1", "--shards", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 42
+    # doc 100 (exact dup) and doc 101 (low quality) are gone
+    assert summary["rows_out"] == 40
+    assert set(summary["splits"]) <= {"train", "val"}
+    assert sum(summary["splits"].values()) == 40
+    parts = glob.glob(f"{out_dir}/split=*/shard=*/")
+    assert parts, "expected split/shard partition directories"

@@ -297,3 +297,55 @@ def test_stream_dedup_near_against_standing_corpus(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out_dir).collect()
     assert [r["doc_id"] for r in rows] == [12]   # still exactly one row
+
+
+def test_compact_admitted_roundtrip(spark, tmp_path):
+    """compact_admitted folds admitted survivors into the standing
+    corpus + index; a subsequent batch near-duplicating a PREVIOUSLY
+    ADMITTED doc is now rejected. Re-running compaction is a no-op."""
+    from goose_parser_spark.ops.dedup import build_minhash_index
+    from goose_parser_spark.streaming.ingest import (
+        compact_admitted, stream_dedup_near)
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([StructField("doc_id", LongType(), True),
+                         StructField("text", StringType(), True)])
+    base = ("rivers carve canyons through layered sandstone while wind "
+            "erodes the exposed ridges into arches and hoodoos")
+    corpus = spark.createDataFrame([(1, base)], schema)
+    corpus_dir, index_dir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    corpus.write.parquet(corpus_dir)
+    build_minhash_index(corpus).write.parquet(index_dir)
+
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    fresh = ("glaciers grind granite into silt that colors the melt "
+             "lakes turquoise beneath the high cirque walls")
+
+    def write_batch(name, rows):
+        table = pa.Table.from_pylist(
+            [{"doc_id": d, "text": t} for d, t in rows],
+            schema=pa.schema([pa.field("doc_id", pa.int64()),
+                              pa.field("text", pa.string())]))
+        pq.write_table(table, str(in_dir / name))
+
+    write_batch("b0.parquet", [(10, fresh)])
+    q = stream_dedup_near(spark, str(in_dir), corpus_dir, index_dir,
+                          out_dir, ckpt, schema)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} \
+        == {10}
+
+    assert compact_admitted(spark, out_dir, corpus_dir, index_dir) == 1
+    assert compact_admitted(spark, out_dir, corpus_dir, index_dir) == 0
+    assert {r["doc_id"] for r in
+            spark.read.parquet(corpus_dir).collect()} == {1, 10}
+
+    # batch 1 near-duplicates the doc admitted in batch 0 → rejected
+    write_batch("b1.parquet", [(20, "aa bb " + fresh)])
+    q = stream_dedup_near(spark, str(in_dir), corpus_dir, index_dir,
+                          out_dir, ckpt, schema)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} \
+        == {10}                     # 20 rejected against compacted index
