@@ -8,7 +8,9 @@ where Python is genuinely required, and there it is Arrow-batched.
 """
 
 from goose_parser_spark.ops.dedup import (
+    build_minhash_index,
     connected_components,
+    dedup_against_index,
     keep_canonical,
     exact_dedup,
     minhash_lsh_dedup,
@@ -17,15 +19,18 @@ from goose_parser_spark.ops.dedup import (
     shingles,
     simhash,
     simhash_pairs,
+    verify_pairs_jaccard,
     winnow_fingerprints,
 )
 from goose_parser_spark.ops.asof import asof_join, range_join, time_rollups
 from goose_parser_spark.ops.robots import parse_robots, robots_filter
 from goose_parser_spark.ops.sampling import (
+    assign_shards,
     hash_split,
     pack_sequences,
     per_domain_quota,
     sample_by_hash,
+    stratified_sample_by_hash,
 )
 from goose_parser_spark.ops.layout import extract_pdf_pages
 from goose_parser_spark.ops.maincontent import extract_main_content
@@ -34,6 +39,8 @@ from goose_parser_spark.ops.urls import (
     psl_rules,
     registered_domain,
     registered_domain_psl,
+    strip_tracking_params,
+    url_canonicalize,
     url_host,
     url_normalize,
 )
@@ -46,6 +53,9 @@ from goose_parser_spark.ops.similarity import (
     lsh_cosine_topk,
 )
 from goose_parser_spark.ops.textstats import (
+    chunk_documents,
+    classifier_score,
+    clean_text,
     doc_fingerprint,
     gopher_quality,
     lang_id,
@@ -70,4 +80,8 @@ __all__ = [
     "sample_by_hash", "per_domain_quota", "hash_split", "pack_sequences",
     "parse_robots", "robots_filter",
     "asof_join", "range_join", "time_rollups", "redact_pii",
+    "build_minhash_index", "dedup_against_index", "verify_pairs_jaccard",
+    "assign_shards", "stratified_sample_by_hash",
+    "strip_tracking_params", "url_canonicalize",
+    "chunk_documents", "classifier_score", "clean_text",
 ]

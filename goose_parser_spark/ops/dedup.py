@@ -320,7 +320,7 @@ def keep_canonical(
     """Apply the dedup keep-policy: retain only each cluster's
     canonical (smallest-id) document. ``clusters`` is
     :func:`connected_components` output ``(doc_id, canonical_id)``.
-    One left-semi join on the id — no hint, AQE decides."""
+    One anti-join on the id — no hint, AQE decides."""
     # Anti-join on the NON-canonical ids: that side is bounded by the
     # dup count (often a small fraction of the corpus), whereas a
     # semi-join on the keep list carries corpus-sized build sides.

@@ -738,3 +738,11 @@ def test_clean_text_cases(spark):
         "t string")
     out = [r[0] for r in df.select(clean_text("t")).collect()]
     assert out == ["a b", "a b c", "clean", ""]
+
+
+def test_rate_threshold_hex_bounds():
+    from goose_parser_spark.ops.sampling import rate_threshold_hex
+    assert rate_threshold_hex(0.0) == "00000000"   # keeps nothing
+    assert rate_threshold_hex(0.1) == "19999999"
+    assert rate_threshold_hex(1.0) == "g"          # sorts after all hex
+    assert all(c <= rate_threshold_hex(1.0) for c in "0123456789abcdef")

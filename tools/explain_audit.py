@@ -191,6 +191,41 @@ CHECKS = {
          lambda p: _exec_part(p).count("MapInArrow") == 1
          and "BatchEvalPython" not in p),
     ],
+    "url_canonicalize": [
+        ("shuffle-free single projection", lambda p: "Exchange" not in p),
+        ("no Python UDF (whole-stage codegen)", lambda p: "Python" not in p),
+    ],
+    "chunk_documents": [
+        ("map-side Generate only (no shuffle)",
+         lambda p: "Exchange" not in p and "Generate" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+        ("column pruning: only doc_id+text read",
+         lambda p: "lang" not in p.split("ReadSchema", 1)[1][:200]
+         if "ReadSchema" in p else False),
+    ],
+    "mixture_sample": [
+        ("scan-level filter, no joins/shuffles",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "train_shards": [
+        ("exactly one exchange (shard window)",
+         lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "quality_classifier": [
+        ("shuffle-free single projection", lambda p: "Exchange" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "clean_text": [
+        ("shuffle-free single projection", lambda p: "Exchange" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "dedup_semantic_keep": [
+        ("LSH-blocked pairs feed the components loop: no cartesian",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
     "simsearch_ivf": [
         ("top-k is TakeOrdered, not a global sort",
          lambda p: "TakeOrderedAndProject" in p),
