@@ -1832,6 +1832,64 @@ SELECT node AS vec_id FROM (
 )
 
 
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation signal: per-REGISTERED-DOMAIN doc count,
+    exact decimal quality mass, and low-quality count — the aggregate a
+    blocklist / per-domain-downweight pass consumes. Composes the PSL
+    registered-domain operator (hosts news.* and blog.* of one site
+    collapse to one domain) with the quality heuristic; one hash-agg
+    exchange, quality summed as DECIMAL so both engines agree exactly
+    (float-sum order never enters)."""
+    from goose_parser_spark.ops.textstats import quality_score
+    from goose_parser_spark.ops.urls import registered_domain_psl
+    docs = _documents_amplified(spark, sf_dir)
+    v = F.col("doc_id") % 5
+    s = F.col("doc_id").cast("string")
+    url = (F.when(v == 0, F.concat(F.lit("https://news.example.co.uk/a"), s))
+           .when(v == 1, F.concat(F.lit("https://blog.example.co.uk/b"), s))
+           .when(v == 2, F.concat(F.lit("https://shop.mart.com/c"), s))
+           .when(v == 3, F.concat(F.lit("https://wiki.lore.org/d"), s))
+           .otherwise(F.concat(F.lit("https://spam.junk.net/e"), s)))
+    base = docs.select("doc_id", url.alias("url"), "text")
+    with_dom = registered_domain_psl(base, "url")
+    q = quality_score("text")
+    return (with_dom.groupBy("domain")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(q.cast("decimal(18,6)")).cast("decimal(18,6)")
+                  .cast("string").alias("quality_mass"),
+                 F.count(F.when(q < 0.4, 1)).alias("n_low")))
+
+
+_SQL_QUALITY_EXPR = """round(least(1.0,
+    (len(list_filter(string_split(text,' '), w -> w IN
+       ('the','a','of','and','to','in','is','it','that','for')))
+     * 1.0 / len(string_split(text,' '))) * 2.0 * 0.4
+    + (CASE WHEN length(text) * 1.0 / len(string_split(text,' '))
+            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+    + (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+       / length(text)) * 0.3
+  ), 6)"""
+
+SQL_DOMAIN_QUALITY = f"""
+WITH {_SQL_DOCS_AMP_COPY}, scored AS (
+  SELECT CASE doc_id % 5
+           WHEN 0 THEN 'example.co.uk'
+           WHEN 1 THEN 'example.co.uk'
+           WHEN 2 THEN 'mart.com'
+           WHEN 3 THEN 'lore.org'
+           ELSE 'junk.net'
+         END AS domain,
+         {_SQL_QUALITY_EXPR} AS q
+  FROM docs_amp
+)
+SELECT domain, count(*) AS n_docs,
+       CAST(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DECIMAL(18,6))
+            AS VARCHAR) AS quality_mass,
+       count(CASE WHEN q < 0.4 THEN 1 END) AS n_low
+FROM scored GROUP BY domain
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1902,6 +1960,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "clean_text": q_clean_text,
     "dedup_semantic_keep": q_dedup_semantic_keep,
+    "domain_quality": q_domain_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -1963,6 +2022,7 @@ ORACLES: dict[str, str] = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "clean_text": SQL_CLEAN_TEXT,
     "dedup_semantic_keep": SQL_DEDUP_SEMANTIC_KEEP,
+    "domain_quality": SQL_DOMAIN_QUALITY,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -746,3 +746,49 @@ def test_rate_threshold_hex_bounds():
     assert rate_threshold_hex(0.1) == "19999999"
     assert rate_threshold_hex(1.0) == "g"          # sorts after all hex
     assert all(c <= rate_threshold_hex(1.0) for c in "0123456789abcdef")
+
+
+def test_url_canonicalize_idempotent(spark):
+    from goose_parser_spark.ops.urls import url_canonicalize
+    urls = [
+        "https://Ex.COM:443/a/?b=2&utm_source=x&a=1#frag",
+        "http://s.net:80/p?gclid=1&z=3&y=2",
+        "https://host.org/deep/path/?utm_medium=m",
+        "https://h.io/x?a=1&a=0",        # duplicate keys sort stably
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r[0] for r in df.select(url_canonicalize("url")).collect()]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [r[0] for r in df2.select(url_canonicalize("url")).collect()]
+    assert once == twice
+
+
+def test_chunk_documents_coverage_and_partition(spark):
+    """stride == size partitions the token stream exactly (concat of
+    chunks round-trips the text); stride < size covers every token."""
+    from goose_parser_spark.ops.textstats import chunk_documents
+    text = " ".join(f"w{i}" for i in range(23))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    parts = [r["chunk_text"] for r in
+             chunk_documents(df, size=5, stride=5)
+             .orderBy("chunk_id").collect()]
+    assert " ".join(parts) == text
+    rows = chunk_documents(df, size=7, stride=4).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r["chunk_start"],
+                             r["chunk_start"] + r["n_tokens"]))
+    assert covered == set(range(23))
+
+
+def test_train_shards_stable_under_growth(spark):
+    """A doc's shard never changes as the corpus grows (pos may —
+    it is the rank within the shard)."""
+    from goose_parser_spark.ops.sampling import assign_shards
+    small = spark.range(300).selectExpr("id as doc_id")
+    big = spark.range(900).selectExpr("id as doc_id")
+    s1 = {r["doc_id"]: r["shard"] for r in
+          assign_shards(small, "doc_id", 8, salt="g").collect()}
+    s2 = {r["doc_id"]: r["shard"] for r in
+          assign_shards(big, "doc_id", 8, salt="g").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
