@@ -1890,6 +1890,41 @@ FROM scored GROUP BY domain
 """
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan corpus profile per source — the report card a curation
+    run emits: doc count, exact token total, DECIMAL-exact quality
+    mass, low-quality and short-doc counts. Everything folds in a
+    single hash-agg over one pass of the corpus (at 100 TB this is the
+    cheapest full-corpus job you can run, and the one you run most)."""
+    from goose_parser_spark.ops.textstats import quality_score, token_count
+    docs = _documents_amplified(spark, sf_dir)
+    q = quality_score("text")
+    tok = token_count("text")
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(tok.cast("long")).alias("n_tokens"),
+                 F.sum(q.cast("decimal(18,6)")).cast("decimal(18,6)")
+                  .cast("string").alias("quality_mass"),
+                 F.count(F.when(q < 0.4, 1)).alias("n_low"),
+                 F.count(F.when(tok < 20, 1)).alias("n_short")))
+
+
+SQL_CORPUS_PROFILE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, scored AS (
+  SELECT source, len(string_split(text, ' ')) AS tok,
+         {_SQL_QUALITY_EXPR} AS q
+  FROM docs_amp
+)
+SELECT source, count(*) AS n_docs,
+       sum(tok) AS n_tokens,
+       CAST(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DECIMAL(18,6))
+            AS VARCHAR) AS quality_mass,
+       count(CASE WHEN q < 0.4 THEN 1 END) AS n_low,
+       count(CASE WHEN tok < 20 THEN 1 END) AS n_short
+FROM scored GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1961,6 +1996,7 @@ QUERIES: dict[str, QueryFn] = {
     "clean_text": q_clean_text,
     "dedup_semantic_keep": q_dedup_semantic_keep,
     "domain_quality": q_domain_quality,
+    "corpus_profile": q_corpus_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -2023,6 +2059,7 @@ ORACLES: dict[str, str] = {
     "clean_text": SQL_CLEAN_TEXT,
     "dedup_semantic_keep": SQL_DEDUP_SEMANTIC_KEEP,
     "domain_quality": SQL_DOMAIN_QUALITY,
+    "corpus_profile": SQL_CORPUS_PROFILE,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -226,6 +226,18 @@ CHECKS = {
          lambda p: "Cartesian" not in p and "NestedLoop" not in p),
         ("no Python UDF", lambda p: "Python" not in p),
     ],
+    "domain_quality": [
+        ("one hash-agg exchange; PSL rules side broadcast (bounded)",
+         lambda p: p.count("Exchange hashpartitioning") <= 1
+         and "Cartesian" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "corpus_profile": [
+        ("single-pass: one hash-agg exchange, map-side partials",
+         lambda p: p.count("Exchange hashpartitioning") == 1
+         and "partial_" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
     "simsearch_ivf": [
         ("top-k is TakeOrdered, not a global sort",
          lambda p: "TakeOrderedAndProject" in p),
