@@ -77,6 +77,13 @@ _ATTR_RE = re.compile(
 # so the general finditer loop + trailing-slash analysis is skipped.
 _FAST_ONE_ATTR = re.compile(r'\s*([A-Za-z-]+)\s*=\s*"([^"&]*)"\s*\Z')
 
+# ...and for the next-most-common shape: a run of K double-quoted,
+# entity-free attributes (`<div class="doc" data-lang="en">`). Same
+# no-self-closing / no-unescape guarantees; pair extraction is one
+# C-level findall instead of the general finditer + group juggling.
+_FAST_ALL_ATTRS = re.compile(r'(?:\s+[A-Za-z-]+="[^"&]*")+\s*\Z')
+_FAST_PAIR = re.compile(r'([A-Za-z-]+)="([^"]*)"')
+
 # Content of these elements is raw character data (no tags inside).
 # Deliberately ONLY script/style: html.parser parses title/textarea
 # content normally and the two backends must agree byte-for-byte.
@@ -108,6 +115,12 @@ class _FastBuilder(_TreeBuilder):
             if fm is not None:
                 name = fm.group(1)
                 attrs[name if name.islower() else name.lower()] = fm.group(2)
+            elif _FAST_ALL_ATTRS.match(attr_str) is not None:
+                for name, v in _FAST_PAIR.findall(attr_str):
+                    if not name.islower():
+                        name = name.lower()
+                    if name not in attrs:  # first occurrence wins (HTML5)
+                        attrs[name] = v
             else:
                 last_end = 0
                 for m in _ATTR_RE.finditer(attr_str):
