@@ -190,3 +190,56 @@ def test_spark_submit_curate_cli(tmp_path):
     assert sum(summary["splits"].values()) == 40
     parts = glob.glob(f"{out_dir}/split=*/shard=*/")
     assert parts, "expected split/shard partition directories"
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_cli_near_dedup_mixture(tmp_path):
+    """jobs/curate.py with the remaining stages: near-dedup collapses
+    planted near-dup families to one canonical doc; mixture rates keep
+    srcA fully and drop srcB; PII is redacted in the output text."""
+    import glob
+    import shutil
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from goose_parser_spark.deploy import build_package_zip
+
+    filler = ("granite cliffs rise over the valley floor where pine "
+              "forests meet alpine meadows full of summer flowers ")
+    rows = []
+    for i in range(20):
+        tail = " ".join(f"u{i}t{k}" for k in range(30))  # unique per doc:
+        rows.append({"doc_id": i, "source": "srcA",      # keeps Jaccard
+                     "text": f"{filler}{tail} mail{i}@ex.com"})  # vs peers low
+    # near-dup family of doc 0 (prefix tokens, same body)
+    rows.append({"doc_id": 50, "source": "srcA",
+                 "text": "xq zq " + rows[0]["text"]})
+    rows.append({"doc_id": 60, "source": "srcB",
+                 "text": filler + "srcB only content entirely dropped"})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+
+    out_dir = str(tmp_path / "curated")
+    zip_path = build_package_zip(str(tmp_path))
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "jobs/curate.py", "--input", str(tmp_path / "documents.parquet"),
+         "--output", out_dir, "--redact-pii", "--near-dedup",
+         "--mixture", "srcA=1.0,srcB=0.0"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 22
+    assert summary["rows_out"] == 20      # 60 dropped by mixture, 50 by near-dedup
+    import duckdb
+    got = duckdb.sql(
+        f"select doc_id, text from read_parquet('{out_dir}/*.parquet') "
+        "order by doc_id").fetchall()
+    ids = [r[0] for r in got]
+    assert 50 not in ids and 60 not in ids and 0 in ids
+    assert all("@" not in t for _, t in got)        # PII redacted
+    assert any("<EMAIL>" in t for _, t in got)
