@@ -1925,6 +1925,35 @@ FROM scored GROUP BY source
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity-proxy quality scoring (CCNet-style): each
+    doc scored under the corpus's own smoothed unigram distribution.
+    Integer micro-nat accumulation → float order never enters, fully
+    oracle-checkable (ops/textstats.py)."""
+    from goose_parser_spark.ops.textstats import unigram_logprob
+    docs = _documents_amplified(spark, sf_dir)
+    return unigram_logprob(docs.select("doc_id", "text"))
+
+
+SQL_LM_SCORE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM docs_amp
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n,
+         (SELECT count(*) FROM cnt) AS v
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CAST(round(ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT))
+            AS BIGINT) AS logprob_micro
+FROM tok JOIN cnt USING (t) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1997,6 +2026,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_keep": q_dedup_semantic_keep,
     "domain_quality": q_domain_quality,
     "corpus_profile": q_corpus_profile,
+    "lm_score": q_lm_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -2060,6 +2090,7 @@ ORACLES: dict[str, str] = {
     "dedup_semantic_keep": SQL_DEDUP_SEMANTIC_KEEP,
     "domain_quality": SQL_DOMAIN_QUALITY,
     "corpus_profile": SQL_CORPUS_PROFILE,
+    "lm_score": SQL_LM_SCORE,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -344,3 +344,41 @@ def classifier_score(
     return F.when(n > 0, F.round(
         total / (n.cast("double") * F.lit(float(_CLF_HALF))), round_to)
     ).otherwise(F.lit(0.0))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram LM score per document — the CCNet-style
+    perplexity-proxy quality signal: docs whose tokens are improbable
+    under the corpus's own unigram distribution (add-one smoothing)
+    are outliers (gibberish, boilerplate, wrong language).
+
+    Two corpus passes, all narrow: token counts (hash-agg on the
+    token), then re-join tokens to their counts and sum per doc. The
+    corpus totals (N tokens, V vocab) are a ONE-ROW side — the same
+    bounded-broadcast shape as TF-IDF's corpus count. Per-token
+    logprob is scaled to integer micro-nats BEFORE the per-doc sum
+    (``round(ln(p)·1e6)`` → int64): float summation order never
+    enters, so Spark and the oracle agree exactly; a 1-ulp libm
+    difference in ``ln`` itself is killed by the rounding.
+
+    Output: ``id_col, n_tokens, logprob_micro`` (sum of per-token
+    micro-nat logprobs; divide by ``n_tokens`` for the mean). Docs
+    with no tokens are absent.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.filter(_tokens(text_col),
+                                         lambda x: x != "")).alias("t")))
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    totals = (toks.agg(F.count("*").alias("n"))
+              .crossJoin(counts.agg(F.count("*").alias("v"))))
+    scaled = F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                     * 1_000_000).cast("long")
+    return (toks.join(counts, on="t")
+            .crossJoin(totals)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(scaled).alias("logprob_micro")))

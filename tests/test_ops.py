@@ -792,3 +792,21 @@ def test_train_shards_stable_under_growth(spark):
     s2 = {r["doc_id"]: r["shard"] for r in
           assign_shards(big, "doc_id", 8, salt="g").collect()}
     assert all(s2[k] == v for k, v in s1.items())
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+    from goose_parser_spark.ops.textstats import unigram_logprob
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logprob_micro"]) for r in
+           unigram_logprob(df).collect()}
+    # corpus: N=5 tokens, V=3 vocab; counts a=2 b=2 c=1; add-one over N+V=8
+    lp = {t: round(math.log((c + 1.0) / 8.0) * 1_000_000)
+          for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert got[1] == (3, lp["a"] * 2 + lp["b"])
+    assert got[2] == (2, lp["b"] + lp["c"])
+    assert 3 not in got                  # empty doc absent
+    # rarer tokens score lower
+    assert lp["c"] < lp["a"]

@@ -238,6 +238,12 @@ CHECKS = {
          and "partial_" in p),
         ("no Python UDF", lambda p: "Python" not in p),
     ],
+    "lm_score": [
+        ("narrow token-key shuffles; 1-row totals side only",
+         lambda p: "Cartesian" not in p),
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
     "simsearch_ivf": [
         ("top-k is TakeOrdered, not a global sort",
          lambda p: "TakeOrderedAndProject" in p),
