@@ -810,3 +810,25 @@ def test_unigram_logprob_hand_computed(spark):
     assert 3 not in got                  # empty doc absent
     # rarer tokens score lower
     assert lp["c"] < lp["a"]
+
+
+def test_new_op_argument_validation(spark):
+    import pytest as _pytest
+    from goose_parser_spark.ops.dedup import build_minhash_index
+    from goose_parser_spark.ops.sampling import (
+        assign_shards, stratified_sample_by_hash)
+    from goose_parser_spark.ops.textstats import chunk_documents
+    df = spark.range(3).selectExpr("id as doc_id", "'x y z' as text",
+                                   "'g' as grp")
+    with _pytest.raises(ValueError):
+        stratified_sample_by_hash(df, "doc_id", "grp", {"g": 1.5})
+    with _pytest.raises(ValueError):
+        stratified_sample_by_hash(df, "doc_id", "grp", {}, default_rate=-0.1)
+    with _pytest.raises(ValueError):
+        assign_shards(df, "doc_id", 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=4, stride=0)
+    with _pytest.raises(ValueError):
+        build_minhash_index(df, num_hashes=32, bands=7)  # not divisible
