@@ -1954,6 +1954,51 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier dedup BY CANONICAL URL — the first dedup a crawl
+    runs, before any parsing: re-fetches of one page under different
+    tracking junk / host case / trailing slashes collapse to one row
+    (smallest doc_id wins). One canonicalizing projection + one
+    hash-agg; 10 raw urls per page variant here, so the corpus shrinks
+    10×."""
+    from goose_parser_spark.ops.urls import url_canonicalize
+    docs = _documents_amplified(spark, sf_dir)
+    page = (F.col("doc_id") / 10).cast("long")   # 10 fetches per page
+    junk = F.col("doc_id") % 10
+    s = page.cast("string")
+    raw = (F.when(junk == 0, F.concat(F.lit("https://Site.COM/p"), s))
+           .when(junk == 1, F.concat(F.lit("https://site.com/p"), s,
+                                     F.lit("/")))
+           .when(junk == 2, F.concat(F.lit("https://site.com:443/p"), s))
+           .when(junk == 3, F.concat(F.lit("https://site.com/p"), s,
+                                     F.lit("?utm_source=a")))
+           .when(junk == 4, F.concat(F.lit("https://site.com/p"), s,
+                                     F.lit("?utm_medium=b&gclid=x")))
+           .when(junk == 5, F.concat(F.lit("https://site.com/p"), s,
+                                     F.lit("#section")))
+           .when(junk == 6, F.concat(F.lit("https://SITE.com/p"), s,
+                                     F.lit("?fbclid=z")))
+           .when(junk == 7, F.concat(F.lit("https://site.com/p"), s,
+                                     F.lit("/?ref=tw")))
+           .when(junk == 8, F.concat(F.lit("https://site.com/p"), s,
+                                     F.lit("?utm_campaign=c#f")))
+           .otherwise(F.concat(F.lit("https://site.com:443/p"), s,
+                               F.lit("/"))))
+    canon = url_canonicalize(raw)
+    return (docs.select("doc_id", canon.alias("canon"))
+            .groupBy("canon")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_fetches")))
+
+
+SQL_DEDUP_BY_URL = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://site.com/p' || (doc_id // 10) AS canon,
+       min(doc_id) AS doc_id, count(*) AS n_fetches
+FROM docs_amp GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2027,6 +2072,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_quality": q_domain_quality,
     "corpus_profile": q_corpus_profile,
     "lm_score": q_lm_score,
+    "dedup_by_url": q_dedup_by_url,
 }
 
 ORACLES: dict[str, str] = {
@@ -2091,6 +2137,7 @@ ORACLES: dict[str, str] = {
     "domain_quality": SQL_DOMAIN_QUALITY,
     "corpus_profile": SQL_CORPUS_PROFILE,
     "lm_score": SQL_LM_SCORE,
+    "dedup_by_url": SQL_DEDUP_BY_URL,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing
