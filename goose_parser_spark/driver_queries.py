@@ -1999,6 +1999,43 @@ FROM docs_amp GROUP BY 1
 """
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit the packed TRAINING SEQUENCES themselves: pack_sequences
+    assignments joined back to text, members array_sort-ed by offset
+    before concatenation (collect_list order is not deterministic
+    under retries — sorting restores bit-identical output)."""
+    from goose_parser_spark.ops.sampling import (
+        materialize_sequences, pack_sequences)
+    from goose_parser_spark.ops.textstats import token_count
+    docs = _documents_amplified(spark, sf_dir)
+    with_tok = docs.select("doc_id", "text",
+                           token_count("text").alias("n_tokens"))
+    packed = pack_sequences(with_tok, "n_tokens", "doc_id",
+                            tokens_per_seq=2048, buckets=16)
+    return materialize_sequences(packed)
+
+
+SQL_PACK_MATERIALIZE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 16 AS INTEGER) AS bucket
+  FROM docs_amp
+), packed AS (
+  SELECT doc_id, text, n_tokens, bucket,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS seq_offset
+  FROM tok
+)
+SELECT bucket, CAST(floor(seq_offset * 1.0 / 2048) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       string_agg(text, '<|doc|>' ORDER BY seq_offset, doc_id) AS seq_text
+FROM packed GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2073,6 +2110,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_profile": q_corpus_profile,
     "lm_score": q_lm_score,
     "dedup_by_url": q_dedup_by_url,
+    "pack_materialize": q_pack_materialize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2138,6 +2176,7 @@ ORACLES: dict[str, str] = {
     "corpus_profile": SQL_CORPUS_PROFILE,
     "lm_score": SQL_LM_SCORE,
     "dedup_by_url": SQL_DEDUP_BY_URL,
+    "pack_materialize": SQL_PACK_MATERIALIZE,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

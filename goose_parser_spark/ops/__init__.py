@@ -29,6 +29,7 @@ from goose_parser_spark.ops.sampling import (
     hash_split,
     pack_sequences,
     per_domain_quota,
+    materialize_sequences,
     sample_by_hash,
     stratified_sample_by_hash,
 )
@@ -81,7 +82,7 @@ __all__ = [
     "parse_robots", "robots_filter",
     "asof_join", "range_join", "time_rollups", "redact_pii",
     "build_minhash_index", "dedup_against_index", "verify_pairs_jaccard",
-    "assign_shards", "stratified_sample_by_hash",
+    "assign_shards", "stratified_sample_by_hash", "materialize_sequences",
     "strip_tracking_params", "url_canonicalize",
     "chunk_documents", "classifier_score", "clean_text",
 ]

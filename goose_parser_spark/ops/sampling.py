@@ -226,3 +226,31 @@ def assign_shards(
                                             F.col(key_col).asc())
     return (with_s.withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("_h"))
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    text_col: str = "text",
+    sep: str = "<|doc|>",
+) -> DataFrame:
+    """Last-mile packing: emit one row per training sequence with its
+    member docs joined in offset order. Input is :func:`pack_sequences`
+    output plus the text column.
+
+    ``collect_list`` order is NOT deterministic under retries/AQE, so
+    members are collected as (offset, id, text) structs and
+    ``array_sort``-ed (struct ordering = field order → offset, then id)
+    BEFORE joining — the emitted sequence text is bit-identical on
+    every run and engine. One hash-agg on (bucket, seq_id).
+
+    Output: ``bucket, seq_id, n_docs, seq_tokens, seq_text``.
+    """
+    member = F.struct(F.col("seq_offset"), F.col("doc_id"),
+                      F.col(text_col).alias("t"))
+    return (packed.groupBy("bucket", "seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("seq_tokens"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(member)),
+                                 lambda m: m["t"]),
+                     sep).alias("seq_text")))
