@@ -2036,6 +2036,53 @@ FROM packed GROUP BY 1, 2
 """
 
 
+def q_frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier expansion: extracted outlinks → resolve against
+    the page URL → canonicalize → anti-join the already-crawled set →
+    per-target reference counts. The complete next-crawl-wave query,
+    built from the REAL DOM extraction (not a parsed-href shortcut).
+    Crawled set here = the pages themselves plus the even-numbered
+    external targets (pretend an earlier wave fetched those)."""
+    from goose_parser_spark.ops.urls import resolve_href, url_canonicalize
+    pages = _link_pages(spark, sf_dir)
+    rules = {"scope": "p.lnk", "collection": [[
+        {"name": "href", "scope": "a", "attr": "href"},
+    ]]}
+    links = extract(pages, rules).select("url", F.inline("extracted"))
+    resolved = url_canonicalize(
+        resolve_href(F.col("url"), F.col("href")))
+    docs = _documents_amplified(spark, sf_dir)
+    crawled = (docs.select(
+        F.concat(F.lit("https://docs.test/"),
+                 F.col("doc_id").cast("string")).alias("u"))
+        .unionByName(docs.where(F.col("doc_id") % 2 == 0).select(
+            F.concat(F.lit("https://ext.test/"),
+                     F.col("doc_id").cast("string")).alias("u"))))
+    return (links.select(resolved.alias("frontier_url"))
+            .join(crawled.withColumnRenamed("u", "frontier_url"),
+                  on="frontier_url", how="left_anti")
+            .groupBy("frontier_url")
+            .agg(F.count("*").alias("n_refs")))
+
+
+SQL_FRONTIER_URLS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, links AS (
+  SELECT 'https://docs.test/u/' || doc_id || '/a' AS u FROM docs_amp
+  UNION ALL
+  SELECT 'https://docs.test/u/' || doc_id || '/b' FROM docs_amp
+  UNION ALL
+  SELECT 'https://ext.test/' || doc_id FROM docs_amp WHERE doc_id % 3 = 0
+), crawled AS (
+  SELECT 'https://docs.test/' || doc_id AS u FROM docs_amp
+  UNION ALL
+  SELECT 'https://ext.test/' || doc_id FROM docs_amp WHERE doc_id % 2 = 0
+)
+SELECT u AS frontier_url, count(*) AS n_refs
+FROM links WHERE u NOT IN (SELECT u FROM crawled)
+GROUP BY u
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2111,6 +2158,7 @@ QUERIES: dict[str, QueryFn] = {
     "lm_score": q_lm_score,
     "dedup_by_url": q_dedup_by_url,
     "pack_materialize": q_pack_materialize,
+    "frontier_urls": q_frontier_urls,
 }
 
 ORACLES: dict[str, str] = {
@@ -2177,6 +2225,7 @@ ORACLES: dict[str, str] = {
     "lm_score": SQL_LM_SCORE,
     "dedup_by_url": SQL_DEDUP_BY_URL,
     "pack_materialize": SQL_PACK_MATERIALIZE,
+    "frontier_urls": SQL_FRONTIER_URLS,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

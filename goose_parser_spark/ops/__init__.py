@@ -40,6 +40,7 @@ from goose_parser_spark.ops.urls import (
     psl_rules,
     registered_domain,
     registered_domain_psl,
+    resolve_href,
     strip_tracking_params,
     url_canonicalize,
     url_host,
@@ -83,6 +84,6 @@ __all__ = [
     "asof_join", "range_join", "time_rollups", "redact_pii",
     "build_minhash_index", "dedup_against_index", "verify_pairs_jaccard",
     "assign_shards", "stratified_sample_by_hash", "materialize_sequences",
-    "strip_tracking_params", "url_canonicalize",
+    "strip_tracking_params", "url_canonicalize", "resolve_href",
     "chunk_documents", "classifier_score", "clean_text",
 ]

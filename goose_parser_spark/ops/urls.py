@@ -363,3 +363,21 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     return (df.select(url_host(url_col).alias("host"))
             .groupBy("host").count()
             .orderBy(F.desc("count"), "host"))
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an anchor href against its page URL — the link-graph /
+    crawl-frontier building step. Handles absolute URLs,
+    protocol-relative ``//host/p``, root-relative ``/p``, and
+    path-relative ``p`` (against the base's directory). Deliberately
+    skips ``.``/``..`` segment normalization (a documented subset —
+    dot-segments are rare in href attributes and a pure-regex
+    normalizer would not be; canonicalize output before keying)."""
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    base_dir = F.regexp_replace(
+        F.regexp_extract(base, r"^([^?#]*)", 1), r"[^/]*$", "")
+    return (F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+            .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+            .when(href.startswith("/"), F.concat(origin, href))
+            .otherwise(F.concat(base_dir, href)))

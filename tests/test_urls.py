@@ -125,3 +125,21 @@ def test_psl_agrees_with_literal_path_on_two_label_table(spark):
     lit = {r["url"]: r["d"] for r in lit_rows}
     psl = {r["url"]: r["domain"] for r in psl_rows}
     assert lit == psl
+
+
+def test_resolve_href_forms(spark):
+    from goose_parser_spark.ops.urls import resolve_href
+    from pyspark.sql import functions as F
+    cases = [
+        ("https://a.com/dir/page", "https://b.org/x", "https://b.org/x"),
+        ("https://a.com/dir/page", "//cdn.b.org/x", "https://cdn.b.org/x"),
+        ("http://a.com/dir/page", "//cdn.b.org/x", "http://cdn.b.org/x"),
+        ("https://a.com/dir/page", "/root/x", "https://a.com/root/x"),
+        ("https://a.com/dir/page", "sib.html", "https://a.com/dir/sib.html"),
+        ("https://a.com", "/x", "https://a.com/x"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string, want string")
+    out = df.select(resolve_href(F.col("base"), F.col("href")).alias("got"),
+                    "want").collect()
+    for r in out:
+        assert r["got"] == r["want"], (r["got"], r["want"])
