@@ -159,25 +159,31 @@ def embedding_cosine_pairs(
                             plane_offset=t * num_planes).alias("bkt"))
         for t in range(num_tables)
     ])
+    # The banded table carries ONLY (tbl, bkt, id) — never the vector:
+    # the self-join shuffles narrow rows, candidate pairs are distinct
+    # (id, id) longs, and each side's vector ships exactly once via the
+    # two hash joins below. The earlier formulation carried both
+    # 64-dim arrays through the banded join and scored per collision —
+    # measured 2× slower at sandbox scale, and at corpus scale it
+    # shuffles every vector num_tables× plus once per collision.
     banded = (df.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
-              .select("id", "_v", F.explode(tables).alias("b"))
-              .select("id", "_v", F.col("b.tbl").alias("tbl"),
+              .select("id", F.explode(tables).alias("b"))
+              .select("id", F.col("b.tbl").alias("tbl"),
                       F.col("b.bkt").alias("bkt")))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    sim = F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), round_to)
-    # a pair colliding in several tables is scored per collision and
-    # deduped at the end — cheaper than a pair-level distinct BEFORE
-    # scoring (which would need an extra shuffle plus a vector
-    # re-join); sim is deterministic so distinct collapses exactly.
-    return (a.join(b, on=["tbl", "bkt"])
+    cand = (banded.alias("a").join(banded.alias("b"), on=["tbl", "bkt"])
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    sim.alias("sim"))
-            .where(F.col("sim") >= threshold)
+                    F.col("b.id").alias("id_b"))
             .distinct())
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("_vb"))
+    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_to)
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
+            .select("id_a", "id_b", sim.alias("sim"))
+            .where(F.col("sim") >= threshold))
 
 
 def ivf_centroids(
