@@ -45,25 +45,34 @@ def asof_join(
     ``order_col`` (a right column) breaks ties among right rows with
     equal (key, ts): the greatest value wins. Defaults to the first
     value column.
+
+    All value columns come from the SAME matched right row: they ride
+    in one struct through a single ``last(..., ignorenulls=True)``, so
+    a NULL field in the most recent right row stays NULL in the output
+    (matching DuckDB's native ASOF) instead of being forward-filled
+    per-column from an older row (ADVICE r03 medium).
     """
+    from pyspark.sql.types import StructField, StructType
+
     value_cols = value_cols or [
         c for c in right.columns if c not in (key_col, ts_col)]
     order_col = order_col or value_cols[0]
 
     left_only = [c for c in left.columns if c not in (key_col, ts_col)]
+    rv_type = StructType([
+        StructField(c, right.schema[c].dataType) for c in value_cols])
     # side 0 = right (sorts first at equal ts → <= semantics), 1 = left
     r = right.select(
         F.col(key_col), F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_only],
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rv"),
         F.col(order_col).alias("_ord"),
         F.lit(0).alias("_side"))
     l = left.select(
         F.col(key_col), F.col(ts_col),
         *[F.col(c) for c in left_only],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
         F.lit(None).cast(right.schema[order_col].dataType).alias("_ord"),
         F.lit(1).alias("_side"))
     u = r.unionByName(l)
@@ -74,11 +83,11 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = u.select(
         key_col, ts_col, *left_only, "_side",
-        *[F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-          .alias(f"{c}{suffix}") for c in value_cols])
-    return (filled.where(F.col("_side") == 1).drop("_side")
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rv"))
+    return (filled.where(F.col("_side") == 1)
             .select(key_col, ts_col, *left_only,
-                    *[f"{c}{suffix}" for c in value_cols]))
+                    *[F.col("_rv")[c].alias(f"{c}{suffix}")
+                      for c in value_cols]))
 
 
 def range_join(

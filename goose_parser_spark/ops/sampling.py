@@ -232,6 +232,8 @@ def materialize_sequences(
     packed: DataFrame,
     text_col: str = "text",
     sep: str = "<|doc|>",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Last-mile packing: emit one row per training sequence with its
     member docs joined in offset order. Input is :func:`pack_sequences`
@@ -243,13 +245,16 @@ def materialize_sequences(
     BEFORE joining — the emitted sequence text is bit-identical on
     every run and engine. One hash-agg on (bucket, seq_id).
 
+    ``tokens_col``/``id_col`` mirror :func:`pack_sequences`' defaults
+    (ADVICE r03: the two stages must accept the same column names).
+
     Output: ``bucket, seq_id, n_docs, seq_tokens, seq_text``.
     """
-    member = F.struct(F.col("seq_offset"), F.col("doc_id"),
+    member = F.struct(F.col("seq_offset"), F.col(id_col),
                       F.col(text_col).alias("t"))
     return (packed.groupBy("bucket", "seq_id")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_tokens").cast("long").alias("seq_tokens"),
+                 F.sum(tokens_col).cast("long").alias("seq_tokens"),
                  F.array_join(
                      F.transform(F.array_sort(F.collect_list(member)),
                                  lambda m: m["t"]),

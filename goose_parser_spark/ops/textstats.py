@@ -240,7 +240,12 @@ def repetition_stats(
 # backrefs — so the DuckDB oracle runs the IDENTICAL expressions.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+?\d[\d-]{7,}\d"
+# Phone contract (ADVICE r03): either an international +-prefixed run
+# (8-18 chars of digits/space/()/-) or a separator-delimited 3-3-4
+# domestic form with word boundaries. Bare digit runs, ISBNs, IDs, and
+# year ranges like "2020-2021" are NOT redacted (pinned by test).
+_PII_PHONE = (r"(?:\+\d[\d ()-]{6,16}\d"
+              r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)")
 
 
 def redact_pii(
@@ -252,7 +257,11 @@ def redact_pii(
     """Redact emails, IPv4 addresses, and phone-shaped digit runs —
     the standard pre-training scrub pass. Pure Catalyst regexp_replace
     chain (one codegen projection, shuffle-free); replacement order is
-    part of the contract (email → ip → phone) so engines agree."""
+    part of the contract (email → ip → phone) so engines agree.
+
+    Phone matching is deliberately conservative (see ``_PII_PHONE``):
+    it requires a ``+`` prefix or 3-3-4 separator structure, so ISBNs
+    / numeric IDs / year ranges survive un-redacted."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, _PII_EMAIL, email_token)
     c = F.regexp_replace(c, _PII_IPV4, ip_token)

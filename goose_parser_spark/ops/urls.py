@@ -368,16 +368,29 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
 def resolve_href(base: Column, href: Column) -> Column:
     """Resolve an anchor href against its page URL — the link-graph /
     crawl-frontier building step. Handles absolute URLs,
-    protocol-relative ``//host/p``, root-relative ``/p``, and
-    path-relative ``p`` (against the base's directory). Deliberately
-    skips ``.``/``..`` segment normalization (a documented subset —
-    dot-segments are rare in href attributes and a pure-regex
-    normalizer would not be; canonicalize output before keying)."""
+    protocol-relative ``//host/p``, root-relative ``/p``,
+    fragment-only ``#x`` / query-only ``?q`` refs (RFC 3986 §5.3:
+    against the base minus its own fragment/query), and path-relative
+    ``p`` (against the base's directory). Non-hierarchical scheme refs
+    (``mailto:``, ``javascript:``, ``tel:``, ``data:`` … — any
+    ``scheme:`` without ``//``) resolve to NULL: they are not
+    fetchable frontier targets, and the old path-relative fallback
+    produced garbage like ``https://site/dir/mailto:a@b`` (ADVICE r03
+    low). Deliberately skips ``.``/``..`` segment normalization (a
+    documented subset — dot-segments are rare in href attributes and a
+    pure-regex normalizer would not be; canonicalize output before
+    keying)."""
     scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    base_dir = F.regexp_replace(
-        F.regexp_extract(base, r"^([^?#]*)", 1), r"[^/]*$", "")
+    base_no_frag = F.regexp_extract(base, r"^([^#]*)", 1)
+    base_no_query = F.regexp_extract(base, r"^([^?#]*)", 1)
+    base_dir = F.regexp_replace(base_no_query, r"[^/]*$", "")
     return (F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+            .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+                  F.lit(None).cast("string"))
             .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
             .when(href.startswith("/"), F.concat(origin, href))
+            .when(href.startswith("#"), F.concat(base_no_frag, href))
+            .when(href.startswith("?"), F.concat(base_no_query, href))
+            .when(href == "", base_no_frag)
             .otherwise(F.concat(base_dir, href)))

@@ -1,0 +1,75 @@
+"""Oracle parity for the DEMOTED micro-queries (VERDICT r03 #2).
+
+These were removed from the driver-visible ``QUERIES`` registry to
+free slots inside the driver's 50-entry correctness window (their
+coverage is subsumed by in-window queries), but their Spark-vs-DuckDB
+parity stays a hard pytest gate here: same row count, columns,
+order-insensitive canonical values, and result dtypes — the exact
+comparison tools/check_oracles.py applies to the live registry.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("GOOSE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _canon(tools, cols, rows):
+    return tools.canon_rows(cols, rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _demoted_items():
+    from goose_parser_spark.driver_queries import (
+        DEMOTED_ORACLES, DEMOTED_QUERIES)
+
+    assert set(DEMOTED_ORACLES) == set(DEMOTED_QUERIES)
+    return sorted(DEMOTED_QUERIES)
+
+
+@pytest.mark.parametrize("name", _demoted_items())
+def test_demoted_query_matches_oracle(spark, duck, name):
+    from tools import check_oracles as co
+
+    from goose_parser_spark.driver_queries import (
+        DEMOTED_ORACLES, DEMOTED_QUERIES)
+
+    sdf = DEMOTED_QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.execute(DEMOTED_ORACLES[name])
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert not co.dtype_mismatches(sdf, duck, DEMOTED_ORACLES[name])
+    assert _canon(co, sdf.columns, srows) == _canon(co, dcols, drows)
+
+
+def test_registry_window_layout():
+    """Pin the 50-entry-window contract: every key in the first 50
+    slots has an oracle, and every oracled family representative sits
+    inside the window (rows-only entries come last)."""
+    from goose_parser_spark.driver_queries import ORACLES, QUERIES
+
+    keys = list(QUERIES)
+    window = keys[:50]
+    assert all(k in ORACLES for k in window), [
+        k for k in window if k not in ORACLES]
+    rows_only = [k for k in keys if k not in ORACLES]
+    # rows-only entries are the final block
+    assert keys[-len(rows_only):] == rows_only

@@ -516,6 +516,34 @@ def test_pack_sequences_budget_discipline(spark, docs):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_materialize_sequences_custom_columns(spark):
+    """materialize_sequences accepts the same non-default column names
+    pack_sequences does (ADVICE r03: the two stages must compose)."""
+    from goose_parser_spark.ops.sampling import (
+        materialize_sequences, pack_sequences)
+    rows = [(i, f"body {i}", 100 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "page_id long, body string, ntok int")
+    packed = pack_sequences(df, "ntok", "page_id", tokens_per_seq=300,
+                            buckets=2, id_col="page_id")
+    out = materialize_sequences(packed, text_col="body", sep="|",
+                                tokens_col="ntok", id_col="page_id")
+    got = out.collect()
+    assert sum(r["n_docs"] for r in got) == 20
+    assert all(r["seq_tokens"] == sum(
+        100 + i for i in range(20)
+        if any(p["page_id"] == i and p["bucket"] == r["bucket"]
+               and p["seq_id"] == r["seq_id"] for p in packed.collect()))
+        for r in got)
+    # member order inside seq_text follows seq_offset
+    for r in got:
+        members = [p for p in packed.collect()
+                   if p["bucket"] == r["bucket"]
+                   and p["seq_id"] == r["seq_id"]]
+        members.sort(key=lambda p: (p["seq_offset"], p["page_id"]))
+        assert r["seq_text"] == "|".join(f"body {p['page_id']}"
+                                         for p in members)
+
+
 def test_asof_join_semantics(spark):
     from goose_parser_spark.ops.asof import asof_join
     views = spark.createDataFrame(
@@ -529,6 +557,21 @@ def test_asof_join_semantics(spark):
     # equal-ts right row matches (<=); max-order wins the tie; no
     # prior right row → NULL
     assert got == {(1, 10): 101, (1, 15): 101, (1, 25): 102, (2, 1): None}
+    # NULL fields come from the MATCHED row, not forward-filled from an
+    # older right row — and all value columns come from the same row
+    # (ADVICE r03 medium)
+    snaps = spark.createDataFrame(
+        [(1, 10, "p10", 7), (1, 20, None, None), (2, 5, "q5", 1)],
+        "u long, ts long, label string, w long")
+    probes = spark.createDataFrame([(1, 25), (1, 12), (2, 6)],
+                                   "u long, ts long")
+    out2 = asof_join(probes, snaps, "u", "ts",
+                     value_cols=["label", "w"], order_col="w")
+    got2 = {(r["u"], r["ts"]): (r["label_asof"], r["w_asof"])
+            for r in out2.collect()}
+    assert got2 == {(1, 25): (None, None),    # matched row ts=20 is NULL
+                    (1, 12): ("p10", 7),
+                    (2, 6): ("q5", 1)}
     # scale shape: ONE hash exchange on the key (the union sides read
     # through it), no range/cartesian join
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -588,7 +631,14 @@ def test_redact_pii_patterns(spark):
     rows = [(1, "mail a.b+c@ex-am.ple.org here"),
             (2, "server at 192.168.0.1 port"),
             (3, "call +1-555-123-4567 now"),
-            (4, "clean text with nothing 12 34")]
+            (4, "clean text with nothing 12 34"),
+            # phone contract pins (ADVICE r03): non-PII digit runs with
+            # dashes must SURVIVE — year ranges, ISBNs, IDs …
+            (5, "seasons 2020-2021 and 2021-2022 were dry"),
+            (6, "ISBN 978-3-16-148410-0 in print"),
+            (7, "order id 123456789 shipped"),
+            # … while separator-structured domestic numbers are caught
+            (8, "fax 415-555-0134 or 415.555.0199")]
     df = spark.createDataFrame(rows, "i long, t string")
     out = {r["i"]: r["c"] for r in
            df.select("i", redact_pii("t").alias("c")).collect()}
@@ -596,6 +646,10 @@ def test_redact_pii_patterns(spark):
     assert out[2] == "server at <IP> port"
     assert out[3] == "call <PHONE> now"
     assert out[4] == "clean text with nothing 12 34"
+    assert out[5] == "seasons 2020-2021 and 2021-2022 were dry"
+    assert out[6] == "ISBN 978-3-16-148410-0 in print"
+    assert out[7] == "order id 123456789 shipped"
+    assert out[8] == "fax <PHONE> or <PHONE>"
 
 
 def test_incremental_dedup_against_index(spark, docs):

@@ -41,15 +41,30 @@ def test_robots_filter_longest_match_and_plan(spark):
         ("https://a.test/private/x",),      # disallowed
         ("https://a.test/pub",),            # no match: allowed
         ("https://b.test/anything",),       # blanket disallow
+        ("https://b.test",),                # bare host: path '' ⇒ '/'
+        ("https://a.test",),                # bare host, no match: allowed
         ("https://c.test/x",),              # host without robots: allowed
     ], "url string")
+    expect = {"https://a.test/private/ok/x", "https://a.test/pub",
+              "https://a.test", "https://c.test/x"}
+    # default path (scale-safe, VERDICT r03 #5): AQE decides the join —
+    # no plan-time broadcast of the corpus-growing per-host table
     kept = {r["url"] for r in robots_filter(urls, rules).collect()}
-    assert kept == {"https://a.test/private/ok/x", "https://a.test/pub",
-                    "https://c.test/x"}
-    # scale shape: the url side must NOT shuffle or fan out — one
-    # broadcast join, no Exchange, no window/group on the url table
+    assert kept == expect
+    analyzed = robots_filter(urls, rules)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "ResolvedHint" not in analyzed     # no forced broadcast hint
     plan = robots_filter(urls, rules)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]
     assert "Window" not in plan
+    # bounded-rules path: explicit broadcast keeps the url side
+    # shuffle-free with a plan-time BroadcastHashJoin
+    kept_b = {r["url"] for r in
+              robots_filter(urls, rules, broadcast_rules=True).collect()}
+    assert kept_b == expect
+    plan_b = robots_filter(urls, rules, broadcast_rules=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    assert ("Exchange hashpartitioning"
+            not in plan_b.split("BroadcastHashJoin")[0])
+    assert "Window" not in plan_b

@@ -137,6 +137,15 @@ def test_resolve_href_forms(spark):
         ("https://a.com/dir/page", "/root/x", "https://a.com/root/x"),
         ("https://a.com/dir/page", "sib.html", "https://a.com/dir/sib.html"),
         ("https://a.com", "/x", "https://a.com/x"),
+        # non-hierarchical schemes → NULL (not fetchable; ADVICE r03)
+        ("https://a.com/dir/page", "mailto:a@b.c", None),
+        ("https://a.com/dir/page", "javascript:void(0)", None),
+        ("https://a.com/dir/page", "tel:+15551234", None),
+        ("https://a.com/dir/page", "data:text/plain,hi", None),
+        # fragment-/query-only refs resolve against the base (RFC 3986)
+        ("https://a.com/dir/page#old", "#frag", "https://a.com/dir/page#frag"),
+        ("https://a.com/dir/page?x=2", "?q=1", "https://a.com/dir/page?q=1"),
+        ("https://a.com/dir/page#old", "", "https://a.com/dir/page"),
     ]
     df = spark.createDataFrame(cases, "base string, href string, want string")
     out = df.select(resolve_href(F.col("base"), F.col("href")).alias("got"),

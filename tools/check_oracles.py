@@ -34,6 +34,58 @@ def canon_rows(cols, rows):
     return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
 
 
+# The driver's value hash is TYPE-SENSITIVE (r03: DuckDB sum(BIGINT)
+# → HUGEINT hash-failed against Spark's BIGINT even with identical
+# values), so the local gate must compare result dtypes too, mapped to
+# a canonical family so only real engine-type divergence trips it.
+
+def canon_spark_type(s: str) -> str:
+    """Spark simpleString → canonical family."""
+    m = {"bigint": "int64", "int": "int32", "smallint": "int16",
+         "tinyint": "int8", "double": "double", "float": "float",
+         "string": "string", "boolean": "boolean", "date": "date",
+         "binary": "binary"}
+    if s in m:
+        return m[s]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal"):
+        return s.replace(" ", "")
+    if s.startswith("array<") and s.endswith(">"):
+        return f"array<{canon_spark_type(s[6:-1])}>"
+    return s
+
+
+def canon_duck_type(s: str) -> str:
+    """DuckDB DESCRIBE type → canonical family (HUGEINT maps to its
+    own family: it can never silently pass against int64)."""
+    s = s.strip()
+    if s.endswith("[]"):
+        return f"array<{canon_duck_type(s[:-2])}>"
+    m = {"BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
+         "TINYINT": "int8", "UBIGINT": "uint64", "UINTEGER": "uint32",
+         "HUGEINT": "hugeint", "DOUBLE": "double", "FLOAT": "float",
+         "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+         "BLOB": "binary"}
+    if s in m:
+        return m[s]
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.startswith("DECIMAL"):
+        return s.lower().replace(" ", "")
+    return s.lower()
+
+
+def dtype_mismatches(sdf, con, sql):
+    spark_types = {f.name: canon_spark_type(f.dataType.simpleString())
+                   for f in sdf.schema.fields}
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    duck_types = {r[0]: canon_duck_type(r[1]) for r in desc}
+    return [(c, spark_types.get(c), duck_types.get(c))
+            for c in duck_types
+            if c in spark_types and spark_types[c] != duck_types[c]]
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -84,6 +136,15 @@ def main() -> int:
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            failed.append(name)
+            continue
+        try:
+            bad = dtype_mismatches(sdf, con, oracles[name])
+        except Exception as exc:
+            bad = []
+            print(f"WARN {name}: dtype describe failed: {exc}")
+        if bad:
+            print(f"FAIL {name}: dtype mismatch (col, spark, duckdb): {bad}")
             failed.append(name)
             continue
         if len(srows) != len(drows):
