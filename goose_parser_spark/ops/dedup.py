@@ -355,13 +355,18 @@ def connected_components(
     one aggregate on ``(node, label)`` longs; localCheckpoint per
     round truncates lineage. Deterministic.
     """
-    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-             .union(pairs.select(F.col(b_col).alias("src"),
-                                 F.col(a_col).alias("dst"))))
+    # Materialize the (usually expensive) pair plan ONCE before the
+    # symmetric union: unioning two projections of the raw `pairs`
+    # plan re-executes its whole upstream (LSH verify joins …) for
+    # each leg — checkpointing the narrow (src, dst) projection first
+    # halves the edge-build cost (VERDICT r03 #6).
+    p = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+         .localCheckpoint())
     # localCheckpoint every iteration: iterative self-referencing plans
     # otherwise grow exponentially and blow up Catalyst (OOM observed
     # at ~10 iterations without truncation)
-    edges = edges.localCheckpoint()
+    edges = p.union(p.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
     for _ in range(max_iterations):

@@ -141,10 +141,17 @@ def embedding_cosine_pairs(
     if not lsh_prefilter:
         a = df.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).cast("array<double>").alias("va"))
+        a = a.select("id_a", "va", _norm(F.col("va")).alias("_na"))
         b = df.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).cast("array<double>").alias("vb"))
+        b = b.select("id_b", "vb", _norm(F.col("vb")).alias("_nb"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
-        sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), round_to)
+        # norms ride in as per-ROW columns computed below the join;
+        # dot/(na*nb) is the same float expression as
+        # cosine_similarity, so values stay bit-identical while the
+        # per-pair cost drops from 3d to d FLOPs (VERDICT r03 #8)
+        sim = F.round(_dot(F.col("va"), F.col("vb"))
+                      / (F.col("_na") * F.col("_nb")), round_to)
         return (joined.withColumn("sim", sim)
                 .where(F.col("sim") >= threshold)
                 .select("id_a", "id_b", "sim"))
@@ -176,11 +183,19 @@ def embedding_cosine_pairs(
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
+    # Norms are computed per ROW below the joins (the projection stays
+    # under the hash join; Catalyst never pulls it above), so each
+    # pair pays only the dot product — dot/(na*nb) is the identical
+    # float expression to cosine_similarity, values bit-identical to
+    # the oracle's list_cosine_similarity (VERDICT r03 #8).
     va = df.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).cast("array<double>").alias("_va"))
+    va = va.select("id_a", "_va", _norm(F.col("_va")).alias("_na"))
     vb = df.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).cast("array<double>").alias("_vb"))
-    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_to)
+    vb = vb.select("id_b", "_vb", _norm(F.col("_vb")).alias("_nb"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), round_to)
     return (cand.join(va, on="id_a").join(vb, on="id_b")
             .select("id_a", "id_b", sim.alias("sim"))
             .where(F.col("sim") >= threshold))
