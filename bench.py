@@ -367,6 +367,8 @@ def main() -> int:
         "url_canonicalize", "chunk_documents", "mixture_sample",
         "train_shards", "quality_classifier", "clean_text",
         "dedup_semantic_keep", "corpus_percentiles",
+        "c4_clean", "script_stats", "dsir_sample", "bloom_frontier",
+        "link_pagerank", "phash_pairs",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -2089,6 +2089,312 @@ GROUP BY u
 """
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleanup (Raffel et al. 2020 heuristics): keep
+    lines with ≥3 words ending in terminal punctuation, dedup repeated
+    lines within the doc (ops/textstats.c4_line_filter). Line
+    structure is synthesized per doc (testdata has no newlines):
+    2 keepers, a short line, a duplicate, a no-punct line."""
+    from goose_parser_spark.ops.textstats import c4_line_filter
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    l1 = F.concat(F.lit("Alpha "), F.substring("text", 1, 20),
+                  F.lit(" ends well."))
+    l5 = F.concat(F.lit("Doc "), s, F.lit(" closes the case!"))
+    lines = F.concat_ws("\n", l1, F.lit("too short"), l1,
+                        F.lit("no terminal punctuation line"), l5)
+    return c4_line_filter(docs.select("doc_id", lines.alias("text")))
+
+
+SQL_C4_CLEAN = f"""
+WITH {_SQL_DOCS_AMP_COPY}, built AS (
+  SELECT doc_id,
+         'Alpha ' || substr(text, 1, 20) || ' ends well.' AS l1,
+         'Doc ' || doc_id || ' closes the case!' AS l5
+  FROM docs_amp
+), ex AS (
+  SELECT doc_id, ls[u] AS line, u
+  FROM (SELECT doc_id,
+               [l1, 'too short', l1, 'no terminal punctuation line', l5]
+                 AS ls,
+               unnest(range(1, 6)) AS u
+        FROM built)
+), kept AS (
+  SELECT doc_id, line, u,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY u) AS rn
+  FROM ex
+  WHERE len(list_filter(string_split(line, ' '), w -> w != '')) >= 3
+    AND regexp_matches(line, '[.!?"'']\\s*$')
+)
+SELECT d.doc_id,
+       coalesce(k.clean, '') AS clean,
+       5 AS n_lines,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM docs_amp d LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY u) AS clean,
+         CAST(count(*) AS INTEGER) AS n_kept
+  FROM kept WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+"""
+
+
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile (ops/textstats.script_profile): per-doc
+    character counts for Latin/Cyrillic/Han/Arabic + script verdict.
+    Docs are salted with deterministic non-Latin runs per variant so
+    every class and verdict is exercised."""
+    from goose_parser_spark.ops.textstats import script_profile
+    docs = _documents_amplified(spark, sf_dir)
+    v = F.col("doc_id") % 4
+    base = F.substring("text", 1, 30)
+    salted = (F.when(v == 0, F.concat(
+                  base, F.lit(" привет мир привет мир привет мир привет")))
+              .when(v == 1, F.concat(
+                  base, F.lit(" 漢字文化圏の文字は表意文字である漢字文化圏の文字")))
+              .when(v == 2, F.concat(
+                  base, F.lit(" مرحبا بالعالم مرحبا بالعالم مرحبا بالعالم")))
+              .otherwise(base))
+    return script_profile(docs.select("doc_id", salted.alias("text")))
+
+
+SQL_SCRIPT_STATS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, salted AS (
+  SELECT doc_id,
+         substr(text, 1, 30) ||
+         CASE doc_id % 4
+           WHEN 0 THEN ' привет мир привет мир привет мир привет'
+           WHEN 1 THEN ' 漢字文化圏の文字は表意文字である漢字文化圏の文字'
+           WHEN 2 THEN ' مرحبا بالعالم مرحبا بالعالم مرحبا بالعالم'
+           ELSE ''
+         END AS t
+  FROM docs_amp
+), counted AS (
+  SELECT doc_id,
+    CAST(length(t) - length(regexp_replace(t, '\\p{{Latin}}', '', 'g'))
+         AS INTEGER) AS n_latin,
+    CAST(length(t) - length(regexp_replace(t, '\\p{{Cyrillic}}', '', 'g'))
+         AS INTEGER) AS n_cyrillic,
+    CAST(length(t) - length(regexp_replace(t, '\\p{{Han}}', '', 'g'))
+         AS INTEGER) AS n_han,
+    CAST(length(t) - length(regexp_replace(t, '\\p{{Arabic}}', '', 'g'))
+         AS INTEGER) AS n_arabic
+  FROM salted
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+       CASE
+         WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+              AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+         WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_han
+              AND n_cyrillic >= n_arabic AND n_cyrillic > 0 THEN 'cyrillic'
+         WHEN n_han >= n_latin AND n_han >= n_cyrillic
+              AND n_han >= n_arabic AND n_han > 0 THEN 'han'
+         WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic
+              AND n_arabic >= n_han AND n_arabic > 0 THEN 'arabic'
+         ELSE 'und'
+       END AS script_pred
+FROM counted
+"""
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): raw docs scored by
+    hashed-unigram log-likelihood ratio target-vs-raw, integer
+    micro-nats (ops/sampling.dsir_logratio). Target = source 'src0';
+    raw = the rest."""
+    from goose_parser_spark.ops.sampling import dsir_logratio
+    docs = _documents_amplified(spark, sf_dir)
+    target = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    raw = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    return dsir_logratio(raw, target, buckets=512)
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, rawt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM docs_amp WHERE source != 'src0'
+), tgtt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM docs_amp WHERE source = 'src0'
+), rb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 512 AS b
+  FROM rawt
+), tb AS (
+  SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 512 AS b
+  FROM tgtt
+), tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tb) AS nt,
+               (SELECT count(*) FROM rb) AS nr)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CAST(round(ln((coalesce(ct, 0) + 1.0) / (nt + 512))
+                           * 1000000) AS BIGINT)
+                - CAST(round(ln((coalesce(cr, 0) + 1.0) / (nr + 512))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS dsir_micro
+FROM rb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter frontier membership (ops/bloom.py): build the
+    fixed-size seen-set over the crawled urls, probe a candidate wave
+    (half re-crawls, half new). md5-derived bits → the oracle
+    reproduces the filter INCLUDING its false positives exactly."""
+    from goose_parser_spark.ops.bloom import bloom_build, bloom_probe
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    crawled = docs.select(
+        F.concat(F.lit("https://docs.test/"), s).alias("url"))
+    bloom = bloom_build(crawled, "url", n_words=2048, k=3)
+    cand = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("https://docs.test/"), s))
+         .otherwise(F.concat(F.lit("https://new.test/"), s)).alias("url"))
+    return bloom_probe(cand, bloom, "url", n_words=2048, k=3)
+
+
+SQL_BLOOM_FRONTIER = f"""
+WITH {_SQL_DOCS_AMP_COPY}, crawled AS (
+  SELECT 'https://docs.test/' || doc_id AS url FROM docs_amp
+), probes AS (
+  SELECT CAST(('0x' || substr(md5(url || ':' || r.range), 1, 15))
+              AS BIGINT) % 122880 AS pos
+  FROM crawled CROSS JOIN range(3) r
+), words AS (
+  SELECT pos // 60 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER)) AS word
+  FROM probes GROUP BY 1
+), cand AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'https://docs.test/' || doc_id
+              ELSE 'https://new.test/' || doc_id END AS url
+  FROM docs_amp
+), cp AS (
+  SELECT doc_id, url,
+         CAST(('0x' || substr(md5(url || ':' || r.range), 1, 15))
+              AS BIGINT) % 122880 AS pos
+  FROM cand CROSS JOIN range(3) r
+)
+SELECT doc_id, url,
+       min(CASE WHEN word IS NOT NULL
+                 AND (word & (CAST(1 AS BIGINT)
+                              << CAST(pos % 60 AS INTEGER)))
+                     = (CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER))
+                THEN 1 ELSE 0 END) = 1 AS maybe_seen
+FROM cp LEFT JOIN words ON words.w = cp.pos // 60
+GROUP BY doc_id, url
+"""
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-PageRank authority over a deterministic link graph
+    (ops/linkgraph.pagerank_int): 2 candidate outlinks per page
+    (×2+1, ×3+7), endpoints outside the crawl dropped, 2 iterations,
+    damping 0.85 — all long arithmetic, order-free sums."""
+    from goose_parser_spark.ops.linkgraph import pagerank_int
+    docs = _documents_amplified(spark, sf_dir)
+    ids = docs.select("doc_id")
+    d = F.col("doc_id")
+    edges = (docs.select(d.alias("src"), (d * 2 + 1).alias("dst"))
+             .unionByName(
+                 docs.select(d.alias("src"), (d * 3 + 7).alias("dst"))))
+    return pagerank_int(ids, edges, iterations=2)
+
+
+SQL_LINK_PAGERANK = f"""
+WITH {_SQL_DOCS_AMP_COPY}, nodes AS (
+  SELECT DISTINCT doc_id AS node FROM docs_amp
+), raw_edges AS (
+  SELECT doc_id AS src, doc_id * 2 + 1 AS dst FROM docs_amp
+  UNION ALL
+  SELECT doc_id, doc_id * 3 + 7 FROM docs_amp
+), e AS (
+  SELECT DISTINCT src, dst FROM raw_edges
+  WHERE src IN (SELECT node FROM nodes)
+    AND dst IN (SELECT node FROM nodes)
+), deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+s1 AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST(floor(r0.rank / deg.outdeg) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+  GROUP BY 1
+), r1 AS (
+  SELECT n.node,
+         CAST(150000 + floor(850 * coalesce(s1.s, 0) / 1000) AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN s1 USING (node)
+), s2 AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST(floor(r1.rank / deg.outdeg) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+  GROUP BY 1
+), r2 AS (
+  SELECT n.node,
+         CAST(150000 + floor(850 * coalesce(s2.s, 0) / 1000) AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN s2 USING (node)
+)
+SELECT node AS doc_id, rank AS rank_micro FROM r2
+"""
+
+
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual-hash (stub) fingerprints over
+    image payloads → pigeonhole Hamming pairs ≤ 3
+    (ops/multimodal.phash_stub + ops/dedup.hamming_pairs). Replica
+    groups share a base image; planted 1/2/4-bit variants exercise
+    include/exclude boundaries exactly."""
+    from goose_parser_spark.ops.dedup import hamming_pairs
+    from goose_parser_spark.ops.multimodal import phash_stub
+    docs = _documents_amplified(spark, sf_dir)
+    pg = F.floor(F.col("doc_id") / 23).cast("long")
+    payload = F.encode(F.concat(F.lit("img-"), pg.cast("string")), "utf-8")
+    v = F.col("doc_id") % 4
+    mask = (F.when(v == 1, F.lit(3))
+            .when(v == 2, F.lit(8))
+            .when(v == 3, F.lit((1 << 40) + (1 << 20) + 5))
+            .otherwise(F.lit(0))).cast("long")
+    fp = docs.select(
+        "doc_id", phash_stub(payload).bitwiseXOR(mask).alias("phash"))
+    return hamming_pairs(fp, "phash", max_hamming=3, bits=60)
+
+
+SQL_PHASH_PAIRS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, h AS (
+  SELECT doc_id,
+         xor(CAST(('0x' || substr(md5('img-' || (doc_id // 23)), 1, 15))
+                  AS BIGINT),
+             CAST(CASE doc_id % 4
+                    WHEN 1 THEN 3
+                    WHEN 2 THEN 8
+                    WHEN 3 THEN {(1 << 40) + (1 << 20) + 5}
+                    ELSE 0
+                  END AS BIGINT)) AS fp
+  FROM docs_amp
+), blocks AS (
+  SELECT doc_id, fp, r.range AS blk,
+         (fp >> CAST(r.range * 15 AS INTEGER)) & 32767 AS bv
+  FROM h CROSS JOIN range(4) r
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(bit_count(xor(ha.fp, hb.fp)) AS INTEGER) AS hamming
+FROM cand
+JOIN h ha ON ha.doc_id = doc_a
+JOIN h hb ON hb.doc_id = doc_b
+WHERE bit_count(xor(ha.fp, hb.fp)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2127,43 +2433,50 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "contamination": q_contamination,
     "text_repetition": q_text_repetition,
+    "phash_pairs": q_phash_pairs,
     # -- similarity search --
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     # -- text analysis / quality --
     "text_stats": q_text_stats,
-    "text_subword_count": q_text_subword_count,
     "text_quality": q_text_quality,
-    "text_top_ngrams": q_text_top_ngrams,
     "text_gopher_quality": q_text_gopher_quality,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_percentiles": q_corpus_percentiles,
     "lm_score": q_lm_score,
-    "quality_classifier": q_quality_classifier,
     "clean_text": q_clean_text,
+    "c4_clean": q_c4_clean,
+    "script_stats": q_script_stats,
     "redact_pii": q_redact_pii,
-    # -- urls / crawl frontier --
+    # -- urls / crawl frontier / link graph --
     "url_ops": q_url_ops,
     "url_canonicalize": q_url_canonicalize,
     "robots_filter": q_robots_filter,
     "frontier_urls": q_frontier_urls,
+    "bloom_frontier": q_bloom_frontier,
+    "link_pagerank": q_link_pagerank,
     # -- sampling / packing / sharding --
     "sample_by_hash": q_sample_by_hash,
     "domain_quota": q_domain_quota,
     "hash_split": q_hash_split,
-    "mixture_sample": q_mixture_sample,
-    "train_shards": q_train_shards,
+    "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     # -- temporal / events --
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
-    "events_range_join": q_events_range_join,
     "events_rollups": q_events_rollups,
     # -- multimodal / aggregate profiles --
     "multimodal_features": q_multimodal_features,
     "domain_quality": q_domain_quality,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    # oracled, family already hash-green in-window:
+    "text_subword_count": q_text_subword_count,
+    "text_top_ngrams": q_text_top_ngrams,
+    "quality_classifier": q_quality_classifier,
+    "mixture_sample": q_mixture_sample,
+    "train_shards": q_train_shards,
+    "events_range_join": q_events_range_join,
     "pdf_pages": q_pdf_pages,
     "corpus_profile": q_corpus_profile,
     "dedup_by_url": q_dedup_by_url,
@@ -2253,6 +2566,12 @@ ORACLES: dict[str, str] = {
     "dedup_by_url": SQL_DEDUP_BY_URL,
     "pack_materialize": SQL_PACK_MATERIALIZE,
     "frontier_urls": SQL_FRONTIER_URLS,
+    "c4_clean": SQL_C4_CLEAN,
+    "script_stats": SQL_SCRIPT_STATS,
+    "dsir_sample": SQL_DSIR_SAMPLE,
+    "bloom_frontier": SQL_BLOOM_FRONTIER,
+    "link_pagerank": SQL_LINK_PAGERANK,
+    "phash_pairs": SQL_PHASH_PAIRS,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

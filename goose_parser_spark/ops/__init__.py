@@ -7,10 +7,12 @@ All are pure DataFrame compositions (JVM-side, codegen-able) except
 where Python is genuinely required, and there it is Arrow-batched.
 """
 
+from goose_parser_spark.ops.bloom import bloom_build, bloom_probe
 from goose_parser_spark.ops.dedup import (
     build_minhash_index,
     connected_components,
     dedup_against_index,
+    hamming_pairs,
     keep_canonical,
     exact_dedup,
     minhash_lsh_dedup,
@@ -24,8 +26,11 @@ from goose_parser_spark.ops.dedup import (
 )
 from goose_parser_spark.ops.asof import asof_join, range_join, time_rollups
 from goose_parser_spark.ops.robots import parse_robots, robots_filter
+from goose_parser_spark.ops.linkgraph import pagerank_int
+from goose_parser_spark.ops.multimodal import phash_stub
 from goose_parser_spark.ops.sampling import (
     assign_shards,
+    dsir_logratio,
     hash_split,
     pack_sequences,
     per_domain_quota,
@@ -55,6 +60,7 @@ from goose_parser_spark.ops.similarity import (
     lsh_cosine_topk,
 )
 from goose_parser_spark.ops.textstats import (
+    c4_line_filter,
     chunk_documents,
     classifier_score,
     clean_text,
@@ -63,6 +69,7 @@ from goose_parser_spark.ops.textstats import (
     lang_id,
     quality_score,
     redact_pii,
+    script_profile,
     repetition_stats,
     tfidf_top_terms,
     token_count,
@@ -86,4 +93,7 @@ __all__ = [
     "assign_shards", "stratified_sample_by_hash", "materialize_sequences",
     "strip_tracking_params", "url_canonicalize", "resolve_href",
     "chunk_documents", "classifier_score", "clean_text",
+    "c4_line_filter", "script_profile", "dsir_logratio",
+    "bloom_build", "bloom_probe", "pagerank_int", "phash_stub",
+    "hamming_pairs",
 ]

@@ -461,6 +461,27 @@ def simhash_pairs(
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
     fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    return hamming_pairs(fp, fp_col="simhash", id_col=id_col,
+                         max_hamming=max_hamming, bits=bits)
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming-distance pair join over ANY 64-bit
+    fingerprint column (SimHash, perceptual image hash, …) — the
+    generic core of :func:`simhash_pairs` (Manku WWW'07 blocking: a
+    pair within Hamming k must agree exactly on one of k+1 disjoint
+    blocks; 100%% recall by construction, never an all-pairs join).
+
+    Columns: ``doc_a, doc_b, hamming``.
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
     nblocks = max_hamming + 1
     width = bits // nblocks
     blocks = []
@@ -471,12 +492,12 @@ def simhash_pairs(
         mask = (1 << w) - 1
         blocks.append(F.struct(
             F.lit(bi).alias("blk"),
-            F.shiftrightunsigned(F.col("simhash"), lo)
+            F.shiftrightunsigned(F.col(fp_col), lo)
              .bitwiseAND(F.lit(mask)).alias("bv"),
         ))
-    banded = (fp.select(id_col, "simhash",
+    banded = (fp.select(id_col, fp_col,
                         F.explode(F.array(*blocks)).alias("b"))
-              .select(F.col(id_col).alias("doc"), F.col("simhash"),
+              .select(F.col(id_col).alias("doc"), F.col(fp_col).alias("_fp"),
                       F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -484,8 +505,8 @@ def simhash_pairs(
            .where(F.col("a.doc") < F.col("b.doc"))
            .select(F.col("a.doc").alias("doc_a"),
                    F.col("b.doc").alias("doc_b"),
-                   F.bit_count(F.col("a.simhash")
-                               .bitwiseXOR(F.col("b.simhash")))
+                   F.bit_count(F.col("a._fp")
+                               .bitwiseXOR(F.col("b._fp")))
                     .alias("hamming"))
            .where(F.col("hamming") <= max_hamming)
            .distinct())

@@ -61,6 +61,29 @@ def decode_stub(data: bytes, fake: bool = True) -> list[float]:
     return [digest[i] / 255.0 for i in range(8)]
 
 
+def phash_stub(payload_col: str | F.Column, bits: int = 60) -> F.Column:
+    """Perceptual-hash STAND-IN for image near-dup: a deterministic
+    ``bits``-wide (≤60 — fits a signed BIGINT in every engine)
+    fingerprint of the payload bytes, as a pure Catalyst expression
+    (md5-prefix → long). A REAL pHash (DCT of a decoded, resized
+    grayscale image) needs the codec this container lacks — swap this
+    expression for a decoder UDF at deployment; everything downstream
+    (:func:`goose_parser_spark.ops.dedup.hamming_pairs` blocking,
+    clustering, keep-policy) is hash-source-agnostic. md5 (not
+    xxhash64) so the DuckDB oracle reproduces the exact fingerprints.
+
+    Note: unlike a real perceptual hash, the stub is NOT stable under
+    perceptual-identity transforms (resize/recompress) — only under
+    byte identity. The driver query plants few-bit variants to
+    exercise the Hamming pipeline the way real pHashes would behave.
+    """
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    if not 0 < bits <= 60:
+        raise ValueError("bits must be in 1..60 (signed-long safe)")
+    nhex = (bits + 3) // 4
+    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("long")
+
+
 FEATURES_FIELD = StructField("features", ArrayType(FloatType()), True)
 
 

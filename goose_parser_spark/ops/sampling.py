@@ -259,3 +259,63 @@ def materialize_sequences(
                      F.transform(F.array_sort(F.collect_list(member)),
                                  lambda m: m["t"]),
                      sep).alias("seq_text")))
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    score each raw document by the log-likelihood ratio of its hashed
+    unigrams under the TARGET distribution vs the RAW distribution,
+    with add-one smoothing over ``buckets`` hash buckets. High scores
+    = raw docs that look like the target domain; resample raw by this
+    weight (e.g. :func:`sample_by_hash` on a score threshold) to tilt
+    a web corpus toward a quality domain.
+
+    Determinism: bucket = md5-prefix(token) % buckets (engine-exact),
+    and each token's two log terms are rounded to integer MICRO-NATS
+    before summation — the sum of longs is order-free, so the oracle
+    reproduces the score exactly (same discipline as
+    :func:`goose_parser_spark.ops.textstats.unigram_logprob`).
+
+    Scale shape: both count tables are ≤ ``buckets`` rows BY
+    CONSTRUCTION (bounded like IVF centroids, never corpus-growing),
+    so they broadcast; the raw side pays one token explode + one
+    groupBy(doc) — narrow (doc, bucket) shuffle keys, never the text.
+
+    Output: ``id_col, n_tokens, dsir_micro`` (sum of per-token
+    micro-nat log ratios; raw docs with no tokens are absent).
+    """
+    def toks(df: DataFrame) -> DataFrame:
+        t = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ex = df.select(F.col(id_col), F.explode(t).alias("_t"))
+        b = F.pmod(F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10)
+                   .cast("long"), F.lit(buckets))
+        return ex.select(F.col(id_col), b.alias("b"))
+
+    raw_t = toks(raw)
+    tgt_t = toks(target)
+    tgt_counts = tgt_t.groupBy("b").agg(F.count("*").alias("ct"))
+    raw_counts = raw_t.groupBy("b").agg(F.count("*").alias("cr"))
+    totals = (tgt_t.agg(F.count("*").alias("nt"))
+              .crossJoin(raw_t.agg(F.count("*").alias("nr"))))
+    # bucket tables are bounded by `buckets` — broadcast is safe at any
+    # corpus size (the totals row is 1 row)
+    scored = (raw_t
+              .join(F.broadcast(tgt_counts), on="b", how="left")
+              .join(F.broadcast(raw_counts), on="b", how="left")
+              .crossJoin(F.broadcast(totals)))
+    ct = F.coalesce(F.col("ct"), F.lit(0))
+    cr = F.coalesce(F.col("cr"), F.lit(0))
+    micro = (F.round(F.log((ct + 1.0) / (F.col("nt") + buckets)) * 1_000_000)
+             .cast("long")
+             - F.round(F.log((cr + 1.0) / (F.col("nr") + buckets))
+                       * 1_000_000).cast("long"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(micro).alias("dsir_micro")))

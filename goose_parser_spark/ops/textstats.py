@@ -391,3 +391,91 @@ def unigram_logprob(
             .groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.sum(scaled).alias("logprob_micro")))
+
+
+# Terminal-punctuation set for the C4 line rule (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning…", §2.2 public heuristics:
+# keep only lines ending in terminal punctuation, drop short lines,
+# de-duplicate). RE2-compatible so the oracle runs the same pattern.
+_C4_TERMINAL_RE = r'[.!?"\x27]\s*$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line cleanup: keep only lines with ≥ ``min_words``
+    words that end in terminal punctuation, then drop repeated lines
+    within the document (first occurrence wins — ``array_distinct``
+    preserves first-occurrence order). Pure Catalyst array expressions
+    in ONE projection — a scan-level rewrite at any corpus size; the
+    corpus-wide three-sentence-span dedup C4 also does is the separate
+    :func:`goose_parser_spark.ops.dedup.paragraph_dup_stats` /
+    winnowing family.
+
+    Output: ``id_col, clean, n_lines, n_kept`` (n_kept counts the
+    post-dedup surviving lines).
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    words = lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+    kept = F.filter(
+        lines,
+        lambda l: (words(l) >= min_words) & l.rlike(_C4_TERMINAL_RE))
+    deduped = F.array_distinct(kept)
+    return df.select(
+        F.col(id_col),
+        F.array_join(deduped, "\n").alias("clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(deduped).alias("n_kept"))
+
+
+# Unicode-script character classes. Spark compiles Java-regex script
+# properties (\p{IsX}), DuckDB compiles the RE2 spelling (\p{X}) —
+# same classes, per-dialect spelling handled by the caller's SQL.
+_SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+)
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode-script profile per document: character counts for the
+    major script classes plus a script verdict (most characters wins;
+    ties break in ``_SCRIPT_CLASSES`` order; no script characters →
+    ``und``). Complements the stopword language-ID: script is the
+    cheap first-stage router (e.g. don't run Latin stopword tables on
+    CJK text), and mixed-script docs are a spam/injection signal.
+    Counts via length-difference of a ``regexp_replace`` per class —
+    one codegen projection, no Python, no shuffle.
+    """
+    c = F.col(text_col)
+    counts = {
+        name: (F.length(c)
+               - F.length(F.regexp_replace(c, pat, ""))).cast("int")
+        for name, pat in _SCRIPT_CLASSES
+    }
+    best = None
+    for name, _ in _SCRIPT_CLASSES:
+        cond = F.lit(True)
+        for other, _ in _SCRIPT_CLASSES:
+            if other != name:
+                # strictly-greater against earlier classes is implied
+                # by first-match-wins; >= against later ones
+                cond = cond & (counts[name] >= counts[other])
+        cond = cond & (counts[name] > 0)
+        branch = F.lit(name)
+        best = F.when(cond, branch) if best is None else best.when(cond, branch)
+    verdict = best.otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[counts[name].alias(f"n_{name}") for name, _ in _SCRIPT_CLASSES],
+        verdict.alias("script_pred"))
