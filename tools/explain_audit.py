@@ -168,16 +168,15 @@ CHECKS = {
         ("no Python UDF", lambda p: "Python" not in p),
     ],
     "robots_filter": [
-        # the one hash exchange lives on the RULES side (host-bounded
-        # per-host aggregation under the BroadcastExchange); the url
-        # side — everything printed before BroadcastExchange — must be
-        # map-only
-        ("rules join is broadcast; url side never shuffles",
-         lambda p: "BroadcastHashJoin" in p
-         and "Exchange hashpartitioning" not in
-         _exec_part(p).split("BroadcastExchange", 1)[0]),
+        # scale-safe default (VERDICT r03 #5): NO forced broadcast of
+        # the corpus-growing per-host table — AQE picks the strategy
+        # at runtime (it will broadcast a small rules table itself)
+        ("no forced broadcast hint on the rules side",
+         lambda p: "strategy=broadcast" not in _logical_part(p)),
         ("no window / per-url fan-out aggregation",
          lambda p: "Window" not in _exec_part(p)),
+        ("never a cartesian/nested-loop",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
     ],
     "pack_sequences": [
         ("single bucket exchange (window cumsum per bucket, no global sort)",
@@ -251,6 +250,44 @@ CHECKS = {
         ("no cartesian join (assignment is literal projection at K=16)",
          lambda p: "CartesianProduct" not in p),
     ],
+    "c4_clean": [
+        ("shuffle-free single projection (line rules are array exprs)",
+         lambda p: "Exchange" not in _exec_part(p)),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "script_stats": [
+        ("shuffle-free single projection", lambda p: "Exchange" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "dsir_sample": [
+        ("bucket-bounded count tables join as broadcasts",
+         lambda p: "BroadcastHashJoin" in p),
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "bloom_frontier": [
+        ("k probe joins are broadcasts sharing ONE cached build",
+         lambda p: _exec_part(p).count("BroadcastHashJoin") == 3
+         and "InMemoryTableScan" in p),
+        # (the Generate before the first BroadcastExchange is the test
+        # fixture's ×AMP amplification explode, not probe fan-out)
+        ("candidate side never shuffles",
+         lambda p: "Window" not in _exec_part(p)
+         and "Exchange hashpartitioning" not in
+         _exec_part(p).split("BroadcastExchange", 1)[0]),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "link_pagerank": [
+        ("no cartesian/nested-loop anywhere in the iteration",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("no Python UDF", lambda p: "Python" not in p),
+    ],
+    "phash_pairs": [
+        ("pigeonhole block join, never all-pairs",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("no Python UDF (stub hash is pure Catalyst)",
+         lambda p: "Python" not in p),
+    ],
 }
 
 # Queries whose CONSTRUCTION is allowed a bounded number of driver
@@ -265,6 +302,10 @@ CHECKS = {
 #    per label-propagation round over the (dup-graph-bounded) label
 #    table; near-dup components converge in 2-4 rounds, 12 is a
 #    pathological-diameter ceiling.
+#  - link_pagerank: pagerank_int localCheckpoints the edge tables and
+#    each round's rank table (2 fixed + iterations rounds, all narrow
+#    long tables) — the same lineage-truncation discipline as
+#    connected_components.
 ALLOWED_PLAN_ACTIONS = {
     "simsearch_topk": 1,
     "simsearch_lsh": 1,
@@ -272,6 +313,7 @@ ALLOWED_PLAN_ACTIONS = {
     "dedup_clusters": 12,
     "dedup_keep_canonical": 12,
     "dedup_semantic_keep": 12,
+    "link_pagerank": 8,
 }
 
 
