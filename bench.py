@@ -368,7 +368,7 @@ def main() -> int:
         "train_shards", "quality_classifier", "clean_text",
         "dedup_semantic_keep", "corpus_percentiles",
         "c4_clean", "script_stats", "dsir_sample", "bloom_frontier",
-        "link_pagerank", "phash_pairs",
+        "link_pagerank", "phash_pairs", "cms_topterms", "hll_cardinality",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

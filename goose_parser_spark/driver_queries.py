@@ -2395,6 +2395,126 @@ WHERE bit_count(xor(ha.fp, hb.fp)) <= 3
 """
 
 
+_CMS_PROBES = ("the", "a", "of", "and", "to", "quantum", "zzz_absent",
+               "for", "is", "borogoves")
+
+
+def q_cms_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (ops/sketches.py): 4×1024 counter
+    table built in one pass over corpus tokens, probed for a fixed
+    term list. md5-derived cells → the oracle reproduces the sketch
+    (and so the estimates, collisions included) exactly."""
+    from goose_parser_spark.ops.sketches import (
+        count_min_build, count_min_query)
+    docs = _documents_amplified(spark, sf_dir)
+    toks = docs.select(F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("term"))
+    sketch = count_min_build(toks, "term", depth=4, width=1024)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES],
+                                   "term string")
+    return count_min_query(probes, sketch, "term", depth=4, width=1024)
+
+
+_SQL_CMS_PROBE_VALUES = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+
+SQL_CMS_TOPTERMS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM docs_amp
+), cells AS (
+  SELECT r.range AS row,
+         CAST(('0x' || substr(md5(t || '#cm' || r.range), 1, 15))
+              AS BIGINT) % 1024 AS col
+  FROM tok CROSS JOIN range(4) r
+), sk AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+), probes(term) AS (VALUES {_SQL_CMS_PROBE_VALUES}),
+pc AS (
+  SELECT term, r.range AS row,
+         CAST(('0x' || substr(md5(term || '#cm' || r.range), 1, 15))
+              AS BIGINT) % 1024 AS col
+  FROM probes CROSS JOIN range(4) r
+)
+SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+FROM pc LEFT JOIN sk USING (row, col)
+GROUP BY term
+"""
+
+
+# SQL fragment: rho for the 51-bit tail (p=9) — a comparison ladder,
+# NOT floor(log2(..)): log2 of an exact power of two can land a hair
+# below the integer in one engine and flip the floor.
+_HLL_P = 9
+_HLL_TAIL = 60 - _HLL_P
+_HLL_LADDER = " ".join(
+    f"WHEN tail >= {1 << (k - 1)} THEN {k}"
+    for k in range(_HLL_TAIL, 0, -1))
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / (1 << _HLL_P))
+_HLL_M = 1 << _HLL_P
+_HLL_R = _HLL_TAIL + 1
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** _HLL_R))
+_HLL_POW_R = repr(float(2 ** _HLL_R))
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source
+    (ops/sketches.py, p=9 → 512 registers) next to the exact distinct
+    count. Registers are md5-derived and the harmonic sum accumulates
+    as exact integers, so the ESTIMATE is oracle-checkable
+    digit-for-digit — the approximation error is visible and
+    deterministic."""
+    from goose_parser_spark.ops.sketches import hll_build, hll_estimate
+    docs = _documents_amplified(spark, sf_dir)
+    toks = docs.select("source", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("t"))
+    regs = hll_build(toks, "t", group_cols=["source"], p=_HLL_P)
+    est = hll_estimate(regs, group_cols=["source"], p=_HLL_P)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("t").alias("exact_distinct"))
+    return est.join(exact, on="source")
+
+
+SQL_HLL_CARDINALITY = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM docs_amp
+), hashed AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(t || '#hll'), 1, 15)) AS BIGINT) AS h
+  FROM tok
+), parts AS (
+  SELECT source, h >> {_HLL_TAIL} AS bucket,
+         h & {(1 << _HLL_TAIL) - 1} AS tail
+  FROM hashed
+), regs AS (
+  SELECT source, bucket,
+         max(CASE WHEN tail = 0 THEN {_HLL_TAIL + 1}
+                  ELSE {_HLL_TAIL} - (CASE {_HLL_LADDER} ELSE 0 END) + 1
+             END) AS rho
+  FROM parts GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_R} - rho AS INTEGER))
+              AS BIGINT) AS s,
+         count(*) AS nz
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT source,
+         {_HLL_NUM} / (s + ({_HLL_M} - nz) * {_HLL_POW_R}) AS raw,
+         {_HLL_M} - nz AS zeros
+  FROM agg
+)
+SELECT source,
+       CAST(round(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                       THEN {float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+                       ELSE raw END) AS BIGINT) AS distinct_est,
+       (SELECT count(DISTINCT t) FROM tok t2 WHERE t2.source = est.source)
+         AS exact_distinct
+FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2461,16 +2581,19 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
-    "chunk_documents": q_chunk_documents,
     # -- temporal / events --
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_rollups": q_events_rollups,
+    # -- sketches --
+    "cms_topterms": q_cms_topterms,
+    "hll_cardinality": q_hll_cardinality,
     # -- multimodal / aggregate profiles --
     "multimodal_features": q_multimodal_features,
-    "domain_quality": q_domain_quality,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "domain_quality": q_domain_quality,
+    "chunk_documents": q_chunk_documents,
     "text_subword_count": q_text_subword_count,
     "text_top_ngrams": q_text_top_ngrams,
     "quality_classifier": q_quality_classifier,
@@ -2566,6 +2689,8 @@ ORACLES: dict[str, str] = {
     "dedup_by_url": SQL_DEDUP_BY_URL,
     "pack_materialize": SQL_PACK_MATERIALIZE,
     "frontier_urls": SQL_FRONTIER_URLS,
+    "cms_topterms": SQL_CMS_TOPTERMS,
+    "hll_cardinality": SQL_HLL_CARDINALITY,
     "c4_clean": SQL_C4_CLEAN,
     "script_stats": SQL_SCRIPT_STATS,
     "dsir_sample": SQL_DSIR_SAMPLE,

@@ -28,6 +28,12 @@ from goose_parser_spark.ops.asof import asof_join, range_join, time_rollups
 from goose_parser_spark.ops.robots import parse_robots, robots_filter
 from goose_parser_spark.ops.linkgraph import pagerank_int
 from goose_parser_spark.ops.multimodal import phash_stub
+from goose_parser_spark.ops.sketches import (
+    count_min_build,
+    count_min_query,
+    hll_build,
+    hll_estimate,
+)
 from goose_parser_spark.ops.sampling import (
     assign_shards,
     dsir_logratio,
@@ -96,4 +102,5 @@ __all__ = [
     "c4_line_filter", "script_profile", "dsir_logratio",
     "bloom_build", "bloom_probe", "pagerank_int", "phash_stub",
     "hamming_pairs",
+    "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]

@@ -400,6 +400,26 @@ def unigram_logprob(
 _C4_TERMINAL_RE = r'[.!?"\x27]\s*$'
 
 
+def _c4_kept_lines(c: Column, min_words: int) -> Column:
+    """Array of surviving lines under the C4 rules (≥ min_words words,
+    terminal punctuation, within-doc dedup keeping first occurrence —
+    ``array_distinct`` preserves first-occurrence order)."""
+    lines = F.split(c, "\n")
+    words = lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+    kept = F.filter(
+        lines,
+        lambda l: (words(l) >= min_words) & l.rlike(_C4_TERMINAL_RE))
+    return F.array_distinct(kept)
+
+
+def c4_clean_text(col: str | Column, min_words: int = 3) -> Column:
+    """Column form of the C4 line cleanup: the text with only the
+    surviving lines, newline-joined (for in-pipeline text rewriting —
+    e.g. jobs/curate.py --c4-clean)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(_c4_kept_lines(c, min_words), "\n")
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -408,10 +428,10 @@ def c4_line_filter(
 ) -> DataFrame:
     """C4-style line cleanup: keep only lines with ≥ ``min_words``
     words that end in terminal punctuation, then drop repeated lines
-    within the document (first occurrence wins — ``array_distinct``
-    preserves first-occurrence order). Pure Catalyst array expressions
-    in ONE projection — a scan-level rewrite at any corpus size; the
-    corpus-wide three-sentence-span dedup C4 also does is the separate
+    within the document (first occurrence wins). Pure Catalyst array
+    expressions in ONE projection — a scan-level rewrite at any corpus
+    size; the corpus-wide three-sentence-span dedup C4 also does is
+    the separate
     :func:`goose_parser_spark.ops.dedup.paragraph_dup_stats` /
     winnowing family.
 
@@ -419,16 +439,11 @@ def c4_line_filter(
     post-dedup surviving lines).
     """
     c = F.col(text_col)
-    lines = F.split(c, "\n")
-    words = lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != ""))
-    kept = F.filter(
-        lines,
-        lambda l: (words(l) >= min_words) & l.rlike(_C4_TERMINAL_RE))
-    deduped = F.array_distinct(kept)
+    deduped = _c4_kept_lines(c, min_words)
     return df.select(
         F.col(id_col),
         F.array_join(deduped, "\n").alias("clean"),
-        F.size(lines).alias("n_lines"),
+        F.size(F.split(c, "\n")).alias("n_lines"),
         F.size(deduped).alias("n_kept"))
 
 

@@ -18,6 +18,9 @@ the semantics require (exact-dedup hash-agg; shard window)::
 Stages (each optional, in this order — the order a real recipe uses):
 
 1. ``--clean``        control-char / whitespace cleanup (map-only)
+1b. ``--c4-clean``    C4 line rules (terminal punctuation, ≥3 words,
+                      in-doc line dedup; docs with no surviving line
+                      drop) (map-only)
 2. ``--redact-pii``   email/IP/phone scrubbing (map-only)
 3. ``--min-quality``  heuristic quality-score filter (map-only)
 4. ``--mixture``      per-source md5-threshold sampling (map-only;
@@ -77,6 +80,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--format", default="parquet")
     p.add_argument("--clean", action="store_true",
                    help="control-char/whitespace cleanup")
+    p.add_argument("--c4-clean", action="store_true",
+                   help="C4 line rules: keep >=3-word terminal-"
+                        "punctuation lines, dedup lines in-doc, drop "
+                        "docs with no surviving line")
     p.add_argument("--redact-pii", action="store_true",
                    help="scrub emails/IPs/phone numbers")
     p.add_argument("--min-quality", type=float, default=None,
@@ -114,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
     from goose_parser_spark.ops.sampling import (
         assign_shards, hash_split, stratified_sample_by_hash)
     from goose_parser_spark.ops.textstats import (
-        clean_text, quality_score, redact_pii)
+        c4_clean_text, clean_text, quality_score, redact_pii)
 
     docs = spark.read.format(args.input_format).load(args.input)
     # rows_in via an Observation on the scan itself — the metric is
@@ -127,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.clean:
         docs = docs.withColumn("text", clean_text("text"))
+    if args.c4_clean:
+        docs = (docs.withColumn("text", c4_clean_text("text"))
+                .where(F.col("text") != ""))
     if args.redact_pii:
         docs = docs.withColumn("text", redact_pii("text"))
     if args.min_quality is not None:

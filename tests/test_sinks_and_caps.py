@@ -243,3 +243,48 @@ def test_spark_submit_curate_cli_near_dedup_mixture(tmp_path):
     assert 50 not in ids and 60 not in ids and 0 in ids
     assert all("@" not in t for _, t in got)        # PII redacted
     assert any("<EMAIL>" in t for _, t in got)
+
+
+def test_spark_submit_curate_cli_c4_clean(tmp_path):
+    """jobs/curate.py --c4-clean: C4 line rules rewrite text (short /
+    punctuation-less / duplicate lines drop) and docs left with no
+    surviving line are removed."""
+    import glob
+    import shutil
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from goose_parser_spark.deploy import build_package_zip
+
+    good = ("This line survives the cleanup pass.\n"
+            "short one\n"
+            "This line survives the cleanup pass.\n"
+            "Another proper sentence stays too!")
+    rows = [
+        {"doc_id": 0, "source": "srcA", "text": good},
+        {"doc_id": 1, "source": "srcA", "text": "no punct no luck"},
+        {"doc_id": 2, "source": "srcA", "text": "ok.\nalso ok."},  # <3 words
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out_dir = str(tmp_path / "curated")
+    zip_path = build_package_zip(str(tmp_path))
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "jobs/curate.py", "--input", str(tmp_path / "documents.parquet"),
+         "--output", out_dir, "--c4-clean"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 3
+    assert summary["rows_out"] == 1
+    import duckdb
+    got = duckdb.sql(
+        f"select doc_id, text from read_parquet('{out_dir}/*.parquet')"
+    ).fetchall()
+    assert got == [(0, "This line survives the cleanup pass.\n"
+                       "Another proper sentence stays too!")]
