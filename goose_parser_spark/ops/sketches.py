@@ -99,44 +99,48 @@ def count_min_query(
 # HyperLogLog
 # --------------------------------------------------------------------------
 
-def hll_build(
-    df: DataFrame,
-    item_col: str,
-    group_cols: list[str] | None = None,
-    p: int = 9,
-) -> DataFrame:
-    """HLL registers per group: ``(group..., bucket, rho)`` with
-    ``bucket`` = top ``p`` bits of the 60-bit md5 hash and ``rho`` =
-    1 + leading-zero count of the remaining ``60-p`` bits (capped at
-    61-p for the all-zeros hash). ≤ 2^p rows per group — one narrow
-    groupBy(max), mergeable by max."""
+def hll_bucket_rho(item: Column, p: int = 9) -> tuple[Column, Column]:
+    """Per-item HLL register coordinates as pure Catalyst columns:
+    ``bucket`` = top ``p`` bits of the 60-bit md5 hash, ``rho`` = 1 +
+    leading-zero count of the remaining ``60-p`` bits (capped for the
+    all-zeros tail). Shared by the batch :func:`hll_build` and the
+    streaming windowed-distinct aggregation
+    (streaming/ingest.stream_distinct_hll)."""
     if not 4 <= p <= 16:
         raise ValueError("p must be in 4..16")
-    group_cols = group_cols or []
-    h = _md5_long(F.col(item_col), "#hll")
+    h = _md5_long(item, "#hll")
     tail_bits = 60 - p
     bucket = F.shiftrightunsigned(h, tail_bits)
     tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
-    # rho = tail_bits - floor(log2(tail)) for tail > 0; else
-    # tail_bits + 1. floor(log2) via the bit length of the tail:
-    # log2 on doubles is exact for values < 2^53? tail < 2^51 here
-    # (p ≥ 9) — but ULP near powers of two can still flip floor, so
-    # compute bit length arithmetically: 60-bit values need at most
-    # 6 halvings... instead use a portable comparison ladder.
     # rho = (number of leading zeros in tail_bits-wide tail) + 1
     #     = tail_bits - bitlen(tail) + 1 for tail > 0.
-    # Build the bitlen comparison ladder with the LARGEST threshold as
-    # the outermost when (ascending k wraps each previous expression),
-    # so evaluation checks 2^(tail_bits-1) first — wrapping descending
-    # would make `tail >= 1 → 1` the first test and every bitlen 1.
+    # bitlen via a comparison ladder, NOT floor(log2(..)): log2 of an
+    # exact power of two can land a hair below the integer in one
+    # engine and flip the floor. Build the ladder with the LARGEST
+    # threshold as the outermost when (ascending k wraps each previous
+    # expression) — wrapping descending would make `tail >= 1 → 1` the
+    # first test and every bitlen 1.
     bitlen = F.lit(0)
     for k in range(1, tail_bits + 1):
         bitlen = F.when(tail >= F.lit(1 << (k - 1)),
                         F.lit(k)).otherwise(bitlen)
     rho = F.when(tail > 0, F.lit(tail_bits) - bitlen + 1) \
            .otherwise(F.lit(tail_bits + 1))
+    return bucket, rho.cast("int")
+
+
+def hll_build(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 9,
+) -> DataFrame:
+    """HLL registers per group: ``(group..., bucket, rho)`` — ≤ 2^p
+    rows per group, one narrow groupBy(max), mergeable by max."""
+    group_cols = group_cols or []
+    bucket, rho = hll_bucket_rho(F.col(item_col), p)
     return (df.select(*group_cols, bucket.alias("bucket"),
-                      rho.cast("int").alias("_rho"))
+                      rho.alias("_rho"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("_rho").alias("rho")))
 

@@ -418,3 +418,60 @@ def compact_admitted(
                          bands=bands, text_col=text_col, id_col=id_col)
      .write.mode("append").parquet(index_dir))
     return n_new
+
+
+def stream_distinct_hll(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    ts_col: str = "ts",
+    item_col: str = "url",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    p: int = 9,
+    available_now: bool = True,
+):
+    """Windowed distinct-count SKETCHING on a stream: per tumbling
+    window, maintain the HyperLogLog registers of the item column
+    (the streaming "distinct urls per window" question a crawl
+    monitor asks — an exact streaming countDistinct would hold every
+    item in state; the registers hold ≤ 2^p ints per window
+    regardless of stream volume, and the watermark bounds how many
+    windows are open).
+
+    One watermarked aggregation — ``max(rho)`` per (window, bucket) —
+    finalized exactly once per register in append mode. The emitted
+    rows ARE the sketch: estimate with
+    ``ops.sketches.hll_estimate(registers, group_cols=["window_start",
+    "window_end"])``, or union/merge across streams and days by
+    ``max(rho)`` first (registers are mergeable; the estimate is not).
+
+    Columns: ``window_start, window_end, bucket, rho``.
+    """
+    from pyspark.sql import functions as F
+
+    from goose_parser_spark.ops.sketches import hll_bucket_rho
+
+    events = (spark.readStream.schema(schema).format("parquet")
+              .load(input_dir))
+    bucket, rho = hll_bucket_rho(F.col(item_col), p)
+    agg = (events
+           .withWatermark(ts_col, watermark)
+           .select(F.col(ts_col), bucket.alias("bucket"),
+                   rho.alias("_rho"))
+           .groupBy(F.window(F.col(ts_col), window_duration),
+                    F.col("bucket"))
+           .agg(F.max("_rho").alias("rho"))
+           .select(F.col("window.start").alias("window_start"),
+                   F.col("window.end").alias("window_end"),
+                   F.col("bucket"), F.col("rho")))
+    writer = (agg.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -349,3 +349,61 @@ def test_compact_admitted_roundtrip(spark, tmp_path):
     q.awaitTermination()
     assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} \
         == {10}                     # 20 rejected against compacted index
+
+
+def test_stream_distinct_hll_windowed(spark, tmp_path):
+    """Windowed HLL distinct sketching: per-window registers match the
+    batch hll_build over the same window's items exactly (same md5
+    register function), the estimate tracks the true distinct count,
+    and the open window is held back in append mode."""
+    from goose_parser_spark.ops.sketches import hll_build, hll_estimate
+    from goose_parser_spark.streaming.ingest import stream_distinct_hll
+    import datetime as dt
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    evs = []
+    # window [12:00,12:05): urls u0..u39 with repeats; [12:05,12:10):
+    # u100..u119; a 12:30 event advances the watermark past both
+    for i in range(80):
+        evs.append({"ts": base + dt.timedelta(seconds=i),
+                    "url": f"u{i % 40}"})
+    for i in range(20):
+        evs.append({"ts": base + dt.timedelta(minutes=5, seconds=i),
+                    "url": f"u{100 + i}"})
+    evs.append({"ts": base + dt.timedelta(minutes=30), "url": "late-open"})
+    table = pa.Table.from_pylist(evs, schema=pa.schema([
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("url", pa.string()),
+    ]))
+    pq.write_table(table, str(in_dir / "b0.parquet"))
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+    schema = StructType([StructField("ts", TimestampType(), True),
+                         StructField("url", StringType(), True)])
+    out_dir = str(tmp_path / "out")
+    q = stream_distinct_hll(spark, str(in_dir), out_dir,
+                            str(tmp_path / "ckpt"), schema)
+    q.awaitTermination()
+    regs = spark.read.parquet(out_dir)
+    # only the two closed windows emitted
+    starts = {r["window_start"].minute for r in
+              regs.select("window_start").distinct().collect()}
+    assert starts == {0, 5}
+    # registers equal the batch build over the same items
+    from pyspark.sql import functions as F
+    w0_items = spark.createDataFrame([(f"u{i}",) for i in range(40)],
+                                     "url string")
+    batch_regs = sorted(tuple(r) for r in
+                        hll_build(w0_items, "url", p=9).collect())
+    stream_regs = sorted(
+        (r["bucket"], r["rho"]) for r in
+        regs.where(F.col("window_start") ==
+                   dt.datetime(2025, 1, 1, 12, 0, 0)).collect())
+    assert stream_regs == batch_regs
+    # estimates in the linear-counting regime are near-exact
+    est = {r["window_start"].minute: r["distinct_est"] for r in
+           hll_estimate(regs, group_cols=["window_start", "window_end"],
+                        p=9).collect()}
+    assert abs(est[0] - 40) <= 3 and abs(est[5] - 20) <= 2
