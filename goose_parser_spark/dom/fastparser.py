@@ -36,6 +36,8 @@ from html import unescape
 
 from goose_parser_spark.dom.parser import (
     Element,
+    IMPLIED_END,
+    P_CLOSERS,
     VOID_ELEMENTS,
     _TreeBuilder,
     _ensure_document_structure,
@@ -93,6 +95,12 @@ _RAWTEXT = {
 }
 
 
+# start tags that can imply an end tag / tbody insertion — everything
+# else skips the _imply_ends_for/_maybe_insert_tbody calls entirely
+# (their bodies would no-op; the call frames were ~6% of parse time)
+_IMPLIERS = frozenset(P_CLOSERS) | frozenset(IMPLIED_END)
+
+
 class _FastBuilder(_TreeBuilder):
     """Reuses every recovery rule from _TreeBuilder; only the
     HTMLParser-driven feed() machinery is bypassed."""
@@ -106,8 +114,10 @@ class _FastBuilder(_TreeBuilder):
         (``<a href=http://x.com/>`` keeps the slash in href and is a
         normal start tag; ``<br/>`` / ``<a href="x"/>`` self-close).
         """
-        self._imply_ends_for(tag)
-        self._maybe_insert_tbody(tag)
+        if tag in _IMPLIERS:  # most tags imply nothing: skip the frames
+            self._imply_ends_for(tag)
+            if tag == "tr":
+                self._maybe_insert_tbody(tag)
         attrs: dict[str, str] = {}
         self_closing = False
         if attr_str and not attr_str.isspace():

@@ -71,6 +71,11 @@ class Compound:
     attrs: list[tuple[str, str | None, str | None]] = field(default_factory=list)
     pseudos: list[tuple[str, object]] = field(default_factory=list)      # per-element
     positional: list[tuple[str, object]] = field(default_factory=list)   # result-set
+    # tag/class-only compound (finalized in Complex.__post_init__):
+    # `.cls` / `tag` / `tag.cls` / `*` — the index pool IS (or needs
+    # only a tag check to be) the exact match set, so select_indexed
+    # skips _matches_compound entirely for these (the hot-path shapes)
+    simple: bool = False
 
     def is_empty(self) -> bool:
         return (self.tag is None and not self.universal and not self.ids
@@ -91,6 +96,9 @@ class Complex:
     def __post_init__(self) -> None:
         self.inner_positional = any(
             comp.positional for _, comp in self.steps[:-1])
+        for _, comp in self.steps:
+            comp.simple = not (comp.ids or comp.attrs or comp.pseudos
+                               or comp.positional) and len(comp.classes) <= 1
 
 
 @dataclass
@@ -500,6 +508,36 @@ def _gather(nodes: list[Element], combinator: str) -> list[Element]:
 # Indexed (right-to-left) evaluation — the hot path
 # --------------------------------------------------------------------------
 
+_EMPTY: list[Element] = []
+
+
+def index_keys(selector: "Selector | str") -> tuple[set[str], set[str],
+                                                    set[str]]:
+    """(tags, classes, ids) a selector can ever look up in a DocIndex
+    — the per-selector contribution to DocIndex's ``universe``.
+    Includes every compound (only rightmost compounds hit the index
+    today, but the full set costs nothing and is future-proof) and
+    recurses into :not()/:has() argument selectors."""
+    if isinstance(selector, str):
+        selector = parse_selector(selector)
+    tags: set[str] = set()
+    classes: set[str] = set()
+    ids: set[str] = set()
+    for alt in selector.alternatives:
+        for _comb, comp in alt.steps:
+            if comp.tag is not None:
+                tags.add(comp.tag)
+            classes.update(comp.classes)
+            ids.update(comp.ids)
+            for _name, arg in comp.pseudos:
+                if isinstance(arg, Selector):
+                    t2, c2, i2 = index_keys(arg)
+                    tags |= t2
+                    classes |= c2
+                    ids |= i2
+    return tags, classes, ids
+
+
 class DocIndex:
     """Per-document element index: one pre-order walk builds tag/class/
     id maps, then each selector fetches candidates for its RIGHTMOST
@@ -510,9 +548,21 @@ class DocIndex:
     __slots__ = ("root", "all", "by_tag", "by_class", "by_id")
 
     def __init__(self, root: Element,
-                 elements: list[Element] | None = None) -> None:
+                 elements: list[Element] | None = None,
+                 universe: tuple[frozenset[str], frozenset[str],
+                                 frozenset[str]] | None = None) -> None:
         """``elements`` may supply the document-order element list the
-        parser already produced (parse_document), skipping the walk."""
+        parser already produced (parse_document), skipping the walk.
+
+        ``universe`` — optional ``(tags, classes, ids)`` restriction:
+        only keys the caller's selectors can ever look up are indexed
+        (compiled rule trees reference a handful of names; real pages
+        carry hundreds of distinct classes, so unrestricted indexing
+        spends most of its time on entries nobody will read). A
+        compound whose key falls outside the universe would read an
+        empty pool — callers must pass the FULL key set of every
+        selector they will evaluate (rules_index_universe() /
+        index_keys() compute it)."""
         self.root = root
         self.all = elements if elements is not None \
             else list(root.iter_elements())
@@ -520,6 +570,27 @@ class DocIndex:
         self.by_class: dict[str, list[Element]] = {}
         self.by_id: dict[str, list[Element]] = {}
         by_tag, by_class, by_id = self.by_tag, self.by_class, self.by_id
+        if universe is not None:
+            w_tags, w_classes, w_ids = universe
+            for el in self.all:
+                tag = el.tag
+                if tag in w_tags:
+                    by_tag.setdefault(tag, []).append(el)
+                attrs = el.attrs
+                cval = attrs.get("class")
+                if cval is not None and cval:
+                    cl = el.classes()
+                    if len(cl) == 1:
+                        if cl[0] in w_classes:
+                            by_class.setdefault(cl[0], []).append(el)
+                    else:
+                        for cls in dict.fromkeys(cl):
+                            if cls in w_classes:
+                                by_class.setdefault(cls, []).append(el)
+                el_id = attrs.get("id")
+                if el_id is not None and el_id in w_ids:
+                    by_id.setdefault(el_id, []).append(el)
+            return
         for el in self.all:
             by_tag.setdefault(el.tag, []).append(el)
             attrs = el.attrs
@@ -535,6 +606,30 @@ class DocIndex:
             el_id = attrs.get("id")
             if el_id is not None:
                 by_id.setdefault(el_id, []).append(el)
+
+    def candidates_simple(self, comp: Compound) -> list[Element] | None:
+        """Exact match list for a ``simple`` compound against the whole
+        document, or None when the shape needs the generic path. The
+        index pools are doc-ordered and duplicate-free, so for
+        ``.cls`` / ``tag`` / ``*`` the pool IS the answer and
+        ``tag.cls`` needs only a tag check — no per-element
+        _matches_compound, no chain walk."""
+        tag = comp.tag
+        cls = comp.classes
+        if cls:
+            pool = self.by_class.get(cls[0], _EMPTY)
+            if tag is None:
+                return pool
+            pool_t = self.by_tag.get(tag, _EMPTY)
+            if len(pool) <= len(pool_t):
+                return [el for el in pool if el.tag == tag]
+            c0 = cls[0]
+            return [el for el in pool_t if c0 in el.classes()]
+        if tag is not None:
+            return self.by_tag.get(tag, _EMPTY)
+        if comp.universal:
+            return self.all
+        return None
 
     def candidates(self, comp: Compound) -> list[Element]:
         """Smallest indexed candidate list for a compound (doc order)."""
@@ -621,10 +716,34 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
     if isinstance(selector, str):
         selector = parse_selector(selector)
     roots = [context] if isinstance(context, Element) else list(context)
-    ctx_orders = {e.order for e in roots}
     ctx_is_root = len(roots) == 1 and roots[0] is index.root
 
-    single = len(selector.alternatives) == 1
+    alternatives = selector.alternatives
+    single = len(alternatives) == 1
+    if single and len(roots) == 1:
+        # hot path: one alternative, one tag/class-only compound, one
+        # context node ('div.product', 'h1.title', …, the overwhelming
+        # shape in rule trees) — the index pool is the exact match set;
+        # skip _matches_compound and the chain-walk frames. Non-root
+        # contexts add only an ancestor check per pool element.
+        steps = alternatives[0].steps
+        if len(steps) == 1 and steps[0][0] == " " and steps[0][1].simple:
+            fast = index.candidates_simple(steps[0][1])
+            if fast is not None:
+                if ctx_is_root:
+                    return fast
+                ctx = roots[0]
+                out = []
+                for el in fast:
+                    p = el.parent
+                    while p is not None:
+                        if p is ctx:
+                            out.append(el)
+                            break
+                        p = p.parent
+                return out
+
+    ctx_orders = {e.order for e in roots}
     seen: set[int] = set()
     results: list[Element] = []
     for alt in selector.alternatives:

@@ -256,8 +256,10 @@ def extract_many(
         import pyarrow as pa
         import pyarrow.compute as pc
         from goose_parser_spark.rules.evaluator import (
-            _DocContext, evaluate_branches)
+            _DocContext, _union_universe, evaluate_branches)
         from goose_parser_spark.dom.parser import parse_document
+
+        universe = _union_universe(compiled.values())
 
         for batch in batches:
             cols = batch.schema.names
@@ -289,7 +291,7 @@ def extract_many(
                     if raw is None:
                         raise ValueError("html is NULL")
                     root, elements = parse_document(raw)
-                    doc = _DocContext(root, elements)
+                    doc = _DocContext(root, elements, universe=universe)
                     row: dict[str, object] = {}
                     for name in names_in_order:
                         try:

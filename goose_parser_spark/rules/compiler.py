@@ -108,6 +108,41 @@ class CompiledRules:
     schema: DataType                # FINAL type of the `extracted` column
     source: dict                    # normalized original spec (for lineage)
     udf_schema: DataType | None = None   # type the UDF emits pre-lowering
+    # cached (tags, classes, ids) key universe of every selector in
+    # the tree — lets DocIndex skip indexing names no rule references
+    _index_universe: tuple[frozenset, frozenset, frozenset] | None = None
+
+    def index_universe(self) -> tuple[frozenset, frozenset, frozenset]:
+        """Union of index_keys() over every selector anywhere in the
+        compiled tree (scopes, parentScopes, branch guards). Computed
+        once per compiled spec; selectors are immutable post-parse."""
+        if self._index_universe is None:
+            from goose_parser_spark.dom.selector import index_keys
+            tags: set[str] = set()
+            classes: set[str] = set()
+            ids: set[str] = set()
+
+            def add(sel) -> None:
+                if sel is None:
+                    return
+                t, c, i = index_keys(sel)
+                tags.update(t)
+                classes.update(c)
+                ids.update(i)
+
+            def walk(r: CompiledRule) -> None:
+                add(r.scope)
+                add(r.parent_scope)
+                for ch in r.children:
+                    walk(ch)
+
+            for b in self.branches:
+                for g in b.guards:
+                    add(g)
+                walk(b.rules)
+            self._index_universe = (frozenset(tags), frozenset(classes),
+                                    frozenset(ids))
+        return self._index_universe
 
     @property
     def spark_field(self) -> StructField:

@@ -43,9 +43,10 @@ class _DocContext:
 
     def __init__(self, root: Element,
                  elements: list[Element] | None = None,
-                 skip_lowered: bool = False) -> None:
+                 skip_lowered: bool = False,
+                 universe: tuple | None = None) -> None:
         self.root = root
-        self.index = DocIndex(root, elements)
+        self.index = DocIndex(root, elements, universe=universe)
         self._cache: dict[tuple[int, ...], list[Element]] = {}
         # True inside the Spark UDF when the chain's native-safe suffix
         # runs post-UDF as Column expressions (functions/native.py);
@@ -159,9 +160,24 @@ def evaluate_document_many(
     once. Full Python transform chains (no native lowering — the
     per-tree schemas stay self-contained)."""
     root, elements = parse_document(html)
-    doc = _DocContext(root, elements)
+    universe = _union_universe(compiled_by_name.values())
+    doc = _DocContext(root, elements, universe=universe)
     return {name: evaluate_branches(c.branches, doc)
             for name, c in compiled_by_name.items()}
+
+
+def _union_universe(compiled_trees) -> tuple:
+    """Union the per-tree index universes (multi-tenant: the shared
+    per-document index must cover every tenant's selectors)."""
+    tags: frozenset = frozenset()
+    classes: frozenset = frozenset()
+    ids: frozenset = frozenset()
+    for c in compiled_trees:
+        t, cl, i = c.index_universe()
+        tags |= t
+        classes |= cl
+        ids |= i
+    return tags, classes, ids
 
 
 def evaluate_document(compiled: CompiledRules, html: str | bytes,
@@ -174,5 +190,6 @@ def evaluate_document(compiled: CompiledRules, html: str | bytes,
     post-UDF); ``None`` if no conditional branch matched.
     """
     root, elements = parse_document(html)
-    doc = _DocContext(root, elements, skip_lowered=skip_lowered)
+    doc = _DocContext(root, elements, skip_lowered=skip_lowered,
+                      universe=compiled.index_universe())
     return evaluate_branches(compiled.branches, doc)

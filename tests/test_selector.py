@@ -221,3 +221,67 @@ def test_indexed_property_random_doms(html, tag, cls):
     idx = DocIndex(root)
     assert [e.order for e in select_indexed(idx, root, sel)] == \
         [e.order for e in select(root, sel)]
+
+
+# --- universe-restricted DocIndex -------------------------------------------
+
+from goose_parser_spark.dom.selector import index_keys
+
+
+def test_index_keys_collects_all_compounds_and_inner_selectors():
+    t, c, i = index_keys("div#main p.a.first, span.b > em")
+    assert t == {"div", "p", "span", "em"}
+    assert c == {"a", "first", "b"}
+    assert i == {"main"}
+    # :not()/:has() argument selectors contribute their keys too
+    t, c, i = index_keys("li:not(.mid):has(a.ext)")
+    assert t == {"li", "a"}
+    assert c == {"mid", "ext"}
+
+
+@pytest.mark.parametrize("sel", _ALL_SELECTORS)
+def test_universe_restricted_index_matches_unrestricted(sel):
+    """A DocIndex built with exactly the selector's key universe must
+    answer that selector identically to a full index."""
+    keys = index_keys(sel)
+    universe = tuple(frozenset(k) for k in keys)
+    full = DocIndex(DOC)
+    restricted = DocIndex(DOC, universe=universe)
+    assert [e.order for e in select_indexed(restricted, DOC, sel)] == \
+        [e.order for e in select_indexed(full, DOC, sel)], sel
+
+
+def test_compiled_rules_universe_drives_identical_extraction():
+    """evaluate_document (which indexes only the compiled tree's key
+    universe) must agree with an unrestricted-index evaluation."""
+    from goose_parser_spark.rules.compiler import RuleCompiler
+    from goose_parser_spark.rules.evaluator import (
+        _DocContext, evaluate_branches, evaluate_document)
+    from goose_parser_spark.dom.parser import parse_document
+
+    rules = {
+        "scope": "div#main",
+        "collection": [
+            {"name": "first", "scope": "p.first"},
+            {"name": "items", "scope": "ul li", "type": "array"},
+            {"name": "links", "scope": "a[href]", "type": "array",
+             "attr": "href"},
+        ],
+    }
+    html = """<html><body><div id="main">
+      <p class="first irrelevant-class">hello</p>
+      <ul><li>a</li><li class="unused">b</li></ul>
+      <a href="/x" class="ext">x</a><a href="/y">y</a>
+      <div class="noise"><span class="alsonoise">z</span></div>
+    </div></body></html>"""
+    compiled = RuleCompiler().compile(rules)
+    uni = compiled.index_universe()
+    # names no selector mentions stay out of the index universe
+    assert "noise" not in uni[1] and "irrelevant-class" not in uni[1]
+    got = evaluate_document(compiled, html)
+    root, elements = parse_document(html)
+    unrestricted = evaluate_branches(
+        compiled.branches, _DocContext(root, elements))
+    assert got == unrestricted
+    assert got["items"] == ["a", "b"]
+    assert got["links"] == ["/x", "/y"]
