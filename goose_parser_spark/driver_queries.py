@@ -566,6 +566,73 @@ GROUP BY doc_id
 """
 
 
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line corpus for the line-dedup query (testdata text is
+    single-line): each doc gets a nav line shared across its source
+    group, its (copy-amplified, hence ≥_AMP-duplicated) base text, a
+    PAIR line shared by exactly 2 docs, a blank line, a QUAD line
+    shared by 4 docs, and a unique DOC line. Every 97th doc is ONLY
+    its nav line — all lines banned, exercising empty-doc
+    preservation. Mirrored by the SQL ``lined`` CTE."""
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    full = F.concat_ws(
+        "\n",
+        F.concat(F.lit("NAV "), F.col("source")),
+        F.col("text"),
+        F.concat(F.lit("PAIR-"), F.expr("CAST(doc_id DIV 2 AS STRING)")),
+        F.lit(""),
+        F.concat(F.lit("QUAD-"), F.expr("CAST(doc_id DIV 4 AS STRING)")),
+        F.concat(F.lit("DOC-"), d.cast("string")),
+    )
+    nav_only = F.concat(F.lit("NAV "), F.col("source"))
+    return base.select(
+        "doc_id",
+        F.when(d % 97 == 0, nav_only).otherwise(full).alias("text"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet line-level corpus dedup: REMOVE every non-blank
+    line occurring in ≥3 distinct documents, reassemble survivors in
+    order (ops/dedup.py line_corpus_dedup). Narrow stages only: the
+    line-count agg shuffles 8-byte xxhash64 keys, the ban list is an
+    anti-join, reassembly is one shuffle by doc id."""
+    from goose_parser_spark.ops.dedup import line_corpus_dedup
+    return line_corpus_dedup(_lined_docs(spark, sf_dir), min_dup_docs=3)
+
+
+SQL_LINE_DEDUP = f"""
+WITH {_SQL_DOCS_AMP_COPY}, lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'NAV ' || source
+              ELSE 'NAV ' || source || chr(10) ||
+                   text || chr(10) ||
+                   'PAIR-' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+                   chr(10) ||
+                   'QUAD-' || CAST(doc_id // 4 AS VARCHAR) || chr(10) ||
+                   'DOC-' || CAST(doc_id AS VARCHAR)
+         END AS text
+  FROM docs_amp
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined
+), lx AS (
+  SELECT doc_id, pos, arr[pos] AS line
+  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM ls)
+), banned AS (
+  SELECT line FROM lx WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT d.doc_id,
+       coalesce(k.text, '') AS text
+FROM (SELECT DISTINCT doc_id FROM lined) d
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM lx WHERE line NOT IN (SELECT line FROM banned)
+  GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, OR-amplified LSH blocking
     (the shipped scale path: 4 independent bucket tables, a pair is
@@ -2547,7 +2614,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
-    "dedup_paragraphs": q_dedup_paragraphs,
+    "line_dedup": q_line_dedup,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic_keep": q_dedup_semantic_keep,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -2592,6 +2659,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "dedup_paragraphs": q_dedup_paragraphs,
     "domain_quality": q_domain_quality,
     "chunk_documents": q_chunk_documents,
     "text_subword_count": q_text_subword_count,
@@ -2644,6 +2712,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "line_dedup": SQL_LINE_DEDUP,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "simsearch_lsh": SQL_SIMSEARCH_LSH,

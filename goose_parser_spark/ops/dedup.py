@@ -175,6 +175,63 @@ def paragraph_dup_stats(
             .select(id_col, "n_units", "n_dup_units", "dup_ratio"))
 
 
+def line_corpus_dedup(
+    df: DataFrame,
+    min_dup_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line dedup (the RefinedWeb/CCNet pass — public
+    knowledge: lines repeated across many pages are boilerplate —
+    nav bars, cookie banners, footers — and get REMOVED from every
+    document, not just flagged): drop each non-blank line that occurs
+    in ≥ ``min_dup_docs`` distinct documents, reassemble the surviving
+    lines in original order.
+
+    Plan (three narrow stages, no corpus-sized build side anywhere):
+    posexplode lines → global hash-agg of ``approx? no — exact``
+    distinct-doc counts keyed on ``xxhash64(line)`` (8-byte shuffle
+    rows, never the line text) → left-anti join the exploded lines
+    against the banned-key set → per-doc ordered reassembly
+    (``sort_array(collect_list(struct(pos, line)))`` — one shuffle by
+    doc id). Blank/whitespace-only lines are structural, never counted
+    and never removed. The banned set is bounded by the number of
+    DISTINCT lines crossing the threshold (boilerplate vocabulary ≪
+    corpus); no broadcast hint — AQE decides.
+
+    Documents are preserved even when every line is banned (empty
+    string) — downstream length filters decide their fate explicitly.
+
+    Columns: ``doc_id, text``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    key = F.xxhash64(F.col("line"))
+    banned = (lines
+              .where(F.trim(F.col("line")) != "")
+              .groupBy(key.alias("k"))
+              .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+              .where(F.col("nd") >= min_dup_docs)
+              .select("k"))
+    kept = (lines
+            .withColumn("k", key)
+            .join(banned, on="k", how="left_anti"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
+                       lambda s: s["line"]),
+                   "\n").alias(text_col)))
+    # a doc whose every line was banned has no surviving rows to group
+    # — re-attach it with empty text (id-only projection, narrow join)
+    return (df.select(id_col).join(rebuilt, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+
+
 def minhash_signature(
     df: DataFrame,
     n: int = 3,

@@ -163,3 +163,41 @@ def test_phash_hamming_pairs_planted_bits(spark):
                 assert got.get((a, b)) == H[key], (a, b, key)
             else:
                 assert (a, b) not in got, (a, b, key)
+
+
+def test_line_corpus_dedup_semantics(spark):
+    """Banned = non-blank lines in >= K distinct docs; blank lines are
+    structural (never counted, never removed); a fully-banned doc
+    survives with empty text; line order is preserved."""
+    from goose_parser_spark.ops.dedup import line_corpus_dedup
+    rows = [
+        (1, "SHARED\nunique one\n\nalso unique"),
+        (2, "SHARED\nunique two"),
+        (3, "SHARED\nunique three"),
+        (4, "SHARED"),                  # every line banned -> ""
+        (5, "  \nPAIRLINE\nzzz"),       # whitespace-only line survives
+        (6, "PAIRLINE\nqqq"),           # PAIRLINE in 2 docs < K=3: kept
+        (7, "SHARED\nSHARED\nmid"),     # self-repetition: one doc still
+    ]                                   # counts once, line stays banned
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in line_corpus_dedup(df, min_dup_docs=3).collect()}
+    assert out[1] == "unique one\n\nalso unique"
+    assert out[2] == "unique two"
+    assert out[3] == "unique three"
+    assert out[4] == ""
+    assert out[5] == "  \nPAIRLINE\nzzz"
+    assert out[6] == "PAIRLINE\nqqq"
+    assert out[7] == "mid"
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_line_corpus_dedup_threshold_counts_distinct_docs(spark):
+    """count_distinct(doc): 5 repetitions inside ONE doc never ban a
+    line, but the same line in K distinct docs does."""
+    from goose_parser_spark.ops.dedup import line_corpus_dedup
+    df = spark.createDataFrame(
+        [(1, "x\nx\nx\nx\nx"), (2, "y"), (3, "z")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in line_corpus_dedup(df, min_dup_docs=2).collect()}
+    assert out[1] == "x\nx\nx\nx\nx"   # 1 distinct doc < 2
