@@ -1483,6 +1483,194 @@ FROM docs_amp WHERE doc_id % 3 = 0
 """
 
 
+def _sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized sitemap corpus: every 10th doc is a sitemap INDEX
+    page (pointer to a sub-sitemap), the rest are urlset pages with
+    two entries — the second entry omits every optional tag. Mirrored
+    by SQL_SITEMAP_PARSE's direct reconstruction."""
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">'),
+        F.lit("<url><loc>https://site.test/p/"), s, F.lit("</loc>"),
+        F.lit("<lastmod>2024-01-"),
+        F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (d % 9).cast("string"), F.lit("</priority></url>"),
+        F.lit("<url><loc>https://site.test/q/"), s,
+        F.lit("</loc></url></urlset>"))
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap>'
+              "<loc>https://site.test/sm/"), s,
+        F.lit(".xml</loc><lastmod>2024-02-02</lastmod>"
+              "</sitemap></sitemapindex>"))
+    return base.select(
+        F.concat(F.lit("https://site.test/sitemap/"), s).alias("url"),
+        F.when(d % 10 == 0, index).otherwise(urlset).alias("html"))
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap/sitemap-index parsing THROUGH the extraction engine
+    (ops/crawl.py sitemap_urls — a compiled rule tree over XML; the
+    crawl scheduler's seed source). Map-only: extract UDF → two inline
+    explodes, no shuffle."""
+    from goose_parser_spark.ops.crawl import sitemap_urls
+    return sitemap_urls(_sitemap_pages(spark, sf_dir))
+
+
+SQL_SITEMAP_PARSE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://site.test/sitemap/' || doc_id AS url, 'url' AS kind,
+       'https://site.test/p/' || doc_id AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           AS lastmod,
+       'daily' AS changefreq,
+       '0.' || CAST(doc_id % 9 AS VARCHAR) AS priority
+FROM docs_amp WHERE doc_id % 10 != 0
+UNION ALL
+SELECT 'https://site.test/sitemap/' || doc_id, 'url',
+       'https://site.test/q/' || doc_id, '', '', ''
+FROM docs_amp WHERE doc_id % 10 != 0
+UNION ALL
+SELECT 'https://site.test/sitemap/' || doc_id, 'sitemap',
+       'https://site.test/sm/' || doc_id || '.xml', '2024-02-02', '', ''
+FROM docs_amp WHERE doc_id % 10 = 0
+"""
+
+
+def q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl CDXJ index-line parsing (ops/crawl.py parse_cdx):
+    'urlkey timestamp {json}' → typed columns, torn lines to NULLs.
+    Scan-level projection — codegen split + get_json_object, no
+    shuffle. The oracle PARSES the same lines independently (DuckDB
+    regexp + JSON functions) — a true differential parse."""
+    from goose_parser_spark.ops.crawl import parse_cdx
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    line = F.concat(
+        F.lit("test,site)/p/"), s,
+        F.lit(" 2024010"), ((d % 9) + 1).cast("string"), F.lit("120000"),
+        F.lit(' {"url": "https://site.test/p/'), s,
+        F.lit('", "mime": "text/html", "status": "'),
+        F.when(d % 50 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.lit('", "digest": "sha1:'), s,
+        F.lit('", "length": "'), ((d * 13) % 90000 + 200).cast("string"),
+        F.lit('", "offset": "'), ((d * 7919) % 1000000).cast("string"),
+        F.lit('", "filename": "crawl-'), (d % 100).cast("string"),
+        F.lit('.warc.gz"}'))
+    line = F.when(d % 97 == 13, F.lit("torn 1234 notjson")).otherwise(line)
+    return parse_cdx(base.select(line.alias("line")))
+
+
+SQL_CDX_PARSE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, lines AS (
+  SELECT CASE WHEN doc_id % 97 = 13 THEN 'torn 1234 notjson'
+         ELSE 'test,site)/p/' || doc_id ||
+              ' 2024010' || CAST(doc_id % 9 + 1 AS VARCHAR) || '120000' ||
+              ' {{"url": "https://site.test/p/' || doc_id ||
+              '", "mime": "text/html", "status": "' ||
+              CASE WHEN doc_id % 50 = 0 THEN '404' ELSE '200' END ||
+              '", "digest": "sha1:' || doc_id ||
+              '", "length": "' || CAST((doc_id * 13) % 90000 + 200
+                                       AS VARCHAR) ||
+              '", "offset": "' || CAST((doc_id * 7919) % 1000000
+                                       AS VARCHAR) ||
+              '", "filename": "crawl-' || CAST(doc_id % 100 AS VARCHAR) ||
+              '.warc.gz"}}'
+         END AS line
+  FROM docs_amp
+), p AS (
+  SELECT regexp_extract(line, '^(\\S+) (\\S+) (.*)$', 1) AS urlkey,
+         regexp_extract(line, '^(\\S+) (\\S+) (.*)$', 2) AS tss,
+         regexp_extract(line, '^(\\S+) (\\S+) (.*)$', 3) AS j
+  FROM lines
+)
+SELECT urlkey,
+       try_strptime(tss, '%Y%m%d%H%M%S') AS ts,
+       CASE WHEN json_valid(j) THEN j->>'$.url' END AS url,
+       CASE WHEN json_valid(j) THEN j->>'$.mime' END AS mime,
+       CAST(CASE WHEN json_valid(j) THEN j->>'$.status' END AS INT)
+           AS status,
+       CASE WHEN json_valid(j) THEN j->>'$.digest' END AS digest,
+       CAST(CASE WHEN json_valid(j) THEN j->>'$.length' END AS BIGINT)
+           AS length,
+       CAST(CASE WHEN json_valid(j) THEN j->>'$.offset' END AS BIGINT)
+           AS offset,
+       CASE WHEN json_valid(j) THEN j->>'$.filename' END AS filename
+FROM p
+"""
+
+
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose links point at SHARED hub targets (doc_id % 101)
+    with varying anchor text (doc_id % 7), plus a blank-anchor
+    external link — exercises anchor aggregation across many source
+    pages per target."""
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><p class="lnk"><a href="/hub/'),
+        (d % 101).cast("string"),
+        F.lit('">hub '), (d % 7).cast("string"), F.lit("</a></p>"),
+        F.lit('<p class="lnk"><a href="https://ext.test/e/'),
+        (d % 13).cast("string"),
+        F.lit('"> </a></p></body></html>'))
+    return base.select(
+        F.concat(F.lit("https://docs.test/"), s).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target (ops/linkgraph.py
+    anchor_text_stats) fed by REAL engine extraction: link grid →
+    resolve_href → one hash-agg by target. top_anchors is the first 5
+    distinct non-blank anchors lexicographically — bounded per row no
+    matter how popular the target."""
+    from goose_parser_spark.ops.linkgraph import anchor_text_stats
+    from goose_parser_spark.ops.urls import resolve_href
+    pages = _anchor_pages(spark, sf_dir)
+    rules = {"scope": "p.lnk", "collection": [[
+        {"name": "href", "scope": "a", "attr": "href"},
+        {"name": "anchor", "scope": "a"},
+    ]]}
+    links = (extract(pages, rules)
+             .select("url", F.inline("extracted"))
+             .select(F.col("url").alias("src"),
+                     resolve_href(F.col("url"), F.col("href"))
+                     .alias("target"),
+                     "anchor")
+             .where(F.col("target").isNotNull()))
+    return anchor_text_stats(links)
+
+
+SQL_ANCHOR_TEXT = f"""
+WITH {_SQL_DOCS_AMP_COPY}, links AS (
+  SELECT 'https://docs.test/' || doc_id AS src,
+         'https://docs.test/hub/' || (doc_id % 101) AS target,
+         'hub ' || (doc_id % 7) AS anchor
+  FROM docs_amp
+  UNION ALL
+  SELECT 'https://docs.test/' || doc_id,
+         'https://ext.test/e/' || (doc_id % 13), ' '
+  FROM docs_amp
+)
+SELECT target,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
+       coalesce(array_to_string(
+         list_slice(
+           list_sort(list(DISTINCT anchor)
+                     FILTER (trim(anchor) <> '')), 1, 5),
+         ' | '), '') AS top_anchors
+FROM links GROUP BY target
+"""
+
+
 def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length percentiles (p50/p90/p99) — the
     corpus-profile rollup every curation run reports. EXACT percentile
@@ -2631,21 +2819,21 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_percentiles": q_corpus_percentiles,
     "lm_score": q_lm_score,
-    "clean_text": q_clean_text,
     "c4_clean": q_c4_clean,
     "script_stats": q_script_stats,
     "redact_pii": q_redact_pii,
     # -- urls / crawl frontier / link graph --
     "url_ops": q_url_ops,
-    "url_canonicalize": q_url_canonicalize,
     "robots_filter": q_robots_filter,
     "frontier_urls": q_frontier_urls,
     "bloom_frontier": q_bloom_frontier,
     "link_pagerank": q_link_pagerank,
+    "sitemap_parse": q_sitemap_parse,
+    "cdx_parse": q_cdx_parse,
+    "anchor_text": q_anchor_text,
     # -- sampling / packing / sharding --
     "sample_by_hash": q_sample_by_hash,
     "domain_quota": q_domain_quota,
-    "hash_split": q_hash_split,
     "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
     # -- temporal / events --
@@ -2660,6 +2848,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
     "dedup_paragraphs": q_dedup_paragraphs,
+    "clean_text": q_clean_text,
+    "url_canonicalize": q_url_canonicalize,
+    "hash_split": q_hash_split,
     "domain_quality": q_domain_quality,
     "chunk_documents": q_chunk_documents,
     "text_subword_count": q_text_subword_count,
@@ -2713,6 +2904,9 @@ ORACLES: dict[str, str] = {
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "line_dedup": SQL_LINE_DEDUP,
+    "sitemap_parse": SQL_SITEMAP_PARSE,
+    "cdx_parse": SQL_CDX_PARSE,
+    "anchor_text": SQL_ANCHOR_TEXT,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "simsearch_lsh": SQL_SIMSEARCH_LSH,

@@ -86,3 +86,41 @@ def pagerank_int(
                  .localCheckpoint())
     return ranks.select(F.col("node").alias(id_col),
                         F.col("rank").alias("rank_micro"))
+
+
+def anchor_text_stats(
+    links: DataFrame,
+    target_col: str = "target",
+    src_col: str = "src",
+    anchor_col: str = "anchor",
+    top_k: int = 5,
+) -> DataFrame:
+    """Aggregate incoming anchor text per link target — the classic
+    web-corpus relevance/quality signal (anchor text describes the
+    TARGET page better than the target's own boilerplate; public
+    knowledge from web-IR literature and the ClueWeb/MS MARCO anchor
+    corpora).
+
+    Input: one row per extracted link ``(src page, target url, anchor
+    text)`` — the output shape of extraction link grids resolved via
+    :func:`goose_parser_spark.ops.urls.resolve_href`.
+
+    Output: ``target, n_links, n_src_pages, top_anchors`` where
+    ``top_anchors`` is the first ``top_k`` DISTINCT non-empty anchor
+    strings in lexicographic order joined with ``" | "`` —
+    deterministic (no collect-order dependence) and bounded: a URL
+    linked from millions of pages still carries at most ``top_k``
+    strings out of the aggregate, so the row stays narrow no matter
+    how popular the target is.
+
+    One hash-aggregate by target; map-side partial aggregation folds
+    per-partition duplicate anchors before the shuffle. No hints.
+    """
+    nonblank = F.when(F.trim(F.col(anchor_col)) != "", F.col(anchor_col))
+    return (links.groupBy(F.col(target_col).alias("target"))
+            .agg(F.count("*").alias("n_links"),
+                 F.count_distinct(F.col(src_col)).alias("n_src_pages"),
+                 F.array_join(
+                     F.slice(F.sort_array(F.collect_set(nonblank)),
+                             1, top_k),
+                     " | ").alias("top_anchors")))
