@@ -172,16 +172,22 @@ def write_warc_bytes(records: list[dict], gzip_members: bool = True) -> bytes:
     out = io.BytesIO()
     for rec in records:
         payload = rec["payload"]
-        if rec.get("http", True):
+        rtype = rec.get("record_type", "response")
+        # only response records carry an HTTP envelope (WET conversion
+        # records are bare text per the Common Crawl WET spec)
+        if rtype == "response" and rec.get("http", True):
             payload = (b"HTTP/1.1 200 OK\r\nContent-Type: "
                        + rec.get("content_type", "text/html").encode()
                        + b"\r\n\r\n" + payload)
+            rec_ct = "application/http; msgtype=response"
+        else:
+            rec_ct = rec.get("content_type", "text/plain")
         head = (
             f"WARC/1.0\r\n"
-            f"WARC-Type: {rec.get('record_type', 'response')}\r\n"
+            f"WARC-Type: {rtype}\r\n"
             f"WARC-Target-URI: {rec['url']}\r\n"
             f"WARC-Date: {rec['warc_ts']}\r\n"
-            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Type: {rec_ct}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("utf-8")
         body = head + payload + b"\r\n\r\n"
@@ -193,3 +199,21 @@ def write_warc_bytes(records: list[dict], gzip_members: bool = True) -> bytes:
         else:
             out.write(body)
     return out.getvalue()
+
+
+def read_wet(spark: "SparkSession", path: str) -> "DataFrame":
+    """Read WET files (Common Crawl's extracted-text distribution —
+    WARC containers whose ``conversion`` records carry the plain text
+    of each page). Same distributed shape as :func:`read_warc` (one
+    task per file, mapInArrow parse); returns ``url, warc_ts,
+    text (string)`` — the pre-extracted corpus shape, ready for the
+    dedup/quality/curation operators without running the extractor.
+
+    Conversion payloads are UTF-8 text by spec; undecodable bytes are
+    replaced rather than failing the file (crawl data is never clean).
+    """
+    from pyspark.sql import functions as F
+    wet = read_warc(spark, path, record_types=("conversion",))
+    return wet.select(
+        "url", "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("text"))

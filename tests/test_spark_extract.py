@@ -266,3 +266,20 @@ def test_jsonl_pages_roundtrip(spark, tmp_path):
     out = extract(back, {"name": "t", "scope": "h1.t"})
     titles = {r["url"]: r["extracted"]["t"] for r in out.collect()}
     assert titles["https://j.test/3"] == "J 3"
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET (Common Crawl extracted-text distribution) → read_wet:
+    conversion records have NO HTTP envelope; payload decodes straight
+    to the text column."""
+    from goose_parser_spark.sources.warc import read_wet, write_warc_bytes
+    recs = [{"url": f"https://w.test/{i}",
+             "warc_ts": "2024-01-01T00:00:00Z",
+             "record_type": "conversion", "content_type": "text/plain",
+             "payload": f"extracted text {i}\nsecond line".encode()}
+            for i in range(5)]
+    (tmp_path / "f.warc.gz").write_bytes(write_warc_bytes(recs))
+    out = read_wet(spark, str(tmp_path)).orderBy("url").collect()
+    assert len(out) == 5
+    assert out[0]["text"] == "extracted text 0\nsecond line"
+    assert out[0]["url"] == "https://w.test/0"
