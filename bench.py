@@ -381,6 +381,7 @@ def main() -> int:
         "dedup_semantic_keep", "corpus_percentiles",
         "c4_clean", "script_stats", "dsir_sample", "bloom_frontier",
         "link_pagerank", "phash_pairs", "cms_topterms", "hll_cardinality",
+        "line_dedup", "sitemap_parse", "cdx_parse", "anchor_text",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:
