@@ -415,6 +415,59 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+banded-LSH+verify pipeline under a hard value
+    oracle: hash_mode='md5' makes every stage byte-reproducible in
+    DuckDB (fixed-width hex strings — lexicographic min == numeric
+    min, band hash = md5 of the seed-ordered concat). Same algorithm,
+    same plan shape as the xxhash64 production path (which stays
+    rows-only for speed); this variant turns the LSH family's
+    correctness from pytest-only into a driver hash gate."""
+    return minhash_lsh_dedup(
+        _documents_amplified(spark, sf_dir, vary_text=True),
+        n=3, num_hashes=16, bands=8, threshold=0.5, hash_mode="md5")
+
+
+SQL_DEDUP_MINHASH_MD5 = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok)
+), sig AS (
+  SELECT doc_id, r.range AS seed,
+         min(md5(CAST(r.range AS VARCHAR) || ':' || s)) AS h
+  FROM sh CROSS JOIN range(16) r
+  GROUP BY doc_id, r.range
+), banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(h, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 2
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y USING (band, bh)
+  WHERE x.doc_id < y.doc_id
+), sh_d AS (
+  SELECT DISTINCT doc_id, md5(s) AS hs FROM sh
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh_d a ON a.doc_id = c.doc_a
+  JOIN sh_d b ON b.doc_id = c.doc_b AND b.hs = a.hs
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1.0 / (ca.n_sh + cb.n_sh - i.i), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE round(i.i * 1.0 / (ca.n_sh + cb.n_sh - i.i), 6) >= 0.5
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only driver check; hamming-pair
     semantics pytest-validated)."""
@@ -2805,7 +2858,7 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic_keep": q_dedup_semantic_keep,
-    "winnow_fingerprints": q_winnow_fingerprints,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
     "contamination": q_contamination,
     "text_repetition": q_text_repetition,
     "phash_pairs": q_phash_pairs,
@@ -2848,6 +2901,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
     "dedup_paragraphs": q_dedup_paragraphs,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "clean_text": q_clean_text,
     "url_canonicalize": q_url_canonicalize,
     "hash_split": q_hash_split,
@@ -2931,6 +2985,7 @@ ORACLES: dict[str, str] = {
     "sample_by_hash": SQL_SAMPLE_BY_HASH,
     "domain_quota": SQL_DOMAIN_QUOTA,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "text_repetition": SQL_TEXT_REPETITION,
     "extract_links": SQL_EXTRACT_LINKS,
     "robots_filter": SQL_ROBOTS_FILTER,

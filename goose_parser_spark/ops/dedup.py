@@ -232,12 +232,35 @@ def line_corpus_dedup(
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
 
 
+def _seeded_hash(col: Column, seed: int, hash_mode: str) -> Column:
+    """Seeded hash used by the minhash family. ``xxhash64`` (default):
+    64-bit long, JVM-side, the production scale path. ``md5``: 32-char
+    hex STRING — slower, but byte-reproducible in any engine
+    (lexicographic order on fixed-width hex == numeric order, so
+    min()/banding semantics are identical); the mode the DuckDB
+    correctness oracle can replay exactly."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_mode == "md5":
+        return F.md5(F.concat(F.lit(f"{seed}:"), col))
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
+def _plain_hash(col: Column, hash_mode: str) -> Column:
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col)
+    if hash_mode == "md5":
+        return F.md5(col)
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
 def minhash_signature(
     df: DataFrame,
     n: int = 3,
     num_hashes: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: ``num_hashes`` min-values of seeded
     xxhash64 over the shingle set. One explode + one groupBy; the k
@@ -261,7 +284,7 @@ def minhash_signature(
           .where(F.size(tokens(text_col)) >= n)
           .select(F.col(id_col).alias("doc"),
                   F.explode(shingles(text_col, n)).alias("sh")))
-    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+    aggs = [F.min(_seeded_hash(F.col("sh"), i, hash_mode)).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = sh.groupBy("doc").agg(*aggs)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)])
@@ -276,6 +299,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
@@ -300,13 +324,20 @@ def minhash_lsh_dedup(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, n=n, num_hashes=num_hashes,
-                            text_col=text_col, id_col=id_col)
+                            text_col=text_col, id_col=id_col,
+                            hash_mode=hash_mode)
+
+    def band_hash(bi: int) -> Column:
+        vals = [F.col("signature")[bi * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if hash_mode == "md5":
+            # concat in seed order: reproducible as string_agg(...
+            # ORDER BY seed) in the oracle
+            return F.md5(F.concat_ws("|", *vals))
+        return F.xxhash64(*vals)
+
     band_cols = F.array(*[
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col("signature")[bi * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("bh"),
-        )
+        F.struct(F.lit(bi).alias("band"), band_hash(bi).alias("bh"))
         for bi in range(bands)
     ])
     banded = (sig.select("doc", F.explode(band_cols).alias("b"))
@@ -332,7 +363,7 @@ def minhash_lsh_dedup(
     restricted = df.join(cand_docs, on=id_col, how="left_semi")
     return verify_pairs_jaccard(cand, restricted, n=n,
                                 threshold=threshold, text_col=text_col,
-                                id_col=id_col)
+                                id_col=id_col, hash_mode=hash_mode)
 
 
 def verify_pairs_jaccard(
@@ -344,18 +375,19 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Exact n-gram Jaccard for an explicit pair list: join each side's
     distinct hashed-shingle ARRAY onto the pair and ``array_intersect``
     — numerically identical to :func:`ngram_jaccard_pairs` (same
-    xxhash64'd distinct shingles, same 6-dp rounding) but with cost
+    hashed distinct shingles, same 6-dp rounding) but with cost
     proportional to the pair list, never to co-shingle pair counts.
     Returns ``(a_col, b_col, jaccard)`` filtered to ≥ threshold."""
     sh_arr = (df.where(F.size(tokens(text_col)) >= n)
               .select(F.col(id_col),
                       F.array_distinct(
                           F.transform(shingles(text_col, n),
-                                      lambda s: F.xxhash64(s)))
+                                      lambda s: _plain_hash(s, hash_mode)))
                       .alias("_sh")))
     a = sh_arr.select(F.col(id_col).alias(a_col), F.col("_sh").alias("_sa"))
     b = sh_arr.select(F.col(id_col).alias(b_col), F.col("_sh").alias("_sb"))

@@ -58,6 +58,24 @@ def test_minhash_lsh_matches_exact_on_testdata(spark, docs):
     assert recall >= 0.9, f"recall {recall}"
 
 
+def test_minhash_md5_mode_matches_exact_and_verifies(spark, docs):
+    """hash_mode='md5' (the oracle-reproducible variant) runs the SAME
+    algorithm: verified pairs are a subset of exact Jaccard with high
+    recall, and jaccard VALUES agree exactly with the exact baseline
+    (verification hashes collide-free at this scale in both modes)."""
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    md5_pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in minhash_lsh_dedup(
+                     docs, n=3, num_hashes=32, bands=8, threshold=0.5,
+                     hash_mode="md5").collect()}
+    assert exact
+    assert set(md5_pairs) <= set(exact)
+    assert len(md5_pairs) / len(exact) >= 0.9
+    for k, j in md5_pairs.items():
+        assert j == exact[k], (k, j, exact[k])
+
+
 def test_minhash_is_deterministic(spark, docs):
     a = sorted(map(tuple, minhash_lsh_dedup(docs, threshold=0.5).collect()))
     b = sorted(map(tuple, minhash_lsh_dedup(docs, threshold=0.5).collect()))
