@@ -1,0 +1,142 @@
+"""Distributed training for the hashed-linear quality classifier.
+
+The curation suite already SCORES documents with a hashed
+bag-of-words linear model (driver query ``quality_classifier``); this
+module trains one — the CCNet/GPT-3-style quality filter (public
+knowledge: a linear classifier over hashed token features separating
+"reference" text from raw crawl text, used to score every crawl page).
+
+Design for 10^12 docs:
+
+- Features are ``xxhash64(token) % n_buckets`` counts, L1-normalized
+  per document — the feature matrix is a narrow long-form DataFrame
+  ``(doc, bucket, x)``, built once and ``localCheckpoint``-ed so the
+  per-iteration lineage stays flat (same pattern as
+  :func:`goose_parser_spark.ops.linkgraph.pagerank_int`).
+- The model is a ``(bucket, w)`` DataFrame bounded by ``n_buckets``
+  (never by the corpus); every join in the loop keys on the 8-byte
+  bucket or doc id.
+- Full-batch gradient descent: one scored pass + one gradient
+  aggregate per iteration — 2 narrow shuffles/iteration, iteration
+  count a small constant. The only driver-side value per iteration is
+  the 1-row (bias-gradient, loss) aggregate — bounded and documented,
+  like PageRank's convergence scalar.
+- Floating point: parallel summation order is not bit-stable across
+  cluster layouts, so training is reproducible to float tolerance,
+  not byte-identical — tests compare against a NumPy reference on the
+  SAME feature matrix with ``allclose`` (documented; the SCORING path
+  used by the driver gate stays integer-exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class HashedLinearModel:
+    """Trained model: weights DataFrame ``(bucket, w)`` + scalar bias.
+    ``weights`` is bounded by ``n_buckets`` — broadcast-joinable for
+    scoring (AQE decides; no hint set)."""
+    weights: DataFrame
+    bias: float
+    n_buckets: int
+
+
+def _features(df: DataFrame, text_col: str, id_col: str,
+              n_buckets: int) -> DataFrame:
+    """Long-form L1-normalized hashed features ``(doc, bucket, x)``."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda t: t != "")).alias("t"))
+    b = (F.pmod(F.xxhash64(F.lower(F.col("t"))), F.lit(n_buckets))
+         .alias("bucket"))
+    cnt = tok.groupBy("doc", b).agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc").agg(F.sum("c").alias("tot"))
+    return (cnt.join(tot, "doc")
+            .select("doc", "bucket",
+                    (F.col("c") / F.col("tot")).alias("x")))
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    iterations: int = 10,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> HashedLinearModel:
+    """Full-batch logistic regression over hashed token features.
+
+    ``label_col``: 0/1 (1 = high-quality / reference-like). Returns a
+    :class:`HashedLinearModel`; score new corpora with
+    :func:`score_logreg_hashed`.
+    """
+    spark = df.sparkSession
+    labels = (df.select(F.col(id_col).alias("doc"),
+                        F.col(label_col).cast("double").alias("y"))
+              .localCheckpoint())
+    n_docs = labels.count()  # one bounded action; also materializes
+    feats = (_features(df, text_col, id_col, n_buckets)
+             .localCheckpoint())
+
+    weights = spark.createDataFrame([], "bucket long, w double")
+    bias = 0.0
+    for _ in range(iterations):
+        margin = (feats.join(weights, "bucket", "left")
+                  .groupBy("doc")
+                  .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0))
+                             * F.col("x")).alias("m")))
+        err = (labels.join(margin, "doc", "left")
+               .select("doc",
+                       (F.lit(1.0) /
+                        (F.lit(1.0) + F.exp(-F.coalesce(F.col("m"),
+                                                        F.lit(0.0))
+                                            - F.lit(bias)))
+                        - F.col("y")).alias("e"))
+               .localCheckpoint())
+        grad = (feats.join(err, "doc")
+                .groupBy("bucket")
+                .agg((F.sum(F.col("e") * F.col("x")) / F.lit(n_docs))
+                     .alias("g")))
+        weights = (weights.join(grad, "bucket", "full")
+                   .select(F.col("bucket"),
+                           (F.coalesce(F.col("w"), F.lit(0.0))
+                            * (1.0 - lr * l2)
+                            - F.lit(lr) * F.coalesce(F.col("g"),
+                                                     F.lit(0.0)))
+                           .alias("w"))
+                   .localCheckpoint())
+        # bias gradient: mean error — the bounded 1-row driver scalar
+        bias -= lr * err.agg(F.avg("e")).collect()[0][0]
+    return HashedLinearModel(weights=weights, bias=bias,
+                             n_buckets=n_buckets)
+
+
+def score_logreg_hashed(
+    df: DataFrame,
+    model: HashedLinearModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained model: ``(doc_id, score)`` with
+    ``score`` = sigmoid(w·x + b) in [0, 1]. One narrow join on the
+    bucket key + one per-doc aggregate; the weights side is bounded by
+    ``n_buckets`` (AQE broadcasts when it fits)."""
+    feats = _features(df, text_col, id_col, model.n_buckets)
+    m = (feats.join(model.weights, "bucket", "left")
+         .groupBy("doc")
+         .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0))
+                    * F.col("x")).alias("m")))
+    ids = df.select(F.col(id_col).alias("doc"))
+    return (ids.join(m, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    (F.lit(1.0) /
+                     (F.lit(1.0)
+                      + F.exp(-F.coalesce(F.col("m"), F.lit(0.0))
+                              - F.lit(model.bias)))).alias("score")))
