@@ -474,6 +474,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_documents_amplified(spark, sf_dir, vary_text=True))
 
 
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash ALGORITHM under a hard value oracle: md5-derived
+    60-bit token hashes (first 15 hex chars as an integer) are
+    replayed bit-for-bit in DuckDB via hex-digit arithmetic — same
+    vote/sign pipeline as the xxhash64 production fingerprint."""
+    return simhash(_documents_amplified(spark, sf_dir, vary_text=True),
+                   bits=60, hash_mode="md5")
+
+
+SQL_DEDUP_SIMHASH_MD5 = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs_amp
+), th AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(15), p ->
+           CAST(strpos('0123456789abcdef', substr(md5(t), p + 1, 1)) - 1
+                AS BIGINT) << CAST(4 * (14 - p) AS INT)
+         )) AS h
+  FROM tok
+), nn AS (
+  SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id
+), bitsum AS (
+  SELECT doc_id, i.range AS i,
+         sum((h >> CAST(i.range AS INT)) & 1) AS s
+  FROM th CROSS JOIN range(60) i
+  GROUP BY doc_id, i.range
+)
+SELECT b.doc_id,
+       CAST(sum(CASE WHEN 2 * b.s > nn.n
+                THEN CAST(1 AS BIGINT) << CAST(b.i AS INT)
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum b JOIN nn USING (doc_id)
+GROUP BY b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -2892,7 +2928,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- temporal / events --
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
-    "events_rollups": q_events_rollups,
+    "dedup_simhash_md5": q_dedup_simhash_md5,
     # -- sketches --
     "cms_topterms": q_cms_topterms,
     "hll_cardinality": q_hll_cardinality,
@@ -2917,6 +2953,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_profile": q_corpus_profile,
     "dedup_by_url": q_dedup_by_url,
     "pack_materialize": q_pack_materialize,
+    "events_rollups": q_events_rollups,
     "events_windowed_counts": q_events_windowed_counts,
     "rel_agg": q_rel_agg,
     "rel_broadcast_join": q_rel_broadcast_join,
@@ -2986,6 +3023,7 @@ ORACLES: dict[str, str] = {
     "domain_quota": SQL_DOMAIN_QUOTA,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
+    "dedup_simhash_md5": SQL_DEDUP_SIMHASH_MD5,
     "text_repetition": SQL_TEXT_REPETITION,
     "extract_links": SQL_EXTRACT_LINKS,
     "robots_filter": SQL_ROBOTS_FILTER,

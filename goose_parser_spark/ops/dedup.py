@@ -491,6 +491,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
@@ -498,10 +499,25 @@ def simhash(
     vote becomes the output bit. One explode + one groupBy with
     ``bits`` small aggregate expressions (map-side combined).
 
+    ``hash_mode='md5'``: the token hash becomes the first 15 hex chars
+    of md5 parsed as a 60-bit integer — byte-reproducible in DuckDB
+    (hex-digit arithmetic), so the fingerprint algorithm itself can
+    sit under a hard value oracle; pass ``bits=60`` with it. The
+    xxhash64 default stays the production path.
+
     Columns: ``doc_id, simhash`` (long).
     """
+    if hash_mode == "md5":
+        if bits > 60:
+            raise ValueError("md5 mode carries 60 hash bits; pass bits<=60")
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10) \
+            .cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.xxhash64("t")
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-           .withColumn("h", F.xxhash64("t")))
+           .withColumn("h", h))
     # vote_i = (+1 per set bit, -1 per clear bit) = 2*sum(bit_i) - n:
     # plain bit-extraction sums (branch-free, codegen-friendly) plus
     # one count replace 64 conditional aggregates — identical votes.

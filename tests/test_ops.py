@@ -227,6 +227,25 @@ def test_simhash_pairs_equal_brute_force(spark, docs):
     assert brute, "testdata should contain Hamming≤3 simhash pairs"
 
 
+def test_simhash_md5_mode_matches_python_reference(spark, docs):
+    """hash_mode='md5' (the oracle-reproducible 60-bit variant) must
+    equal a pure-Python recomputation of the same algorithm, doc for
+    doc — the local twin of the DuckDB oracle."""
+    import hashlib
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, bits=60, hash_mode="md5").collect()}
+    for r in docs.collect():
+        toks = r["text"].split(" ")
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += (h >> i) & 1
+        n = len(toks)
+        want = sum((1 << i) for i in range(60) if 2 * votes[i] > n)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
 def test_quality_score_defined_on_empty_text(spark):
     from goose_parser_spark.ops.textstats import quality_score
     df = spark.createDataFrame([(1, ""), (2, "the cat sat")],
