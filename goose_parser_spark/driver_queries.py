@@ -1572,6 +1572,68 @@ FROM docs_amp WHERE doc_id % 3 = 0
 """
 
 
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with deterministic head metadata: every 7th doc omits the
+    OpenGraph tags, every 11th carries a MALFORMED JSON-LD block (the
+    probe must yield NULL, never fail the scan)."""
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    jsonld = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "Article", "name": "Doc '), s,
+        F.lit('"}</script>'))
+    bad = F.lit('<script type="application/ld+json">{oops</script>')
+    og = F.concat(
+        F.lit('<meta property="og:title" content="OG '), s, F.lit('">'),
+        F.lit('<meta property="og:type" content="article">'),
+        F.lit('<meta property="og:image" content="https://img.test/'),
+        s, F.lit('.jpg">'))
+    head = F.concat(
+        F.lit("<html><head><title>Doc "), s, F.lit("</title>"),
+        F.lit('<link rel="canonical" href="https://site.test/c/'), s,
+        F.lit('">'),
+        F.lit('<meta name="description" content="About topic '),
+        (d % 17).cast("string"), F.lit('">'),
+        F.when(d % 7 == 0, F.lit("")).otherwise(og),
+        F.when(d % 11 == 0, bad).otherwise(jsonld),
+        F.lit("</head><body><p>x</p></body></html>"))
+    return base.select(
+        F.concat(F.lit("https://site.test/p/"), s).alias("url"),
+        F.encode(head, "utf-8").alias("html"))
+
+
+def q_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (title / canonical / OpenGraph /
+    JSON-LD probe) through the canned METADATA_RULES tree
+    (ops/metadata.py) — attribute selectors + attr rules + array rules
+    + RAWTEXT script content + JVM-side get_json_object in one pass.
+    Map-only."""
+    from goose_parser_spark.ops.metadata import extract_page_metadata
+    return extract_page_metadata(_meta_pages(spark, sf_dir))
+
+
+SQL_EXTRACT_METADATA = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://site.test/p/' || doc_id AS url,
+       'Doc ' || doc_id AS title,
+       'https://site.test/c/' || doc_id AS canonical,
+       'About topic ' || (doc_id % 17) AS description,
+       CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'OG ' || doc_id END
+           AS og_title,
+       CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'article' END AS og_type,
+       CASE WHEN doc_id % 7 = 0 THEN ''
+            ELSE 'https://img.test/' || doc_id || '.jpg' END AS og_image,
+       '' AS og_url,
+       CAST(1 AS INT) AS n_jsonld,
+       CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'Article' END
+           AS jsonld_type,
+       CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'Doc ' || doc_id END
+           AS jsonld_name
+FROM docs_amp
+"""
+
+
 def _sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized sitemap corpus: every 10th doc is a sitemap INDEX
     page (pointer to a sub-sitemap), the rest are urlset pages with
@@ -2882,7 +2944,7 @@ QUERIES: dict[str, QueryFn] = {
     "extract_conditional": q_extract_conditional,
     "extract_multi_tree": q_extract_multi_tree,
     "extract_links": q_extract_links,
-    "extract_markdown": q_extract_markdown,
+    "extract_metadata": q_extract_metadata,
     "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
@@ -2936,6 +2998,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "extract_markdown": q_extract_markdown,
     "dedup_paragraphs": q_dedup_paragraphs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "clean_text": q_clean_text,
@@ -3030,6 +3093,7 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "extract_markdown": SQL_EXTRACT_MARKDOWN,
+    "extract_metadata": SQL_EXTRACT_METADATA,
     "contamination": SQL_CONTAMINATION,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,
