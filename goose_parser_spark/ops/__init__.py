@@ -21,12 +21,19 @@ from goose_parser_spark.ops.dedup import (
     shingles,
     simhash,
     simhash_pairs,
+    line_corpus_dedup,
     verify_pairs_jaccard,
     winnow_fingerprints,
 )
 from goose_parser_spark.ops.asof import asof_join, range_join, time_rollups
 from goose_parser_spark.ops.robots import parse_robots, robots_filter
-from goose_parser_spark.ops.linkgraph import pagerank_int
+from goose_parser_spark.ops.linkgraph import anchor_text_stats, pagerank_int
+from goose_parser_spark.ops.crawl import parse_cdx, sitemap_urls
+from goose_parser_spark.ops.classifier import (
+    score_logreg_hashed,
+    train_logreg_hashed,
+)
+from goose_parser_spark.ops.metadata import extract_page_metadata
 from goose_parser_spark.ops.multimodal import phash_stub
 from goose_parser_spark.ops.sketches import (
     count_min_build,
@@ -101,6 +108,8 @@ __all__ = [
     "chunk_documents", "classifier_score", "clean_text",
     "c4_line_filter", "script_profile", "dsir_logratio",
     "bloom_build", "bloom_probe", "pagerank_int", "phash_stub",
-    "hamming_pairs",
+    "hamming_pairs", "line_corpus_dedup", "anchor_text_stats",
+    "parse_cdx", "sitemap_urls", "train_logreg_hashed",
+    "score_logreg_hashed", "extract_page_metadata",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]
