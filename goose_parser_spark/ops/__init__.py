@@ -26,7 +26,11 @@ from goose_parser_spark.ops.dedup import (
     winnow_fingerprints,
 )
 from goose_parser_spark.ops.asof import asof_join, range_join, time_rollups
-from goose_parser_spark.ops.robots import parse_robots, robots_filter
+from goose_parser_spark.ops.robots import (
+    parse_robots,
+    robots_directives,
+    robots_filter,
+)
 from goose_parser_spark.ops.linkgraph import anchor_text_stats, pagerank_int
 from goose_parser_spark.ops.crawl import parse_cdx, sitemap_urls
 from goose_parser_spark.ops.classifier import (
@@ -100,7 +104,7 @@ __all__ = [
     "url_host", "url_normalize", "registered_domain",
     "registered_domain_psl", "psl_rules", "host_stats",
     "sample_by_hash", "per_domain_quota", "hash_split", "pack_sequences",
-    "parse_robots", "robots_filter",
+    "parse_robots", "robots_filter", "robots_directives",
     "asof_join", "range_join", "time_rollups", "redact_pii",
     "build_minhash_index", "dedup_against_index", "verify_pairs_jaccard",
     "assign_shards", "stratified_sample_by_hash", "materialize_sequences",

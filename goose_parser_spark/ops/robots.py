@@ -146,3 +146,83 @@ def robots_filter(
                | best["is_allow"])
     return (joined.where(allowed)
             .drop("_rhost", "_rules", "_host", "_path"))
+
+
+def parse_robots_directives_text(
+    body: str, agent: str = "*",
+) -> tuple[list[str], float | None]:
+    """(sitemap_urls, crawl_delay_seconds) from a robots.txt body.
+
+    ``Sitemap:`` lines are host-global (the de-facto sitemaps.org
+    extension — they live outside user-agent groups); ``Crawl-delay``
+    is per-group (non-RFC-9309 but honored by most crawlers): the
+    specific-agent group's value wins over ``*``'s. Unparseable delay
+    values are ignored."""
+    sitemaps: list[str] = []
+    delays: dict[str, float] = {}
+    current: list[str] = []
+    rules_started = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_started:
+                current = []
+                rules_started = False
+            current.append(val.lower())
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
+        elif key in ("allow", "disallow"):
+            rules_started = True
+        elif key == "crawl-delay":
+            rules_started = True
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            for a in current or ["*"]:
+                delays.setdefault(a, d)
+    delay = delays.get(agent.lower(), delays.get("*"))
+    return sitemaps, delay
+
+
+def robots_directives(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host crawl directives: ``host, sitemaps (array<string>),
+    crawl_delay (double, NULL when unset)`` — the scheduler inputs
+    (sitemap seeds feed :func:`goose_parser_spark.ops.crawl.
+    sitemap_urls`; crawl_delay feeds per-host politeness budgets).
+    Map-only mapInPandas, one output row per input host."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StringType, StructField, StructType,
+    )
+    schema = StructType([
+        StructField("host", StringType(), True),
+        StructField("sitemaps", ArrayType(StringType()), True),
+        StructField("crawl_delay", DoubleType(), True),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            hosts, sms, delays = [], [], []
+            for h, body in zip(pdf[host_col], pdf[body_col]):
+                if h is None:
+                    continue
+                sm, d = parse_robots_directives_text(body or "", agent)
+                hosts.append(h)
+                sms.append(sm)
+                delays.append(d)
+            yield pd.DataFrame(
+                {"host": hosts, "sitemaps": sms, "crawl_delay": delays})
+
+    return df.mapInPandas(run, schema=schema)

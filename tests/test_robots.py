@@ -68,3 +68,31 @@ def test_robots_filter_longest_match_and_plan(spark):
     assert ("Exchange hashpartitioning"
             not in plan_b.split("BroadcastHashJoin")[0])
     assert "Window" not in plan_b
+
+
+def test_robots_directives_sitemaps_and_crawl_delay(spark):
+    """Sitemap: lines are host-global; Crawl-delay is per-group with
+    the specific agent overriding *; junk delays ignored."""
+    from goose_parser_spark.ops.robots import robots_directives
+    body = ("User-agent: *\n"
+            "Crawl-delay: 2.5\n"
+            "Disallow: /private\n"
+            "Sitemap: https://a.test/sitemap.xml\n"
+            "\n"
+            "User-agent: fastbot\n"
+            "Crawl-delay: 0.5\n"
+            "Sitemap: https://a.test/sm2.xml\n")
+    df = spark.createDataFrame(
+        [("a.test", body), ("b.test", "User-agent: *\nDisallow:"),
+         ("c.test", "User-agent: *\nCrawl-delay: soon")],
+        "host string, robots_txt string")
+    out = {r["host"]: r for r in robots_directives(df).collect()}
+    assert out["a.test"]["sitemaps"] == [
+        "https://a.test/sitemap.xml", "https://a.test/sm2.xml"]
+    assert out["a.test"]["crawl_delay"] == 2.5
+    fast = {r["host"]: r
+            for r in robots_directives(df, agent="fastbot").collect()}
+    assert fast["a.test"]["crawl_delay"] == 0.5
+    assert out["b.test"]["sitemaps"] == []
+    assert out["b.test"]["crawl_delay"] is None
+    assert out["c.test"]["crawl_delay"] is None  # unparseable ignored
