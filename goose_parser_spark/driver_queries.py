@@ -1848,6 +1848,59 @@ FROM docs_amp GROUP BY lang
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style exact n-gram span REMOVAL (ops/dedup.py
+    decontaminate_exact): training docs (even ids) are scrubbed of
+    every token covered by a k-gram occurring in the eval half (odd
+    ids). k=3 at test scale so planted near-dup passages actually
+    match (production default k=13). Shuffles carry only 16-char
+    hashes and positions; removal is a projection."""
+    from goose_parser_spark.ops.dedup import decontaminate_exact
+    docs = _documents_amplified(spark, sf_dir, vary_text=True)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    return decontaminate_exact(train, ev, k=3)
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SQL_DOCS_AMP_VARIED}, tokT AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+  WHERE doc_id % 2 = 0
+), tokE AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+  WHERE doc_id % 2 = 1
+), gE AS (
+  SELECT DISTINCT substr(md5(array_to_string(w[i:i+2], ' ')), 1, 16) AS g
+  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+        FROM tokE WHERE len(w) >= 3)
+), gT AS (
+  SELECT doc_id, i, substr(md5(array_to_string(w[i:i+2], ' ')), 1, 16) AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM tokT WHERE len(w) >= 3)
+), matched AS (
+  SELECT DISTINCT doc_id, i FROM gT JOIN gE USING (g)
+), toks AS (
+  SELECT doc_id, p, w[p] AS tok, len(w) AS n_tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM tokT)
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM toks t
+  LEFT JOIN matched m
+    ON m.doc_id = t.doc_id AND m.i BETWEEN t.p - 2 AND t.p
+  WHERE m.i IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), ntok AS (
+  SELECT doc_id, len(w) AS n_tok FROM tokT
+)
+SELECT n.doc_id,
+       coalesce(r.text, '') AS text,
+       CAST(n.n_tok - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM ntok n LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage check: winnow-fingerprint overlap between a
     'train' half and an 'eval' half of the corpus (even/odd doc_ids —
@@ -2998,6 +3051,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "decontaminate": q_decontaminate,
     "extract_markdown": q_extract_markdown,
     "dedup_paragraphs": q_dedup_paragraphs,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3095,6 +3149,7 @@ ORACLES: dict[str, str] = {
     "extract_markdown": SQL_EXTRACT_MARKDOWN,
     "extract_metadata": SQL_EXTRACT_METADATA,
     "contamination": SQL_CONTAMINATION,
+    "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

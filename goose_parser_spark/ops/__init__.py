@@ -21,6 +21,7 @@ from goose_parser_spark.ops.dedup import (
     shingles,
     simhash,
     simhash_pairs,
+    decontaminate_exact,
     line_corpus_dedup,
     verify_pairs_jaccard,
     winnow_fingerprints,
@@ -112,7 +113,7 @@ __all__ = [
     "chunk_documents", "classifier_score", "clean_text",
     "c4_line_filter", "script_profile", "dsir_logratio",
     "bloom_build", "bloom_probe", "pagerank_int", "phash_stub",
-    "hamming_pairs", "line_corpus_dedup", "anchor_text_stats",
+    "hamming_pairs", "line_corpus_dedup", "decontaminate_exact", "anchor_text_stats",
     "parse_cdx", "sitemap_urls", "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",

@@ -650,6 +650,65 @@ def winnow_fingerprints(
                         F.explode(F.array_distinct(fps)).alias("fp")))
 
 
+def decontaminate_exact(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REMOVE eval-overlapping spans from training text (the
+    GPT-3-style exact n-gram decontamination — public knowledge:
+    training documents are scrubbed of any k-gram that appears in an
+    evaluation set, k=13 in the original recipe; here k is a
+    parameter so tests can exercise short planted overlaps).
+
+    Every training token covered by ANY k-gram that also occurs in
+    ``eval_df`` is dropped; the survivors are rejoined in order.
+    Documents with no overlap pass through unchanged; a fully-covered
+    document survives with empty text (parallel to
+    :func:`line_corpus_dedup` — drops stay explicit downstream).
+
+    Plan: the eval k-gram set is one distinct hash-agg (bounded by the
+    EVAL corpus — small next to training data; no broadcast hint, AQE
+    decides). Training k-grams posexplode once, inner-join the eval
+    set, and fold back to ONE sorted match-position array per
+    contaminated doc — the only shuffles carry 16-char hashes and
+    integer positions, never text. Span removal is then a pure
+    projection: filter tokens whose position falls inside any matched
+    window (higher-order ``exists`` over the per-doc match array,
+    which is empty for the overwhelming majority of docs).
+
+    Columns: ``doc_id, text, n_removed`` (tokens dropped).
+    """
+    gram = lambda s: F.substring(F.md5(s), 1, 16)  # noqa: E731
+    eval_grams = (eval_df
+                  .where(F.size(tokens(text_col)) >= k)
+                  .select(F.explode(shingles(text_col, k)).alias("s"))
+                  .select(gram(F.col("s")).alias("g"))
+                  .distinct())
+    tr_grams = (train
+                .where(F.size(tokens(text_col)) >= k)
+                .select(F.col(id_col),
+                        F.posexplode(shingles(text_col, k))
+                        .alias("p0", "s"))
+                .select(id_col, (F.col("p0") + 1).alias("i"),
+                        gram(F.col("s")).alias("g")))
+    matched = (tr_grams.join(eval_grams, on="g")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_set("i")).alias("_mi")))
+    w = F.split(F.col(text_col), " ")
+    out = train.join(matched, on=id_col, how="left")
+    mi = F.coalesce(F.col("_mi"), F.array().cast("array<int>"))
+    kept = F.filter(
+        w, lambda tok, idx: ~F.exists(
+            mi, lambda m: (m >= idx + 1 - (k - 1)) & (m <= idx + 1)))
+    return (out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        (F.size(w) - F.size(kept)).alias("n_removed")))
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -201,3 +201,28 @@ def test_line_corpus_dedup_threshold_counts_distinct_docs(spark):
     out = {r["doc_id"]: r["text"]
            for r in line_corpus_dedup(df, min_dup_docs=2).collect()}
     assert out[1] == "x\nx\nx\nx\nx"   # 1 distinct doc < 2
+
+
+def test_decontaminate_exact_span_removal(spark):
+    """Every training token covered by an eval k-gram is dropped;
+    clean docs unchanged; fully-covered docs survive empty; docs
+    shorter than k untouched."""
+    from goose_parser_spark.ops.dedup import decontaminate_exact
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely clean training text with no overlap here"),
+        (3, "quick brown fox"),
+        (4, "a b"),
+    ], ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps far away")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in decontaminate_exact(train, ev, k=3).collect()}
+    # eval shares the run "the quick brown fox jumps" -> train 3-grams
+    # at i=1,2,3 match -> tokens 1..5 covered
+    assert out[1]["text"] == "over the lazy dog tonight"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["n_removed"] == 0 and out[2]["text"].startswith("completely")
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 3
+    assert out[4]["text"] == "a b" and out[4]["n_removed"] == 0
