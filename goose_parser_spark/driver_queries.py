@@ -2054,6 +2054,34 @@ def q_i1_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket").count().orderBy("bucket"))
 
 
+def q_i1_bucketing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The I1 bucketing CONTRACT under a hard value oracle: md5-mode
+    bucket assignment (60-bit hex-derived integer, pmod buckets)
+    replayed exactly in DuckDB; histogram per bucket. Also an implicit
+    uniformity check — the oracle pins every bucket's count."""
+    docs = _documents_amplified(spark, sf_dir)
+    urls = docs.select(
+        F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+         .alias("url"))
+    return (with_bucket(urls, 32, hash_mode="md5")
+            .groupBy("bucket").count().orderBy("bucket"))
+
+
+SQL_I1_BUCKETING_MD5 = f"""
+WITH {_SQL_DOCS_AMP_COPY}, u AS (
+  SELECT 'https://docs.test/' || doc_id AS url FROM docs_amp
+), h AS (
+  SELECT list_sum(list_transform(range(15), p ->
+    CAST(strpos('0123456789abcdef', substr(md5(url), p + 1, 1)) - 1
+         AS BIGINT) << CAST(4 * (14 - p) AS INT))) AS hv
+  FROM u
+)
+SELECT CAST(hv % 32 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS count
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier URL canonicalization: normalize (case, default
     ports, trailing slash, fragment) + strip tracking params + sort
@@ -3012,7 +3040,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "contamination": q_contamination,
     "text_repetition": q_text_repetition,
-    "phash_pairs": q_phash_pairs,
+    "i1_bucketing_md5": q_i1_bucketing_md5,
     # -- similarity search --
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
@@ -3052,6 +3080,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
     "decontaminate": q_decontaminate,
+    "phash_pairs": q_phash_pairs,
     "extract_markdown": q_extract_markdown,
     "dedup_paragraphs": q_dedup_paragraphs,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3172,6 +3201,7 @@ ORACLES: dict[str, str] = {
     "bloom_frontier": SQL_BLOOM_FRONTIER,
     "link_pagerank": SQL_LINK_PAGERANK,
     "phash_pairs": SQL_PHASH_PAIRS,
+    "i1_bucketing_md5": SQL_I1_BUCKETING_MD5,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

@@ -49,11 +49,23 @@ def rules_sha256(spec: dict) -> str:
     ).hexdigest()
 
 
-def with_bucket(df: DataFrame, buckets: int, url_col: str = "url") -> DataFrame:
+def with_bucket(df: DataFrame, buckets: int, url_col: str = "url",
+                hash_mode: str = "xxhash64") -> DataFrame:
     """Deterministic url-hash bucket column (I1/I3). xxhash64 is a
-    JVM-side codegen'd expression — no Python involved."""
+    JVM-side codegen'd expression — no Python involved.
+    ``hash_mode='md5'`` derives the bucket from the first 15 hex chars
+    of md5 as a 60-bit integer — byte-reproducible in DuckDB, so the
+    bucketing CONTRACT (stable, uniform assignment) sits under a hard
+    value oracle; xxhash64 stays the production default."""
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10) \
+            .cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.xxhash64(F.col(url_col))
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets)).cast("int")
+        "bucket", F.pmod(h, F.lit(buckets)).cast("int")
     )
 
 
