@@ -1822,6 +1822,52 @@ FROM links GROUP BY target
 """
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch scheduling (ops/crawl.py
+    schedule_frontier): per-host fetch slots ordered by priority, slot
+    start = slot × crawl_delay (robots delay where present, default
+    1s). One bounded host join + one host-keyed window."""
+    from goose_parser_spark.ops.crawl import schedule_frontier
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 37).cast("string"), F.lit(".test"))
+    fr = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 d.cast("string")).alias("url"),
+        host.alias("host"),
+        (d % 5).cast("int").alias("priority"))
+    delays = spark.createDataFrame(
+        [(f"h{i}.test", 2.0 if i % 3 == 0 else None)
+         for i in range(0, 37, 2)],
+        "host string, crawl_delay double")
+    return schedule_frontier(fr, delays, priority_col="priority")
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, fr AS (
+  SELECT 'https://h' || (doc_id % 37) || '.test/p/' || doc_id AS url,
+         'h' || (doc_id % 37) || '.test' AS host,
+         doc_id % 5 AS priority
+  FROM docs_amp
+), dl AS (
+  SELECT 'h' || i || '.test' AS host,
+         CASE WHEN i % 3 = 0 THEN 2.0 END AS crawl_delay
+  FROM (SELECT unnest(range(0, 37, 2)) AS i)
+), slots AS (
+  SELECT f.url, f.host,
+         row_number() OVER (PARTITION BY f.host
+                            ORDER BY f.priority DESC, f.url) - 1
+             AS fetch_slot,
+         coalesce(d.crawl_delay, 1.0) AS delay
+  FROM fr f LEFT JOIN dl d USING (host)
+)
+SELECT url, host,
+       CAST(fetch_slot AS BIGINT) AS fetch_slot,
+       CAST(fetch_slot * delay * 1000.0 AS BIGINT) AS start_offset_ms
+FROM slots
+"""
+
+
 def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length percentiles (p50/p90/p99) — the
     corpus-profile rollup every curation run reports. EXACT percentile
@@ -3080,6 +3126,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
     "decontaminate": q_decontaminate,
+    "frontier_schedule": q_frontier_schedule,
     "phash_pairs": q_phash_pairs,
     "extract_markdown": q_extract_markdown,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -3202,6 +3249,7 @@ ORACLES: dict[str, str] = {
     "link_pagerank": SQL_LINK_PAGERANK,
     "phash_pairs": SQL_PHASH_PAIRS,
     "i1_bucketing_md5": SQL_I1_BUCKETING_MD5,
+    "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

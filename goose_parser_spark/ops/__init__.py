@@ -33,7 +33,11 @@ from goose_parser_spark.ops.robots import (
     robots_filter,
 )
 from goose_parser_spark.ops.linkgraph import anchor_text_stats, pagerank_int
-from goose_parser_spark.ops.crawl import parse_cdx, sitemap_urls
+from goose_parser_spark.ops.crawl import (
+    parse_cdx,
+    schedule_frontier,
+    sitemap_urls,
+)
 from goose_parser_spark.ops.classifier import (
     score_logreg_hashed,
     train_logreg_hashed,
@@ -114,7 +118,7 @@ __all__ = [
     "c4_line_filter", "script_profile", "dsir_logratio",
     "bloom_build", "bloom_probe", "pagerank_int", "phash_stub",
     "hamming_pairs", "line_corpus_dedup", "decontaminate_exact", "anchor_text_stats",
-    "parse_cdx", "sitemap_urls", "train_logreg_hashed",
+    "parse_cdx", "sitemap_urls", "schedule_frontier", "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]

@@ -108,3 +108,48 @@ def parse_cdx(
         F.get_json_object(j, "$.offset").cast("bigint").alias("offset"),
         F.get_json_object(j, "$.filename").alias("filename"),
     )
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str | None = None,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: assign each frontier URL its
+    per-host fetch slot and earliest start offset.
+
+    ``delays`` is ``(host, crawl_delay)`` (e.g. from
+    :func:`goose_parser_spark.ops.robots.robots_directives`); hosts
+    without a row (or with NULL delay) use ``default_delay_s``. Within
+    a host, URLs are ordered by ``priority_col`` descending when given
+    (ties and the default by url — deterministic), and slot k starts
+    at ``k * delay`` seconds.
+
+    Plan: one left join on the bounded host table + one window over
+    ``host`` — a single hash-partitioned shuffle keyed on host. A
+    pathologically hot host makes a wide window partition; that is the
+    CRAWL's constraint (politeness serializes a host), not the plan's
+    — the scheduler output is exactly as parallel as politeness
+    allows.
+
+    Columns: ``url, host, fetch_slot (0-based), start_offset_ms``.
+    """
+    from pyspark.sql import Window
+    d = (delays.select(F.col(host_col),
+                       F.col("crawl_delay").cast("double").alias("_d")))
+    if priority_col is not None:
+        order = [F.col(priority_col).desc(), F.col(url_col)]
+    else:
+        order = [F.col(url_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    delay_ms = (F.coalesce(F.col("_d"), F.lit(float(default_delay_s)))
+                * 1000.0)
+    return (frontier.join(d, on=host_col, how="left")
+            .withColumn("fetch_slot",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .select(F.col(url_col), F.col(host_col), "fetch_slot",
+                    (F.col("fetch_slot") * delay_ms).cast("long")
+                    .alias("start_offset_ms")))

@@ -71,3 +71,25 @@ def test_anchor_text_stats_dedup_sort_cap_and_blanks(spark):
     # distinct, sorted, capped at 5, blanks excluded
     assert t["top_anchors"] == "a | b | c | d | e"
     assert out["u"]["top_anchors"] == "" and out["u"]["n_links"] == 1
+
+
+def test_schedule_frontier_slots_and_delays(spark):
+    from goose_parser_spark.ops.crawl import schedule_frontier
+    fr = spark.createDataFrame(
+        [("https://a.test/1", "a.test", 5),
+         ("https://a.test/2", "a.test", 9),
+         ("https://a.test/3", "a.test", 9),   # tie -> url order
+         ("https://b.test/x", "b.test", 1)],
+        "url string, host string, priority int")
+    dl = spark.createDataFrame([("a.test", 2.5), ("c.test", 9.0)],
+                               "host string, crawl_delay double")
+    out = {r["url"]: r
+           for r in schedule_frontier(fr, dl,
+                                      priority_col="priority").collect()}
+    assert out["https://a.test/2"]["fetch_slot"] == 0
+    assert out["https://a.test/3"]["fetch_slot"] == 1   # tie by url asc
+    assert out["https://a.test/1"]["fetch_slot"] == 2
+    assert out["https://a.test/1"]["start_offset_ms"] == 5000
+    # unknown host: default 1s delay, own slot sequence
+    assert out["https://b.test/x"]["fetch_slot"] == 0
+    assert out["https://b.test/x"]["start_offset_ms"] == 0
