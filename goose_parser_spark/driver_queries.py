@@ -2492,6 +2492,102 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition (ops/textstats.py
+    perplexity_buckets): integer per-token unigram-LM score, exact
+    per-language terciles, three-way bucket assignment. The whole
+    chain — scoring, thresholds, cuts — replays in DuckDB."""
+    from goose_parser_spark.ops.textstats import (
+        perplexity_buckets, unigram_logprob)
+    docs = _documents_amplified(spark, sf_dir)
+    lm = unigram_logprob(docs.select("doc_id", "text"))
+    scored = (lm.join(docs.select("doc_id", "lang"), on="doc_id")
+              .select("doc_id", "lang",
+                      F.expr("(-logprob_micro) DIV n_tokens")
+                      .alias("ppl_micro")))
+    return perplexity_buckets(scored)
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM docs_amp
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n,
+         (SELECT count(*) FROM cnt) AS v
+), lm AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CAST(round(ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT))
+             AS logprob_micro
+  FROM tok JOIN cnt USING (t) CROSS JOIN tot
+  GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, d.lang,
+         (-lm.logprob_micro) // lm.n_tokens AS ppl_micro
+  FROM docs_amp d JOIN lm USING (doc_id)
+), th AS (
+  SELECT lang,
+         round(quantile_cont(ppl_micro, 1.0/3), 4) AS t1,
+         round(quantile_cont(ppl_micro, 2.0/3), 4) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, CAST(s.ppl_micro AS BIGINT) AS ppl_micro,
+       CASE WHEN s.ppl_micro <= th.t1 THEN 'head'
+            WHEN s.ppl_micro <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th USING (lang)
+"""
+
+
+def q_imgtext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair mining through the extraction
+    engine (ops/metadata.py extract_image_text_pairs): captioned
+    figures + bare images with alt text; every 13th doc also carries a
+    src-less image that must be dropped. Map-only."""
+    from goose_parser_spark.ops.metadata import extract_image_text_pairs
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><figure><img src="/img/'), s,
+        F.lit('-a.jpg" alt="alt a '), s,
+        F.lit('"><figcaption>Caption '), s,
+        F.lit("</figcaption></figure>"),
+        F.lit('<p><img src="/img/'), s, F.lit('-b.png" alt="alt b '), s,
+        F.lit('"></p>'),
+        F.when(d % 13 == 0, F.lit('<img alt="srcless">'))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = base.select(
+        F.concat(F.lit("https://site.test/p/"), s).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    return extract_image_text_pairs(pages)
+
+
+SQL_IMGTEXT_PAIRS = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://site.test/p/' || doc_id AS url, 'figure' AS kind,
+       '/img/' || doc_id || '-a.jpg' AS src,
+       'alt a ' || doc_id AS alt,
+       'Caption ' || doc_id AS caption,
+       'Caption ' || doc_id AS text
+FROM docs_amp
+UNION ALL
+SELECT 'https://site.test/p/' || doc_id, 'img',
+       '/img/' || doc_id || '-a.jpg', 'alt a ' || doc_id, '',
+       'alt a ' || doc_id
+FROM docs_amp
+UNION ALL
+SELECT 'https://site.test/p/' || doc_id, 'img',
+       '/img/' || doc_id || '-b.png', 'alt b ' || doc_id, '',
+       'alt b ' || doc_id
+FROM docs_amp
+"""
+
+
 def q_dedup_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier dedup BY CANONICAL URL — the first dedup a crawl
     runs, before any parsing: re-fetches of one page under different
@@ -3127,6 +3223,8 @@ QUERIES: dict[str, QueryFn] = {
     # oracled, family already hash-green in-window:
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
+    "ccnet_buckets": q_ccnet_buckets,
+    "imgtext_pairs": q_imgtext_pairs,
     "phash_pairs": q_phash_pairs,
     "extract_markdown": q_extract_markdown,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -3250,6 +3348,8 @@ ORACLES: dict[str, str] = {
     "phash_pairs": SQL_PHASH_PAIRS,
     "i1_bucketing_md5": SQL_I1_BUCKETING_MD5,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "imgtext_pairs": SQL_IMGTEXT_PAIRS,
     # rows-only (xxhash64-seeded — not DuckDB-expressible; each has a
     # pytest asserting equality/recall vs an exact baseline instead):
     # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs, i1_bucketing

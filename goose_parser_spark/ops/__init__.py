@@ -42,7 +42,10 @@ from goose_parser_spark.ops.classifier import (
     score_logreg_hashed,
     train_logreg_hashed,
 )
-from goose_parser_spark.ops.metadata import extract_page_metadata
+from goose_parser_spark.ops.metadata import (
+    extract_image_text_pairs,
+    extract_page_metadata,
+)
 from goose_parser_spark.ops.multimodal import phash_stub
 from goose_parser_spark.ops.sketches import (
     count_min_build,
@@ -82,6 +85,7 @@ from goose_parser_spark.ops.similarity import (
     lsh_cosine_topk,
 )
 from goose_parser_spark.ops.textstats import (
+    perplexity_buckets,
     c4_line_filter,
     chunk_documents,
     classifier_score,
@@ -120,5 +124,6 @@ __all__ = [
     "hamming_pairs", "line_corpus_dedup", "decontaminate_exact", "anchor_text_stats",
     "parse_cdx", "sitemap_urls", "schedule_frontier", "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
+    "extract_image_text_pairs", "perplexity_buckets",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]

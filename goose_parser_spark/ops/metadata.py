@@ -75,3 +75,55 @@ def extract_page_metadata(
                 F.get_json_object(first, "$['@type']").alias("jsonld_type"),
                 F.get_json_object(first, "$['name']").alias("jsonld_name"),
             ))
+
+
+IMGTEXT_RULES: dict = {
+    "collection": [
+        # captioned figures: the strongest alt-text pairs
+        {"name": "figures", "scope": "figure", "collection": [[
+            {"name": "src", "scope": "img", "attr": "src"},
+            {"name": "alt", "scope": "img", "attr": "alt"},
+            {"name": "caption", "scope": "figcaption"},
+        ]]},
+        # bare images elsewhere: alt text only
+        {"name": "images", "scope": "img", "collection": [[
+            {"name": "src", "scope": "", "attr": "src"},
+            {"name": "alt", "scope": "", "attr": "alt"},
+        ]]},
+    ],
+}
+
+
+def extract_image_text_pairs(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """LAION-style image-text pair mining (public knowledge: web-scale
+    image-caption corpora pair each ``<img>``'s URL with its alt text
+    and any ``<figcaption>``): one row per image with the best
+    available text.
+
+    ``kind='figure'`` rows carry caption + alt from captioned
+    figures; ``kind='img'`` rows are bare images (alt only) — figures'
+    images also appear in the bare list, so consumers dedup by
+    ``(url, src)`` keeping the figure row (``text`` preference:
+    caption if non-empty else alt). Empty-src images are dropped;
+    empty text is preserved (downstream filters decide).
+
+    Map-only: one extraction pass, two ``inline`` explodes.
+    Columns: ``url, kind, src, alt, caption, text``.
+    """
+    from goose_parser_spark.extractor import extract
+    ex = extract(df, IMGTEXT_RULES, html_col=html_col, url_col=url_col)
+    figs = (ex.select(F.col(url_col), F.lit("figure").alias("kind"),
+                      F.inline("extracted.figures"))
+            .where(F.col("src") != ""))
+    imgs = (ex.select(F.col(url_col), F.lit("img").alias("kind"),
+                      F.inline("extracted.images"))
+            .where(F.col("src") != "")
+            .withColumn("caption", F.lit("")))
+    both = figs.unionByName(imgs)
+    text = F.when(F.trim(F.col("caption")) != "", F.col("caption")) \
+            .otherwise(F.col("alt"))
+    return both.withColumn("text", text)

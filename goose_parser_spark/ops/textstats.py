@@ -494,3 +494,45 @@ def script_profile(
         F.col(id_col),
         *[counts[name].alias(f"n_{name}") for name, _ in _SCRIPT_CLASSES],
         verdict.alias("script_pred"))
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "ppl_micro",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail partition (public knowledge —
+    Wenzek et al. 2020: each language's corpus is split at the
+    perplexity terciles of a reference LM; 'head' is the cleanest
+    third and downstream pipelines sample the three buckets with
+    different weights).
+
+    ``scored``: one row per doc with ``lang_col`` and an INTEGER
+    per-token perplexity proxy ``score_col`` (lower = more fluent;
+    e.g. ``-logprob_micro DIV n_tokens`` from
+    :func:`unigram_logprob` — integer division keeps the score
+    byte-reproducible cross-engine). Thresholds are the exact 1/3 and
+    2/3 percentiles per language, rounded to 4 dp (the same
+    interpolation DuckDB's ``quantile_cont`` uses, so the oracle can
+    replay the cut-points bit-for-bit).
+
+    Plan: one per-language percentile aggregate (the threshold table
+    is bounded by the number of languages) joined back — no hint, AQE
+    broadcasts it. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (t-digest, one pass, mergeable) with a
+    documented tolerance; the query shape is unchanged.
+
+    Columns: ``doc_id, lang, <score_col>, bucket``.
+    """
+    th = scored.groupBy(lang_col).agg(
+        F.round(F.percentile(F.col(score_col), F.lit(1.0 / 3)), 4)
+         .alias("_t1"),
+        F.round(F.percentile(F.col(score_col), F.lit(2.0 / 3)), 4)
+         .alias("_t2"))
+    c = F.col(score_col)
+    return (scored.join(th, on=lang_col)
+            .select(F.col(id_col), F.col(lang_col), c,
+                    F.when(c <= F.col("_t1"), F.lit("head"))
+                     .when(c <= F.col("_t2"), F.lit("middle"))
+                     .otherwise(F.lit("tail")).alias("bucket")))

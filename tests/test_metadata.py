@@ -39,3 +39,28 @@ def test_extract_page_metadata_full_and_edge_cases(spark):
     # malformed JSON-LD: block counted, probe NULL, no job failure
     assert out["u3"]["n_jsonld"] == 1
     assert out["u3"]["jsonld_type"] is None
+
+
+def test_extract_image_text_pairs(spark):
+    from goose_parser_spark.ops.metadata import extract_image_text_pairs
+    html = ('<html><body>'
+            '<figure><img src="/a.jpg" alt="an apple">'
+            '<figcaption>A ripe apple on a table</figcaption></figure>'
+            '<p><img src="/b.png" alt="a banana"></p>'
+            '<img alt="no src here">'
+            '</body></html>')
+    df = spark.createDataFrame([("u1", html)], ["url", "html"])
+    rows = extract_image_text_pairs(df).collect()
+    figs = [r for r in rows if r["kind"] == "figure"]
+    imgs = [r for r in rows if r["kind"] == "img"]
+    assert len(figs) == 1
+    assert figs[0]["src"] == "/a.jpg"
+    # caption preferred over alt for the text column
+    assert figs[0]["text"] == "A ripe apple on a table"
+    assert figs[0]["alt"] == "an apple"
+    # bare list includes the figure's img too (consumers dedup by src)
+    assert sorted(r["src"] for r in imgs) == ["/a.jpg", "/b.png"]
+    b = next(r for r in imgs if r["src"] == "/b.png")
+    assert b["text"] == "a banana" and b["caption"] == ""
+    # src-less images are dropped entirely
+    assert all(r["src"] for r in rows)

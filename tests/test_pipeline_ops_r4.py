@@ -226,3 +226,21 @@ def test_decontaminate_exact_span_removal(spark):
     assert out[2]["n_removed"] == 0 and out[2]["text"].startswith("completely")
     assert out[3]["text"] == "" and out[3]["n_removed"] == 3
     assert out[4]["text"] == "a b" and out[4]["n_removed"] == 0
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Per-language terciles: each bucket gets ~1/3 of the docs; cut
+    points are language-local (a high-ppl lang still has a head)."""
+    from goose_parser_spark.ops.textstats import perplexity_buckets
+    rows = [(i, "en", i * 10) for i in range(30)]            # 0..290
+    rows += [(100 + i, "de", 5000 + i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl_micro long")
+    out = perplexity_buckets(df).collect()
+    from collections import Counter
+    en = Counter(r["bucket"] for r in out if r["lang"] == "en")
+    de = Counter(r["bucket"] for r in out if r["lang"] == "de")
+    assert en["head"] == en["middle"] == en["tail"] == 10
+    assert de["head"] == 10          # de's head exists despite high ppl
+    by_id = {r["doc_id"]: r["bucket"] for r in out}
+    assert by_id[0] == "head" and by_id[29] == "tail"
+    assert by_id[100] == "head" and by_id[129] == "tail"
