@@ -382,6 +382,9 @@ def main() -> int:
         "c4_clean", "script_stats", "dsir_sample", "bloom_frontier",
         "link_pagerank", "phash_pairs", "cms_topterms", "hll_cardinality",
         "line_dedup", "sitemap_parse", "cdx_parse", "anchor_text",
+        "extract_metadata", "decontaminate", "dedup_minhash_md5",
+        "dedup_simhash_md5", "frontier_schedule", "ccnet_buckets",
+        "imgtext_pairs", "i1_bucketing_md5",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:
