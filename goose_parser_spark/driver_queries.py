@@ -520,6 +520,73 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k retrieval (ops/retrieval.py bm25_topk) —
+    the inverted-index plan over the corpus; queries are the first 3
+    tokens of every 97th doc. Integer micro-unit scoring makes the
+    ranking bit-reproducible in DuckDB (same trick as lm_score)."""
+    from goose_parser_spark.ops.retrieval import bm25_topk
+    docs = _documents_amplified(spark, sf_dir)
+    qs = (docs.where(F.col("doc_id") % 97 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.array_join(
+                      F.slice(F.split(F.col("text"), " "), 1, 3),
+                      " ").alias("query")))
+    return bm25_topk(docs.select("doc_id", "text"), qs, k=5)
+
+
+SQL_BM25_SEARCH = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS t
+  FROM docs_amp
+), postings AS (
+  SELECT doc, t, count(*) AS tf FROM tok GROUP BY 1, 2
+), doclen AS (
+  SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl
+  FROM doclen
+), dfreq AS (
+  SELECT t, count(*) AS df_ FROM postings GROUP BY 1
+), qs AS (
+  SELECT doc_id AS qid,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS q
+  FROM docs_amp WHERE doc_id % 97 = 0
+), qt AS (
+  SELECT DISTINCT qid,
+         unnest(list_distinct(list_filter(
+             string_split_regex(q, '\\s+'), x -> x != ''))) AS t
+  FROM qs
+), j AS (
+  SELECT qt.qid, p.doc, p.tf, d.df_, l.dl, s.n_docs, s.sum_dl
+  FROM qt JOIN postings p USING (t) JOIN dfreq d USING (t)
+  JOIN doclen l ON l.doc = p.doc CROSS JOIN stats s
+), pt AS (
+  SELECT qid, doc,
+         CAST(round(
+           ln(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+           * tf * (1200/1000.0 + 1.0)
+           / (tf + (1200/1000.0) * (1.0 - 750/1000.0
+              + (750/1000.0) * dl / (sum_dl / n_docs)))
+           * 1000000) AS BIGINT) AS c
+  FROM j
+), scored AS (
+  SELECT qid, doc, CAST(sum(c) AS BIGINT) AS score_micro
+  FROM pt GROUP BY 1, 2
+), ranked AS (
+  SELECT qid, doc, score_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_micro DESC, doc) AS rk
+  FROM scored
+)
+SELECT qid AS query_id, CAST(rk AS INT) AS rank, doc AS doc_id,
+       score_micro
+FROM ranked WHERE rk <= 5
+"""
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
@@ -3185,7 +3252,7 @@ QUERIES: dict[str, QueryFn] = {
     "i1_bucketing_md5": q_i1_bucketing_md5,
     # -- similarity search --
     "simsearch_topk": q_simsearch_topk,
-    "simsearch_lsh": q_simsearch_lsh,
+    "bm25_search": q_bm25_search,
     # -- text analysis / quality --
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -3221,6 +3288,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "simsearch_lsh": q_simsearch_lsh,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,
@@ -3292,6 +3360,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "simsearch_lsh": SQL_SIMSEARCH_LSH,
+    "bm25_search": SQL_BM25_SEARCH,
     "text_stats": SQL_TEXT_STATS,
     "text_subword_count": SQL_TEXT_SUBWORD_COUNT,
     "text_quality": SQL_TEXT_QUALITY,

@@ -46,6 +46,7 @@ from goose_parser_spark.ops.metadata import (
     extract_image_text_pairs,
     extract_page_metadata,
 )
+from goose_parser_spark.ops.retrieval import bm25_topk
 from goose_parser_spark.ops.multimodal import phash_stub
 from goose_parser_spark.ops.sketches import (
     count_min_build,
@@ -124,6 +125,6 @@ __all__ = [
     "hamming_pairs", "line_corpus_dedup", "decontaminate_exact", "anchor_text_stats",
     "parse_cdx", "sitemap_urls", "schedule_frontier", "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
-    "extract_image_text_pairs", "perplexity_buckets",
+    "extract_image_text_pairs", "perplexity_buckets", "bm25_topk",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]

@@ -1,0 +1,89 @@
+"""Lexical retrieval: BM25 top-k search over the corpus.
+
+The lexical complement to the embedding ANN operators (public
+knowledge: Robertson/Zaragoza BM25, with the Lucene idf variant
+``ln(1 + (N - df + 0.5)/(df + 0.5))``). Used in data pipelines for
+quality probes ("which training docs answer this eval question" —
+contamination triage), corpus search, and hard-negative mining.
+
+Scale shape (the inverted-index plan, no index structure needed):
+postings ``(term, doc, tf)`` are one explode + hash-agg; document
+frequencies one agg over postings; the query-term table is tiny and
+joins postings on the term key — the only corpus-sized shuffle is
+keyed by term, exactly an inverted-index build. Top-k per query is a
+window over the bounded query partition.
+
+Determinism: per-(doc, term) BM25 contributions are rounded to
+integer MICRO-units and summed as BIGINTs (the
+:func:`goose_parser_spark.ops.textstats.unigram_logprob` trick), so
+parallel summation order cannot perturb scores and a DuckDB oracle
+reproduces rankings bit-for-bit; ties break by doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``k1_milli``/``b_milli``: the k1/b parameters in thousandths
+    (1200/750 = the standard 1.2/0.75) — integer knobs keep the
+    configuration itself exactly reproducible.
+
+    Columns: ``query_id, rank (1-based), doc_id, score_micro``
+    (BM25 × 10^6, integer).
+    """
+    k1 = k1_milli / 1000.0
+    b = b_milli / 1000.0
+    tok = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc"),
+                       F.explode(tok).alias("t"))
+    postings = base.groupBy("doc", "t").agg(F.count("*").alias("tf"))
+    doclen = base.groupBy("doc").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(F.count("*").alias("n_docs"),
+                       F.sum("dl").alias("sum_dl"))
+    dfreq = postings.groupBy("t").agg(F.count("*").alias("df_"))
+
+    qt = (queries.select(F.col(query_id_col).alias("qid"),
+                         F.explode(F.array_distinct(
+                             F.filter(F.split(F.col(query_col), r"\s+"),
+                                      lambda t: t != ""))).alias("t")))
+
+    # per-(doc, term) contribution in integer micro-units; the 1-row
+    # stats side is an explicit tiny cross join (not a collect)
+    j = (qt.join(postings, on="t")
+         .join(dfreq, on="t")
+         .join(doclen, on="doc")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df_") + 0.5)
+        / (F.col("df_") + 0.5))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    tf = F.col("tf").cast("double")
+    contrib = idf * tf * (k1 + 1.0) / (
+        tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    per_term = j.select(
+        "qid", "doc",
+        F.round(contrib * 1_000_000).cast("long").alias("c"))
+    scored = (per_term.groupBy("qid", "doc")
+              .agg(F.sum("c").alias("score_micro")))
+    w = Window.partitionBy("qid").orderBy(F.col("score_micro").desc(),
+                                          F.col("doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias(query_id_col),
+                    F.col("rank"),
+                    F.col("doc").alias(id_col),
+                    "score_micro"))
