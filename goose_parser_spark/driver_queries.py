@@ -520,6 +520,50 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (ops/textstats.py split_sentences) over
+    synthesized punctuated docs (testdata text carries no sentence
+    punctuation); every 11th doc is punctuation-free and must come
+    back as one sentence. Map-only."""
+    from goose_parser_spark.ops.textstats import split_sentences
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    punct = F.concat(
+        F.lit("Alpha fact "), s, F.lit(". Beta note "),
+        (d % 7).cast("string"), F.lit("! Gamma query "),
+        (d % 5).cast("string"), F.lit("? tail words here"))
+    lined = docs.select(
+        "doc_id",
+        F.when(d % 11 == 0, F.col("text")).otherwise(punct).alias("text"))
+    return split_sentences(lined)
+
+
+SQL_SPLIT_SENTENCES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text
+              ELSE 'Alpha fact ' || doc_id || '. Beta note ' ||
+                   (doc_id % 7) || '! Gamma query ' || (doc_id % 5) ||
+                   '? tail words here'
+         END AS text
+  FROM docs_amp
+), m AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(30), 'g'),
+             chr(30)),
+           s -> trim(s) <> '') AS ss
+  FROM lined
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS sent_id, ss[i] AS sentence,
+       CAST(len(list_filter(string_split_regex(ss[i], '\\s+'),
+                            t -> t <> '')) AS INT) AS n_tokens
+FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM m)
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-k retrieval (ops/retrieval.py bm25_topk) —
     the inverted-index plan over the corpus; queries are the first 3
@@ -3288,6 +3332,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "split_sentences": q_split_sentences,
     "simsearch_lsh": q_simsearch_lsh,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
@@ -3361,6 +3406,7 @@ ORACLES: dict[str, str] = {
     "simsearch_topk": SQL_SIMSEARCH_TOPK,
     "simsearch_lsh": SQL_SIMSEARCH_LSH,
     "bm25_search": SQL_BM25_SEARCH,
+    "split_sentences": SQL_SPLIT_SENTENCES,
     "text_stats": SQL_TEXT_STATS,
     "text_subword_count": SQL_TEXT_SUBWORD_COUNT,
     "text_quality": SQL_TEXT_QUALITY,

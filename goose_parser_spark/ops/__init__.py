@@ -87,6 +87,7 @@ from goose_parser_spark.ops.similarity import (
 )
 from goose_parser_spark.ops.textstats import (
     perplexity_buckets,
+    split_sentences,
     c4_line_filter,
     chunk_documents,
     classifier_score,
@@ -126,5 +127,6 @@ __all__ = [
     "parse_cdx", "sitemap_urls", "schedule_frontier", "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
     "extract_image_text_pairs", "perplexity_buckets", "bm25_topk",
+    "split_sentences",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]

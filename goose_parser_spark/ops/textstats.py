@@ -536,3 +536,34 @@ def perplexity_buckets(
                     F.when(c <= F.col("_t1"), F.lit("head"))
                      .when(c <= F.col("_t2"), F.lit("middle"))
                      .otherwise(F.lit("tail")).alias("bucket")))
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rule-based sentence segmentation: boundaries at ``. ! ?`` runs
+    followed by whitespace (the lightweight rule used for sub-document
+    processing granularity — sentence-level dedup, packing units,
+    context windows). Terminal punctuation stays WITH its sentence.
+
+    Deliberately simple and documented as such: abbreviations
+    ("Dr. Smith") and decimal points inside tokens split wrongly —
+    the rule is a deterministic, cross-engine-reproducible baseline
+    (the oracle replays the same regex), not a learned segmenter.
+
+    Map-only: one regexp projection (a ``\\x1e`` record-separator
+    sentinel marks boundaries, then one split) + one posexplode — no
+    shuffle. Columns: ``doc_id, sent_id (0-based), sentence,
+    n_tokens``.
+    """
+    c = F.col(text_col)
+    marked = F.regexp_replace(c, r"([.!?]+)\s+", "$1\u001e")
+    sents = F.filter(F.split(marked, "\u001e"),
+                     lambda s: F.trim(s) != "")
+    out = df.select(F.col(id_col),
+                    F.posexplode(sents).alias("sent_id", "sentence"))
+    n_tok = F.size(F.filter(F.split(F.col("sentence"), r"\s+"),
+                            lambda t: t != ""))
+    return out.withColumn("n_tokens", n_tok)

@@ -244,3 +244,21 @@ def test_perplexity_buckets_terciles(spark):
     by_id = {r["doc_id"]: r["bucket"] for r in out}
     assert by_id[0] == "head" and by_id[29] == "tail"
     assert by_id[100] == "head" and by_id[129] == "tail"
+
+
+def test_split_sentences_rules(spark):
+    from goose_parser_spark.ops.textstats import split_sentences
+    df = spark.createDataFrame(
+        [(1, "First sentence. Second one! Is this third? yes."),
+         (2, "no punctuation at all"),
+         (3, "Trailing space after end. ")],
+        ["doc_id", "text"])
+    out = {}
+    for r in split_sentences(df).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["sent_id"], r["sentence"], r["n_tokens"]))
+    assert out[1] == [(0, "First sentence.", 2), (1, "Second one!", 2),
+                      (2, "Is this third?", 3), (3, "yes.", 1)]
+    assert out[2] == [(0, "no punctuation at all", 4)]
+    # terminal punctuation at end-of-text: no empty trailing sentence
+    assert out[3] == [(0, "Trailing space after end.", 4)]
