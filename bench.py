@@ -384,7 +384,8 @@ def main() -> int:
         "line_dedup", "sitemap_parse", "cdx_parse", "anchor_text",
         "extract_metadata", "decontaminate", "dedup_minhash_md5",
         "dedup_simhash_md5", "frontier_schedule", "ccnet_buckets",
-        "imgtext_pairs", "i1_bucketing_md5",
+        "imgtext_pairs", "i1_bucketing_md5", "bm25_search",
+        "split_sentences",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:
