@@ -385,7 +385,7 @@ def main() -> int:
         "extract_metadata", "decontaminate", "dedup_minhash_md5",
         "dedup_simhash_md5", "frontier_schedule", "ccnet_buckets",
         "imgtext_pairs", "i1_bucketing_md5", "bm25_search",
-        "split_sentences",
+        "split_sentences", "normalize_nfc",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

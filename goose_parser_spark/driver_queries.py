@@ -520,6 +520,29 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (ops/textstats.py normalize_text_nfc)
+    over text carrying explicitly DECOMPOSED sequences (e +
+    U+0301, i + U+0308): CPython unicodedata vs DuckDB utf8proc —
+    a genuine cross-library differential, not a reconstruction."""
+    from goose_parser_spark.ops.textstats import normalize_text_nfc
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    text = F.concat(F.lit("cafe\u0301 "), s,
+                    F.lit(" nai\u0308ve te\u0301st "), F.col("text"))
+    return normalize_text_nfc(docs.select("doc_id", text.alias("text")))
+
+
+SQL_NORMALIZE_NFC = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       nfc_normalize('cafe' || chr(769) || ' ' || doc_id ||
+                     ' nai' || chr(776) || 've te' || chr(769) ||
+                     'st ' || text) AS text
+FROM docs_amp
+"""
+
+
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (ops/textstats.py split_sentences) over
     synthesized punctuated docs (testdata text carries no sentence
@@ -3332,6 +3355,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, family already hash-green in-window:
+    "normalize_nfc": q_normalize_nfc,
     "split_sentences": q_split_sentences,
     "simsearch_lsh": q_simsearch_lsh,
     "decontaminate": q_decontaminate,
@@ -3407,6 +3431,7 @@ ORACLES: dict[str, str] = {
     "simsearch_lsh": SQL_SIMSEARCH_LSH,
     "bm25_search": SQL_BM25_SEARCH,
     "split_sentences": SQL_SPLIT_SENTENCES,
+    "normalize_nfc": SQL_NORMALIZE_NFC,
     "text_stats": SQL_TEXT_STATS,
     "text_subword_count": SQL_TEXT_SUBWORD_COUNT,
     "text_quality": SQL_TEXT_QUALITY,

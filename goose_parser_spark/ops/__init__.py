@@ -86,6 +86,7 @@ from goose_parser_spark.ops.similarity import (
     lsh_cosine_topk,
 )
 from goose_parser_spark.ops.textstats import (
+    normalize_text_nfc,
     perplexity_buckets,
     split_sentences,
     c4_line_filter,
@@ -127,6 +128,6 @@ __all__ = [
     "parse_cdx", "sitemap_urls", "schedule_frontier", "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
     "extract_image_text_pairs", "perplexity_buckets", "bm25_topk",
-    "split_sentences",
+    "split_sentences", "normalize_text_nfc",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
 ]

@@ -567,3 +567,42 @@ def split_sentences(
     n_tok = F.size(F.filter(F.split(F.col("sentence"), r"\s+"),
                             lambda t: t != ""))
     return out.withColumn("n_tokens", n_tok)
+
+
+def normalize_text_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization (the canonical-composition pass CCNet
+    applies before hashing — public knowledge: decomposed sequences
+    like ``e`` + COMBINING ACUTE and precomposed ``é`` must hash
+    identically or every dedup/fingerprint operator silently treats
+    them as different text).
+
+    Spark has no built-in normalizer, so this is one of the few
+    sanctioned Python points: Arrow-batched ``mapInPandas`` over
+    ``unicodedata.normalize`` (C-implemented, no per-row Python
+    bytecode beyond the map call). The DuckDB oracle replays it with
+    ``nfc_normalize`` — a genuine cross-library differential (CPython
+    unicodedata vs DuckDB's utf8proc).
+
+    Columns: ``doc_id, text`` (normalized).
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField(id_col, LongType(), True),
+        StructField(text_col, StringType(), True),
+    ])
+
+    def run(batches):
+        import unicodedata
+        norm = unicodedata.normalize
+        for pdf in batches:
+            out = pdf[[id_col, text_col]].copy()
+            out[text_col] = out[text_col].map(
+                lambda t: norm("NFC", t) if t is not None else None)
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

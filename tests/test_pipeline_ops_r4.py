@@ -262,3 +262,16 @@ def test_split_sentences_rules(spark):
     assert out[2] == [(0, "no punctuation at all", 4)]
     # terminal punctuation at end-of-text: no empty trailing sentence
     assert out[3] == [(0, "Trailing space after end.", 4)]
+
+
+def test_normalize_text_nfc_composes_combining_marks(spark):
+    from goose_parser_spark.ops.textstats import normalize_text_nfc
+    rows = [(1, "café naïve"),   # decomposed -> composed
+            (2, "plain ascii"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in normalize_text_nfc(df).collect()}
+    assert out[1] == "café naïve"
+    assert out[2] == "plain ascii"
+    assert out[3] is None
