@@ -731,7 +731,14 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
             fast = index.candidates_simple(steps[0][1])
             if fast is not None:
                 if ctx_is_root:
-                    return fast
+                    # copy: candidates_simple may return the index's
+                    # internal pool by reference; callers are allowed
+                    # to mutate (sort/reverse) select results, which
+                    # would otherwise corrupt the shared index and the
+                    # _DocContext memo. A list copy is still far
+                    # cheaper than the per-element match loop this
+                    # path replaces.
+                    return list(fast)
                 ctx = roots[0]
                 out = []
                 for el in fast:

@@ -95,17 +95,23 @@ def parse_cdx(
     pushdown on the output columns still works because the projection
     is deterministic and per-row.
     """
+    # F.get (not parts[i]): bare array indexing raises
+    # INVALID_ARRAY_INDEX under ANSI mode on lines with fewer than 3
+    # space-separated fields; F.get degrades to NULL. Likewise
+    # try_cast for status/length/offset — CDX revisit records carry
+    # status "-" which a plain cast would throw on.
     parts = F.split(F.col(line_col), " ", 3)
-    j = parts[2]
+    j = F.get(parts, 2)
     return df.select(
-        parts[0].alias("urlkey"),
-        F.try_to_timestamp(parts[1], F.lit("yyyyMMddHHmmss")).alias("ts"),
+        F.get(parts, 0).alias("urlkey"),
+        F.try_to_timestamp(F.get(parts, 1),
+                           F.lit("yyyyMMddHHmmss")).alias("ts"),
         F.get_json_object(j, "$.url").alias("url"),
         F.get_json_object(j, "$.mime").alias("mime"),
-        F.get_json_object(j, "$.status").cast("int").alias("status"),
+        F.get_json_object(j, "$.status").try_cast("int").alias("status"),
         F.get_json_object(j, "$.digest").alias("digest"),
-        F.get_json_object(j, "$.length").cast("bigint").alias("length"),
-        F.get_json_object(j, "$.offset").cast("bigint").alias("offset"),
+        F.get_json_object(j, "$.length").try_cast("bigint").alias("length"),
+        F.get_json_object(j, "$.offset").try_cast("bigint").alias("offset"),
         F.get_json_object(j, "$.filename").alias("filename"),
     )
 
@@ -151,5 +157,9 @@ def schedule_frontier(
             .withColumn("fetch_slot",
                         (F.row_number().over(w) - 1).cast("long"))
             .select(F.col(url_col), F.col(host_col), "fetch_slot",
-                    (F.col("fetch_slot") * delay_ms).cast("long")
-                    .alias("start_offset_ms")))
+                    # round before the cast: (slot * delay) in double
+                    # can land at 299.999... ms for non-binary delays
+                    # (crawl_delay=0.3); a bare cast truncates to 299
+                    # where the oracle (and intuition) round to 300.
+                    F.round(F.col("fetch_slot") * delay_ms)
+                    .cast("long").alias("start_offset_ms")))

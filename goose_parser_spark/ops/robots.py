@@ -156,7 +156,13 @@ def parse_robots_directives_text(
     ``Sitemap:`` lines are host-global (the de-facto sitemaps.org
     extension — they live outside user-agent groups); ``Crawl-delay``
     is per-group (non-RFC-9309 but honored by most crawlers): the
-    specific-agent group's value wins over ``*``'s. Unparseable delay
+    specific-agent group's value wins over ``*``'s. When the same
+    agent token heads more than one group, the LAST group's delay
+    wins (the convention most crawlers follow — later declarations
+    override earlier ones). ANY non-``User-agent`` directive — not
+    just allow/disallow/crawl-delay — terminates a run of consecutive
+    ``User-agent`` lines, so an interleaved ``Sitemap:`` line does not
+    merge two groups the spec treats as distinct. Unparseable delay
     values are ignored."""
     sitemaps: list[str] = []
     delays: dict[str, float] = {}
@@ -174,19 +180,18 @@ def parse_robots_directives_text(
                 current = []
                 rules_started = False
             current.append(val.lower())
-        elif key == "sitemap":
-            if val:
-                sitemaps.append(val)
-        elif key in ("allow", "disallow"):
+        else:
             rules_started = True
-        elif key == "crawl-delay":
-            rules_started = True
-            try:
-                d = float(val)
-            except ValueError:
-                continue
-            for a in current or ["*"]:
-                delays.setdefault(a, d)
+            if key == "sitemap":
+                if val:
+                    sitemaps.append(val)
+            elif key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                for a in current or ["*"]:
+                    delays[a] = d
     delay = delays.get(agent.lower(), delays.get("*"))
     return sitemaps, delay
 

@@ -58,6 +58,48 @@ def test_parse_cdx_typed_fields_and_torn_lines(spark):
     assert torn["urlkey"] == "torn"  # row survives, fields NULL
 
 
+def test_parse_cdx_short_lines_and_unparsable_numerics(spark):
+    """ANSI-mode safety: lines with FEWER than 3 space-separated
+    fields must degrade to NULL columns (F.get, not bare array
+    indexing, which raises INVALID_ARRAY_INDEX under Spark 4 ANSI),
+    and non-numeric status/length/offset (CDX revisit records carry
+    status '-') must try_cast to NULL, not throw."""
+    from goose_parser_spark.ops.crawl import parse_cdx
+    lines = [
+        ("justonefield",),
+        ("two fields",),
+        ("",),
+        ('org,example)/ 20240101120000 {"url": "https://example.org/", '
+         '"status": "-", "length": "n/a", "offset": "-"}',),
+    ]
+    out = parse_cdx(spark.createDataFrame(lines, ["line"])).collect()
+    one, two, empty, revisit = out
+    assert one["urlkey"] == "justonefield"
+    assert one["ts"] is None and one["url"] is None
+    assert two["urlkey"] == "two" and two["url"] is None
+    assert empty["url"] is None and empty["status"] is None
+    assert revisit["url"] == "https://example.org/"
+    assert revisit["status"] is None          # '-' -> NULL, no throw
+    assert revisit["length"] is None and revisit["offset"] is None
+
+
+def test_schedule_frontier_fractional_delay_rounds(spark):
+    """crawl_delay=0.3 → 300 ms per slot: the double product lands at
+    299.999... for slot 1; the offset must round (not truncate)."""
+    from goose_parser_spark.ops.crawl import schedule_frontier
+    fr = spark.createDataFrame(
+        [(f"https://f.test/{i}", "f.test", 0) for i in range(4)],
+        "url string, host string, priority int")
+    dl = spark.createDataFrame([("f.test", 0.3)],
+                               "host string, crawl_delay double")
+    out = {r["url"]: r["start_offset_ms"]
+           for r in schedule_frontier(fr, dl).collect()}
+    assert out["https://f.test/0"] == 0
+    assert out["https://f.test/1"] == 300
+    assert out["https://f.test/2"] == 600
+    assert out["https://f.test/3"] == 900
+
+
 def test_anchor_text_stats_dedup_sort_cap_and_blanks(spark):
     from goose_parser_spark.ops.linkgraph import anchor_text_stats
     links = [("p1", "t", "b"), ("p1", "t", "a"), ("p2", "t", "a"),

@@ -96,3 +96,38 @@ def test_robots_directives_sitemaps_and_crawl_delay(spark):
     assert out["b.test"]["sitemaps"] == []
     assert out["b.test"]["crawl_delay"] is None
     assert out["c.test"]["crawl_delay"] is None  # unparseable ignored
+
+
+def test_robots_directives_last_group_wins_and_sitemap_splits_groups():
+    """Same agent heading two groups: the LAST group's Crawl-delay
+    wins (crawler convention: later declarations override). An
+    interleaved Sitemap: line terminates a run of User-agent lines —
+    the groups it separates must NOT merge."""
+    from goose_parser_spark.ops.robots import parse_robots_directives_text
+
+    # last-wins: '*' appears in two groups with different delays
+    body = ("User-agent: *\n"
+            "Crawl-delay: 1\n"
+            "Disallow: /a\n"
+            "\n"
+            "User-agent: *\n"
+            "Crawl-delay: 7\n"
+            "Disallow: /b\n")
+    _, delay = parse_robots_directives_text(body, "*")
+    assert delay == 7.0
+
+    # Sitemap: between two User-agent lines starts the rules section
+    # of the first group, so 'slowbot' opens a NEW group and must not
+    # inherit '*'-group membership for the first Crawl-delay.
+    body2 = ("User-agent: *\n"
+             "Sitemap: https://x.test/sm.xml\n"
+             "User-agent: slowbot\n"
+             "Crawl-delay: 9\n")
+    sms, d_star = parse_robots_directives_text(body2, "*")
+    _, d_slow = parse_robots_directives_text(body2, "slowbot")
+    assert sms == ["https://x.test/sm.xml"]
+    assert d_slow == 9.0
+    # '*' group ended at the Sitemap line; 9 belongs to slowbot only,
+    # so '*' has no delay of its own... but slowbot's group IS the
+    # fallback-free lookup: '*' resolves to None.
+    assert d_star is None

@@ -223,6 +223,25 @@ def test_indexed_property_random_doms(html, tag, cls):
         [e.order for e in select(root, sel)]
 
 
+def test_indexed_fast_path_result_is_mutation_safe():
+    """The simple-compound root-context fast path must return a COPY,
+    not the index's internal pool: a caller sorting/reversing the
+    result must not corrupt the shared DocIndex for later queries."""
+    idx = DocIndex(DOC)
+    first = select_indexed(idx, DOC, "p")
+    expect = [e.order for e in first]
+    first.reverse()
+    first.append(None)           # worst-case caller abuse
+    again = [e.order for e in select_indexed(idx, DOC, "p")]
+    assert again == expect
+    # same for pure-class and universal pools
+    for sel in [".a", "*"]:
+        res = select_indexed(idx, DOC, sel)
+        orders = [e.order for e in res]
+        res.clear()
+        assert [e.order for e in select_indexed(idx, DOC, sel)] == orders
+
+
 # --- universe-restricted DocIndex -------------------------------------------
 
 from goose_parser_spark.dom.selector import index_keys
