@@ -654,6 +654,108 @@ FROM ranked WHERE rk <= 5
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + exact-cosine embedding leg
+    fused by reciprocal-rank fusion (ops/retrieval.py rrf_fuse,
+    SIGIR'09). Queries are every 97th doc: lexical query = its first 3
+    tokens; semantic query = its embedding (vec_id aligns with doc_id
+    in the test tables). Both legs are bounded top-10 lists; fusion is
+    integer micro-units, bit-reproducible in DuckDB."""
+    from goose_parser_spark.ops.retrieval import bm25_topk, rrf_fuse
+    from goose_parser_spark.ops.similarity import cosine_topk_multi
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdocs = docs.where(F.col("doc_id") % 97 == 0)
+    lex_qs = qdocs.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3),
+                     " ").alias("query"))
+    lex = bm25_topk(docs.select("doc_id", "text"), lex_qs, k=10)
+    sem_qs = (emb.where(F.col("vec_id") % 97 == 0)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+    sem = (cosine_topk_multi(emb, sem_qs, k=10)
+           .select("query_id", "rank", F.col("vec_id").alias("doc_id")))
+    return rrf_fuse([lex.select("query_id", "rank", "doc_id"), sem],
+                    k=10)
+
+
+SQL_HYBRID_SEARCH = """
+WITH tok AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+), postings AS (
+  SELECT doc, t, count(*) AS tf FROM tok GROUP BY 1, 2
+), doclen AS (
+  SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl
+  FROM doclen
+), dfreq AS (
+  SELECT t, count(*) AS df_ FROM postings GROUP BY 1
+), qs AS (
+  SELECT doc_id AS qid,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS q
+  FROM documents WHERE doc_id % 97 = 0
+), qt AS (
+  SELECT DISTINCT qid,
+         unnest(list_distinct(list_filter(
+             string_split_regex(q, '\\s+'), x -> x != ''))) AS t
+  FROM qs
+), j AS (
+  SELECT qt.qid, p.doc, p.tf, d.df_, l.dl, s.n_docs, s.sum_dl
+  FROM qt JOIN postings p USING (t)
+  JOIN dfreq d USING (t)
+  JOIN doclen l ON l.doc = p.doc
+  CROSS JOIN stats s
+), per_term AS (
+  SELECT qid, doc,
+         CAST(round(
+           ln(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+           * 1000000) AS BIGINT) AS c
+  FROM j
+), lex_scored AS (
+  SELECT qid, doc, sum(c) AS score FROM per_term GROUP BY 1, 2
+), lex AS (
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc) AS rank
+  FROM lex_scored QUALIFY rank <= 10
+), sem_scored AS (
+  SELECT q.vec_id AS qid, e.vec_id AS doc,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 4)
+             AS sim
+  FROM embeddings e, (SELECT * FROM embeddings
+                      WHERE vec_id % 97 = 0) q
+), sem AS (
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, doc) AS rank
+  FROM sem_scored QUALIFY rank <= 10
+), legs AS (
+  SELECT qid, doc, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c
+  FROM lex
+  UNION ALL
+  SELECT qid, doc, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c
+  FROM sem
+), fused AS (
+  SELECT qid, doc, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         count(*) AS n_lists
+  FROM legs GROUP BY 1, 2
+)
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf_micro DESC, doc) AS INT)
+           AS rank,
+       doc AS doc_id, rrf_micro, n_lists
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
@@ -2081,6 +2183,56 @@ FROM ntok n LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal exact duplicate-substring removal (ops/dedup.py
+    substring_dedup_exact — the Lee et al. 2022 ExactSubstr semantics
+    on a k-gram grid): every ≥k-token run occurring more than once in
+    the corpus survives only at its minimal (doc_id, position)
+    occurrence. Uses the UNVARIED ×23 amplification — replicas are
+    full duplicates, so the canonical replica keeps its text and the
+    other 22 are scrubbed, plus whatever natural cross-doc runs exist.
+    k=8 at test scale (production default 50)."""
+    from goose_parser_spark.ops.dedup import substring_dedup_exact
+    docs = _documents_amplified(spark, sf_dir)
+    return substring_dedup_exact(docs.select("doc_id", "text"), k=8)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH {_SQL_DOCS_AMP_COPY}, tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs_amp
+), occ AS (
+  SELECT doc_id, i, substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        FROM tok WHERE len(w) >= 8)
+), ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS c
+  FROM occ
+), spans AS (
+  SELECT DISTINCT doc_id, i FROM ranked WHERE c > 1 AND rn > 1
+), toks AS (
+  SELECT doc_id, p, w[p] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM tok)
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM toks t
+  LEFT JOIN spans m
+    ON m.doc_id = t.doc_id AND m.i BETWEEN t.p - 7 AND t.p
+  WHERE m.i IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), ntok AS (
+  SELECT doc_id, len(w) AS n_tok FROM tok
+)
+SELECT n.doc_id,
+       coalesce(r.text, '') AS text,
+       CAST(n.n_tok - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM ntok n LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage check: winnow-fingerprint overlap between a
     'train' half and an 'eval' half of the corpus (even/odd doc_ids —
@@ -3358,6 +3510,8 @@ QUERIES: dict[str, QueryFn] = {
     "normalize_nfc": q_normalize_nfc,
     "split_sentences": q_split_sentences,
     "simsearch_lsh": q_simsearch_lsh,
+    "substring_dedup": q_substring_dedup,
+    "hybrid_search": q_hybrid_search,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,
@@ -3463,6 +3617,8 @@ ORACLES: dict[str, str] = {
     "extract_markdown": SQL_EXTRACT_MARKDOWN,
     "extract_metadata": SQL_EXTRACT_METADATA,
     "contamination": SQL_CONTAMINATION,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "hybrid_search": SQL_HYBRID_SEARCH,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,

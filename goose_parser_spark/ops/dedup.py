@@ -618,6 +618,68 @@ def hamming_pairs(
     return out
 
 
+def substring_dedup_exact(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-INTERNAL exact duplicate-substring removal — the
+    distributed counterpart of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") ExactSubstr: any
+    token run of ≥ k tokens that occurs more than once in the corpus
+    (across documents or within one) is kept ONLY at its canonical
+    occurrence — the minimal ``(doc_id, position)`` — and removed
+    everywhere else. The paper builds a suffix array; at cluster scale
+    a token-k-gram grid is the shuffle-friendly equivalent: a
+    duplicated run of length L ≥ k is covered by L−k+1 duplicated
+    k-grams, so every token of each NON-canonical copy sits under a
+    non-canonical gram occurrence and is removed, while the canonical
+    copy's grams are all rank-1 and survive. Resolution is k (runs
+    shorter than k are never touched); periodic text self-overlaps
+    collapse to their first period, same as the suffix-array method.
+
+    Plan (never all-pairs, never text on a shuffle): posexplode word
+    k-grams once to ``(g=md5-16, doc_id, i)``; one hash-agg per gram —
+    ``min(struct(doc_id, i))`` + count, map-side combined, so a
+    boilerplate gram with millions of occurrences still arrives at
+    the reducer as partial minima, not a sorted window partition;
+    join occurrences back on ``g`` (AQE handles residual skew), keep
+    rank>1 occurrences as removal spans; fold to ONE sorted
+    span-start array per doc; removal is then a pure projection
+    (higher-order filter), exactly like
+    :func:`decontaminate_exact`'s tail.
+
+    A fully-duplicated document survives with empty text (drops stay
+    explicit downstream). Columns: ``doc_id, text, n_removed``.
+    """
+    gram = lambda s: F.substring(F.md5(s), 1, 16)  # noqa: E731
+    occ = (df.where(F.size(tokens(text_col)) >= k)
+           .select(F.col(id_col),
+                   F.posexplode(shingles(text_col, k)).alias("p0", "s"))
+           .select(id_col, (F.col("p0") + 1).alias("i"),
+                   gram(F.col("s")).alias("g")))
+    canon = (occ.groupBy("g")
+             .agg(F.min(F.struct(F.col(id_col), F.col("i"))).alias("_c"),
+                  F.count("*").alias("_n"))
+             .where(F.col("_n") > 1)
+             .select("g", "_c"))
+    spans = (occ.join(canon, on="g")
+             .where(F.struct(F.col(id_col), F.col("i")) != F.col("_c"))
+             .groupBy(id_col)
+             .agg(F.sort_array(F.collect_set("i")).alias("_mi")))
+    w = F.split(F.col(text_col), " ")
+    out = df.join(spans, on=id_col, how="left")
+    mi = F.coalesce(F.col("_mi"), F.array().cast("array<int>"))
+    kept = F.filter(
+        w, lambda tok, idx: ~F.exists(
+            mi, lambda m: (m >= idx + 1 - (k - 1)) & (m <= idx + 1)))
+    return (out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        (F.size(w) - F.size(kept)).alias("n_removed")))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 3,

@@ -87,3 +87,54 @@ def bm25_topk(
                     F.col("rank"),
                     F.col("doc").alias(id_col),
                     "score_micro"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of
+    N ranked lists — the standard hybrid-retrieval combiner (lexical
+    BM25 leg + embedding-cosine leg, no score calibration needed:
+    only RANKS enter the fusion).
+
+    Per appearance the contribution is ``round(10^6 / (rrf_k + rank))``
+    in integer micro-units, summed as BIGINT — parallel summation
+    order cannot perturb fused scores, so a DuckDB oracle reproduces
+    the fused ranking bit-for-bit (same determinism recipe as
+    :func:`bm25_topk`). Ties break by doc id.
+
+    Scale shape: each input list is already top-k-per-query (bounded:
+    queries × k rows); the fusion is one union + one hash-agg + one
+    per-query window on that bounded table — corpus size never enters.
+
+    Columns: ``query_id, rank (1-based), doc_id, rrf_micro, n_lists``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if rrf_k < 0:
+        raise ValueError("rrf_k must be >= 0")
+    legs = [
+        r.select(F.col(query_id_col).alias("qid"),
+                 F.col(id_col).alias("doc"),
+                 F.round(F.lit(1_000_000.0)
+                         / (F.lit(rrf_k) + F.col(rank_col)))
+                 .cast("long").alias("c"))
+        for r in rankings
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    scored = (u.groupBy("qid", "doc")
+              .agg(F.sum("c").alias("rrf_micro"),
+                   F.count("*").alias("n_lists")))
+    w = Window.partitionBy("qid").orderBy(F.col("rrf_micro").desc(),
+                                          F.col("doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias(query_id_col), "rank",
+                    F.col("doc").alias(id_col), "rrf_micro", "n_lists"))

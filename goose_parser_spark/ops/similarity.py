@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 # one-shot flag for the implicit-approximate-default warning below
@@ -61,6 +61,47 @@ def cosine_topk(
     # orderBy+limit compiles to TakeOrderedAndProject: per-partition
     # top-k then a k-row merge on the driver — no global sort shuffle.
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query for a BOUNDED query table (the
+    batch form of :func:`cosine_topk` — eval suites, hard-negative
+    mining, hybrid-retrieval legs).
+
+    The query table is broadcast (bounded by the query workload, never
+    corpus-sized — the documented broadcast invariant); the corpus
+    side is scanned once, map-only, and the per-query top-k window
+    compiles with a WindowGroupLimit pre-trim below the exchange, so
+    the shuffle carries at most ``k`` rows per (partition, query), not
+    the corpus × queries cross product. Rounding bounds cross-engine
+    float drift for oracle comparison.
+
+    Columns: ``query_id, rank (1-based), vec_id, sim``.
+    """
+    q = queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(query_vec_col).cast("array<double>")
+                       .alias("_qv"))
+    scored = (df.crossJoin(F.broadcast(q))
+              .select(F.col("_qid"),
+                      F.col(id_col),
+                      F.round(cosine_similarity(
+                          F.col(vec_col).cast("array<double>"),
+                          F.col("_qv")), round_to).alias("sim")))
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(),
+                                           F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id_col), "rank",
+                    F.col(id_col), "sim"))
 
 
 def _hyperplane(plane: int, dim: int) -> float:

@@ -1,0 +1,117 @@
+"""Round-5 pipeline operators: corpus-internal exact substring dedup,
+hybrid-retrieval rank fusion, BPE tokenizer training, embedding
+outlier pruning."""
+
+from pyspark.sql import functions as F
+
+
+def test_substring_dedup_cross_doc_canonical_keeps_first(spark):
+    """A duplicated ≥k-token run survives only at its minimal
+    (doc_id, position) occurrence; every other copy is removed
+    token-for-token. Unique text is untouched."""
+    from goose_parser_spark.ops.dedup import substring_dedup_exact
+    dup = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame([
+        (1, f"intro one {dup} outro one"),
+        (2, f"{dup} something entirely different afterwards"),
+        (3, "no duplicated runs in this document at all"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in substring_dedup_exact(df, k=5).collect()}
+    # canonical occurrence: doc 1 (min doc_id) keeps the run
+    assert out[1]["text"] == f"intro one {dup} outro one"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "something entirely different afterwards"
+    assert out[2]["n_removed"] == 5
+    assert out[3]["n_removed"] == 0
+
+
+def test_substring_dedup_within_doc_and_full_dup(spark):
+    """Within-doc repeats keep the first occurrence; a document that
+    is entirely a copy of an earlier one survives with empty text;
+    docs shorter than k are never touched."""
+    from goose_parser_spark.ops.dedup import substring_dedup_exact
+    run = "p q r s t"
+    df = spark.createDataFrame([
+        (1, f"{run} filler words here {run}"),
+        (2, run),                      # full copy of doc 1's run
+        (3, "tiny"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in substring_dedup_exact(df, k=5).collect()}
+    assert out[1]["text"] == f"{run} filler words here"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 5
+    assert out[3]["text"] == "tiny" and out[3]["n_removed"] == 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fused score = Σ round(1e6/(60+rank)); a doc on both lists beats
+    a slightly-higher single-list doc; ties break by doc id."""
+    from goose_parser_spark.ops.retrieval import rrf_fuse
+    lex = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20), ("q", 3, 30)],
+        "query_id string, rank int, doc_id int")
+    sem = spark.createDataFrame(
+        [("q", 1, 20), ("q", 2, 40), ("q", 3, 30)],
+        "query_id string, rank int, doc_id int")
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], k=10).collect()}
+    # doc 20: rank2 lex + rank1 sem = 16129 + 16393 = 32522
+    assert out[20]["rrf_micro"] == round(1e6 / 62) + round(1e6 / 61)
+    assert out[20]["rank"] == 1 and out[20]["n_lists"] == 2
+    # doc 30: rank3 both = 15873*2 = 31746 > doc 10's single 16393
+    assert out[30]["rank"] == 2
+    assert out[10]["rank"] == 3 and out[10]["n_lists"] == 1
+    assert out[40]["n_lists"] == 1
+
+
+def test_rrf_fuse_validation(spark):
+    import pytest
+    from goose_parser_spark.ops.retrieval import rrf_fuse
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    df = spark.createDataFrame([("q", 1, 1)],
+                               "query_id string, rank int, doc_id int")
+    with pytest.raises(ValueError):
+        rrf_fuse([df], rrf_k=-1)
+
+
+def test_cosine_topk_multi_matches_single(spark):
+    """Batch top-k must equal the single-query operator run per
+    query, with 1-based dense ranks."""
+    from goose_parser_spark.ops.similarity import (
+        cosine_topk, cosine_topk_multi)
+    vecs = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    qs = emb.where(F.col("vec_id") % 13 == 0) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+    multi = cosine_topk_multi(emb, qs, k=5).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 13, 26, 39}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        qvec = vecs[qid][1]
+        single = cosine_topk(emb, qvec, k=5).collect()
+        assert [(r["vec_id"], r["sim"]) for r in rows] == \
+            [(s["vec_id"], s["sim"]) for s in single]
+
+
+def test_substring_dedup_long_run_fully_removed(spark):
+    """A duplicated run LONGER than k is removed in full from the
+    non-canonical copy (every token is covered by some duplicated
+    k-gram), not just the first k tokens."""
+    from goose_parser_spark.ops.dedup import substring_dedup_exact
+    run = "one two three four five six seven eight"     # 8 tokens
+    df = spark.createDataFrame([
+        (1, f"{run} tail a"),
+        (2, f"head b {run}"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in substring_dedup_exact(df, k=4).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "head b"
+    assert out[2]["n_removed"] == 8
