@@ -386,6 +386,7 @@ def main() -> int:
         "dedup_simhash_md5", "frontier_schedule", "ccnet_buckets",
         "imgtext_pairs", "i1_bucketing_md5", "bm25_search",
         "split_sentences", "normalize_nfc",
+        "substring_dedup", "hybrid_search", "bpe_train",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

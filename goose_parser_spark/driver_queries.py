@@ -407,6 +407,18 @@ WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (ops/bpe.py train_bpe, Sennrich'16):
+    learn 16 merges from the UNAMPLIFIED corpus word histogram.
+    Rows-only (iterative global-argmax loop is not SQL-expressible);
+    the algorithm is pytest-verified against an independent pure-
+    Python reference on identical inputs (tests/test_bpe.py).
+    Deterministic: ties break lexicographically on (left, right)."""
+    from goose_parser_spark.ops.bpe import train_bpe
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe(docs.select("text"), n_merges=16, top_v=5000)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64-based → no SQL oracle;
     pytest validates it against exact Jaccard (rows-only driver check)."""
@@ -3545,6 +3557,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "simsearch_ivf": q_simsearch_ivf,
     "i1_bucketing": q_i1_bucketing,
+    "bpe_train": q_bpe_train,
 }
 
 # Micro-queries whose coverage is fully subsumed by an in-window query
