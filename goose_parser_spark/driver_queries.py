@@ -768,6 +768,44 @@ QUALIFY rank <= 10
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance outlier flagging (ops/similarity.py
+    embedding_outliers, Sorscher'22 pruning signal): per-label
+    integer-micro centroids, cosine distance, exact p90 cutoff.
+    Centroid sums are BIGINT so the result is partitioning-invariant;
+    the oracle replays the identical integer pipeline in DuckDB."""
+    from goose_parser_spark.ops.similarity import embedding_outliers
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, pct=0.9)
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH comps AS (
+  SELECT label AS g, d,
+         CAST(round(embedding[d + 1] * 1000000) AS BIGINT) AS vm
+  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding,
+               unnest(range(len(embedding))) AS d
+        FROM embeddings)
+), cent AS (
+  SELECT g, list(s / n / 1e6 ORDER BY d) AS centroid
+  FROM (SELECT g, d, CAST(sum(vm) AS BIGINT) AS s, count(*) AS n
+        FROM comps GROUP BY 1, 2)
+  GROUP BY g
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 - list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
+  FROM embeddings e JOIN cent c ON c.g = e.label
+), cuts AS (
+  SELECT label, quantile_cont(dist, 0.9) AS cutoff
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, s.label, s.dist, c.cutoff,
+       s.dist > c.cutoff AS is_outlier
+FROM scored s JOIN cuts c USING (label)
+"""
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
@@ -3524,6 +3562,7 @@ QUERIES: dict[str, QueryFn] = {
     "simsearch_lsh": q_simsearch_lsh,
     "substring_dedup": q_substring_dedup,
     "hybrid_search": q_hybrid_search,
+    "embedding_outliers": q_embedding_outliers,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,
@@ -3632,6 +3671,7 @@ ORACLES: dict[str, str] = {
     "contamination": SQL_CONTAMINATION,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "hybrid_search": SQL_HYBRID_SEARCH,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,

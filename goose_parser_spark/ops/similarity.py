@@ -104,6 +104,64 @@ def cosine_topk_multi(
                     F.col(id_col), "sim"))
 
 
+def embedding_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pct: float = 0.9,
+    round_to: int = 4,
+) -> DataFrame:
+    """Prototype-distance outlier flagging per group (the pruning
+    signal of SSL-prototypes-style data curation, Sorscher et al. 2022
+    "Beyond neural scaling laws": examples far from their cluster
+    prototype are candidates to drop or down-weight; here the
+    prototype is the per-group mean embedding).
+
+    Determinism at cluster scale: per-dimension components are rounded
+    to integer MICRO-units and summed as BIGINTs, so the centroid is
+    byte-identical under any partitioning/summation order (float sums
+    are not associative; integer sums are). Cosine distance to the
+    centroid is rounded to ``round_to``; the per-group cutoff is the
+    EXACT interpolated percentile of those rounded distances — the
+    same cross-engine-stable recipe as ``corpus_percentiles``.
+
+    Plan: one posexplode to ``(group, dim, v_micro)`` (narrow rows),
+    one hash-agg to the bounded ``groups × dims`` centroid table, one
+    join of that bounded table back to the vectors (AQE broadcasts
+    it), one percentile agg on the bounded group table, one final
+    join. The corpus is scanned twice and never self-joined.
+
+    Columns: ``vec_id, <group_col>, dist, cutoff, is_outlier``.
+    """
+    if not 0.0 < pct < 1.0:
+        raise ValueError("pct must be in (0, 1)")
+    comps = (df.select(F.col(group_col).alias("g"),
+                       F.posexplode(F.col(vec_col).cast("array<double>"))
+                       .alias("d", "v"))
+             .select("g", "d",
+                     F.round(F.col("v") * 1_000_000).cast("long")
+                     .alias("vm")))
+    cent = (comps.groupBy("g", "d")
+            .agg(F.sum("vm").alias("s"), F.count("*").alias("n"))
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "s", "n")))
+                 .alias("_c"))
+            .select("g",
+                    F.expr("transform(_c, x -> x.s / x.n / 1e6)")
+                    .alias("centroid")))
+    scored = (df.join(cent, on=df[group_col] == cent["g"])
+              .select(F.col(id_col), F.col(group_col),
+                      F.round(F.lit(1.0) - cosine_similarity(
+                          F.col(vec_col).cast("array<double>"),
+                          F.col("centroid")), round_to).alias("dist")))
+    cuts = (scored.groupBy(group_col)
+            .agg(F.percentile(F.col("dist"), F.lit(pct)).alias("cutoff")))
+    return (scored.join(cuts, on=group_col)
+            .select(id_col, group_col, "dist", "cutoff",
+                    (F.col("dist") > F.col("cutoff")).alias("is_outlier")))
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random component in [-1, 1]: a fixed
     sin-hash of (plane, dim). Stable across runs/engines by

@@ -100,6 +100,27 @@ def test_cosine_topk_multi_matches_single(spark):
             [(s["vec_id"], s["sim"]) for s in single]
 
 
+def test_embedding_outliers_flags_far_points(spark):
+    """A point far from its group's centroid is flagged; tight cluster
+    members are not; groups are independent; pct validated."""
+    import pytest
+    from goose_parser_spark.ops.similarity import embedding_outliers
+    rows = [(i, "a", [1.0, 0.0 + i * 1e-4]) for i in range(9)]
+    rows.append((9, "a", [-1.0, 0.5]))            # opposite direction
+    rows += [(10 + i, "b", [0.0, 1.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_outliers(
+        df, group_col="label", pct=0.8).collect()}
+    assert out[9]["is_outlier"] is True
+    assert sum(1 for r in out.values()
+               if r["label"] == "a" and r["is_outlier"]) <= 2
+    # identical vectors in group b: dist 0 == cutoff 0 -> none flagged
+    assert all(not out[10 + i]["is_outlier"] for i in range(5))
+    with pytest.raises(ValueError):
+        embedding_outliers(df, pct=1.5)
+
+
 def test_substring_dedup_long_run_fully_removed(spark):
     """A duplicated run LONGER than k is removed in full from the
     non-canonical copy (every token is covered by some duplicated
