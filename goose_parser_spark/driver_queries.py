@@ -2233,6 +2233,39 @@ FROM ntok n LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+_MOJI_TAIL = " café — “naïve” déjà… ðŸ™‚"
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ops/textstats.py fix_mojibake): every 7th doc
+    gets a non-ASCII tail, is then CORRUPTED in-plan (UTF-8 bytes
+    re-read as Latin-1 — the classic double-encoding), and repaired.
+    Fixed-point differential oracle: DuckDB predicts that repair must
+    restore the augmented original exactly and that only corrupted
+    docs report was_mojibake (the corpus is pure ASCII otherwise, so
+    corruption is the identity there)."""
+    from goose_parser_spark.ops.textstats import mojibake_stats
+    docs = _documents_amplified(spark, sf_dir)
+    aug = F.when(F.col("doc_id") % 7 == 0,
+                 F.concat(F.col("text"), F.lit(_MOJI_TAIL))) \
+        .otherwise(F.col("text"))
+    corrupted = docs.select(
+        "doc_id",
+        F.decode(F.encode(aug, "UTF-8"), "ISO-8859-1").alias("text"))
+    return mojibake_stats(corrupted)
+
+
+SQL_FIX_MOJIBAKE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || '{_MOJI_TAIL}'
+            ELSE text END AS text,
+       doc_id % 7 = 0 AS was_mojibake
+FROM docs_amp
+"""
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal exact duplicate-substring removal (ops/dedup.py
     substring_dedup_exact — the Lee et al. 2022 ExactSubstr semantics
@@ -3563,6 +3596,7 @@ QUERIES: dict[str, QueryFn] = {
     "substring_dedup": q_substring_dedup,
     "hybrid_search": q_hybrid_search,
     "embedding_outliers": q_embedding_outliers,
+    "fix_mojibake": q_fix_mojibake,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,
@@ -3672,6 +3706,7 @@ ORACLES: dict[str, str] = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "hybrid_search": SQL_HYBRID_SEARCH,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "fix_mojibake": SQL_FIX_MOJIBAKE,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,

@@ -281,6 +281,58 @@ def clean_text(col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, r" +", " "))
 
 
+#: mojibake tell-tales: UTF-8 lead bytes read as Latin-1/cp1252 —
+#: 'Ã'/'Â' (2-byte sequences), 'â€' (the ubiquitous smart-quote/dash
+#: family), 'ðŸ' (4-byte emoji). Same pattern both engines (RE2-safe).
+MOJIBAKE_PATTERN = "Ã|Â|â€|ðŸ"
+
+
+def fix_mojibake(col: str | Column) -> Column:
+    """Repair UTF-8-decoded-as-Latin-1 mojibake ("cafÃ©" → "café"),
+    the single most common encoding corruption in web corpora (public
+    knowledge: the ftfy heuristic family). Fully JVM-side — no Python:
+
+    re-encode the string as ISO-8859-1 and re-decode as UTF-8; apply
+    the result ONLY when (a) the text shows mojibake tell-tales
+    (:data:`MOJIBAKE_PATTERN`), (b) every char is ≤ U+00FF so the
+    Latin-1 re-encode is lossless, and (c) the resulting byte stream
+    is valid UTF-8 (``is_valid_utf8``). Anything failing a guard
+    passes through unchanged — the repair can only fire where it is an
+    exact inverse. Guard ORDER is load-bearing under ANSI mode:
+    Spark's AND/CASE short-circuit per row, so ``encode`` (which
+    throws on chars > U+00FF) only evaluates behind guard (b), and
+    ``decode`` (which throws on malformed bytes) only evaluates
+    behind guard (c).
+
+    One codegen projection; safe to run corpus-wide as a map-only
+    stage before other text ops.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    latin1_bytes = F.encode(c, "ISO-8859-1")
+    return F.when(
+        c.rlike(MOJIBAKE_PATTERN)
+        & c.rlike("^[\\x00-ÿ]*$")
+        & F.is_valid_utf8(latin1_bytes),
+        F.decode(latin1_bytes, "UTF-8"),
+    ).otherwise(c)
+
+
+def mojibake_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Detect-and-repair report per document: ``doc_id, text (fixed),
+    was_mojibake (repair actually changed the text)``. A scan-level
+    projection (:func:`fix_mojibake` inlined twice; Catalyst CSEs the
+    round-trip)."""
+    fixed = fix_mojibake(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        fixed.alias(text_col),
+        (fixed != F.col(text_col)).alias("was_mojibake"))
+
+
 def chunk_documents(
     df: DataFrame,
     size: int = 64,

@@ -100,6 +100,30 @@ def test_cosine_topk_multi_matches_single(spark):
             [(s["vec_id"], s["sim"]) for s in single]
 
 
+def test_fix_mojibake_repairs_and_guards(spark):
+    """Classic double-encoding is exactly inverted; clean text (ASCII,
+    real accents, emoji, >U+00FF chars) passes through untouched; text
+    that LOOKS like mojibake but isn't valid UTF-8 bytes is left
+    alone (no-FFFD guard)."""
+    from goose_parser_spark.ops.textstats import mojibake_stats
+    good = "café — “naïve” déjà… 🙂"
+    moji = good.encode("utf-8").decode("iso-8859-1")
+    rows = [
+        (1, moji),
+        (2, "plain ascii text"),
+        (3, good),               # already correct: contains >U+00FF
+        (4, "Ã"),                # tell-tale but lone lead byte: 0xC3
+                                 # alone is invalid UTF-8 -> unchanged
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in mojibake_stats(df).collect()}
+    assert out[1]["text"] == good and out[1]["was_mojibake"] is True
+    assert out[2]["text"] == "plain ascii text"
+    assert out[2]["was_mojibake"] is False
+    assert out[3]["text"] == good and out[3]["was_mojibake"] is False
+    assert out[4]["text"] == "Ã" and out[4]["was_mojibake"] is False
+
+
 def test_embedding_outliers_flags_far_points(spark):
     """A point far from its group's centroid is flagged; tight cluster
     members are not; groups are independent; pct validated."""
