@@ -387,7 +387,7 @@ def main() -> int:
         "imgtext_pairs", "i1_bucketing_md5", "bm25_search",
         "split_sentences", "normalize_nfc",
         "substring_dedup", "hybrid_search", "bpe_train",
-        "embedding_outliers", "fix_mojibake",
+        "embedding_outliers", "fix_mojibake", "bigram_lm_score",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

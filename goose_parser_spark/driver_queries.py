@@ -2861,6 +2861,57 @@ GROUP BY doc_id
 """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (ops/textstats.py
+    bigram_logprob): P(w2|w1) = 0.8·bigram + 0.2·smoothed-unigram,
+    first token unigram-only. Integer micro-nat accumulation — the
+    whole model (counts, interpolation, log) replays in DuckDB."""
+    from goose_parser_spark.ops.textstats import bigram_logprob
+    docs = _documents_amplified(spark, sf_dir)
+    return bigram_logprob(docs.select("doc_id", "text"))
+
+
+SQL_BIGRAM_LM_SCORE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM docs_amp
+), tok AS (
+  SELECT doc_id, unnest(w) AS t FROM words
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n,
+         (SELECT count(*) FROM cnt) AS v
+), pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words
+        WHERE len(w) >= 2)
+), bc AS (
+  SELECT w1, w2, count(*) AS bc FROM pairs GROUP BY 1, 2
+), hc AS (
+  SELECT w1, count(*) AS hc FROM pairs GROUP BY 1
+), pair_lp AS (
+  SELECT p.doc_id,
+         CAST(round(ln(0.8 * b.bc / h.hc
+                       + 0.2 * (u.c + 1.0) / (t.n + t.v)) * 1000000)
+              AS BIGINT) AS lp
+  FROM pairs p JOIN bc b USING (w1, w2) JOIN hc h USING (w1)
+  JOIN cnt u ON u.t = p.w2 CROSS JOIN tot t
+), first_lp AS (
+  SELECT doc_id,
+         CAST(round(ln((u.c + 1.0) / (t.n + t.v)) * 1000000)
+              AS BIGINT) AS lp
+  FROM (SELECT doc_id, w[1] AS t FROM words WHERE len(w) >= 1) f
+  JOIN cnt u USING (t) CROSS JOIN tot t
+), allc AS (
+  SELECT * FROM first_lp UNION ALL SELECT * FROM pair_lp
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(lp) AS BIGINT) AS logprob_micro
+FROM allc GROUP BY doc_id
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partition (ops/textstats.py
     perplexity_buckets): integer per-token unigram-LM score, exact
@@ -3597,6 +3648,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search": q_hybrid_search,
     "embedding_outliers": q_embedding_outliers,
     "fix_mojibake": q_fix_mojibake,
+    "bigram_lm_score": q_bigram_lm_score,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,
@@ -3707,6 +3759,7 @@ ORACLES: dict[str, str] = {
     "hybrid_search": SQL_HYBRID_SEARCH,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "fix_mojibake": SQL_FIX_MOJIBAKE,
+    "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,

@@ -445,6 +445,86 @@ def unigram_logprob(
                  F.sum(scaled).alias("logprob_micro")))
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_milli: int = 800,
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED-BIGRAM LM score per document — the
+    sharper sibling of :func:`unigram_logprob` (bigram perplexity
+    separates fluent text from shuffled-word salad that a unigram LM
+    scores identically):
+
+    ``P(w2|w1) = λ·c(w1 w2)/c(w1·) + (1−λ)·P_uni(w2)``
+
+    with add-one-smoothed unigram backoff and ``λ = lambda_milli/1000``
+    (an integer knob, exactly reproducible configuration). The first
+    token of each document scores under the unigram term alone.
+
+    Plan: one explode builds token AND adjacent-bigram rows; bigram
+    and history counts are hash-aggs keyed by the pair/token; per-token
+    contributions are rounded to integer micro-nats before the per-doc
+    BIGINT sum, so summation order never enters (the
+    :func:`unigram_logprob` determinism recipe). All shuffles carry
+    tokens/pairs + counts, never text.
+
+    Output: ``id_col, n_tokens, logprob_micro``. Docs with no tokens
+    are absent.
+    """
+    if not 0 <= lambda_milli <= 1000:
+        raise ValueError("lambda_milli must be in [0, 1000]")
+    lam = lambda_milli / 1000.0
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(F.filter(_tokens(text_col),
+                                            lambda x: x != ""))
+                      .alias("i", "t")))
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    totals = (toks.agg(F.count("*").alias("n"))
+              .crossJoin(counts.agg(F.count("*").alias("v"))))
+    # adjacent pairs within the doc: self-join on (doc, i) vs (doc,
+    # i+1) would shuffle twice; instead rebuild pairs from the text in
+    # the same explode (transform over the token array)
+    pair_src = (df.select(
+        F.col(id_col),
+        F.filter(_tokens(text_col), lambda x: x != "").alias("_w")))
+    pairs = (pair_src.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            "CASE WHEN size(_w) < 2 "
+            "THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+            "ELSE transform(sequence(1, size(_w) - 1), "
+            "i -> struct(element_at(_w, i) AS w1, "
+            "element_at(_w, i + 1) AS w2)) END")).alias("i0", "p"))
+        .select(id_col, (F.col("i0") + 1).alias("i"),
+                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    big_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    hist_counts = pairs.groupBy("w1").agg(F.count("*").alias("hc"))
+    p_uni = (F.col("c") + 1.0) / (F.col("n") + F.col("v"))
+    # non-first tokens: interpolated bigram
+    scored_pairs = (pairs
+                    .join(big_counts, on=["w1", "w2"])
+                    .join(hist_counts, on="w1")
+                    .join(counts, on=F.col("w2") == F.col("t"))
+                    .crossJoin(totals)
+                    .select(F.col(id_col),
+                            F.round(F.log(
+                                F.lit(lam) * F.col("bc") / F.col("hc")
+                                + F.lit(1.0 - lam) * p_uni)
+                                * 1_000_000).cast("long").alias("lp")))
+    # first token of each doc: unigram-only
+    first = (toks.where(F.col("i") == 0)
+             .join(counts, on="t")
+             .crossJoin(totals)
+             .select(F.col(id_col),
+                     F.round(F.log(p_uni) * 1_000_000).cast("long")
+                     .alias("lp")))
+    return (first.unionByName(scored_pairs)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("lp").alias("logprob_micro")))
+
+
 # Terminal-punctuation set for the C4 line rule (Raffel et al. 2020,
 # "Exploring the Limits of Transfer Learning…", §2.2 public heuristics:
 # keep only lines ending in terminal punctuation, drop short lines,

@@ -100,6 +100,34 @@ def test_cosine_topk_multi_matches_single(spark):
             [(s["vec_id"], s["sim"]) for s in single]
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """Hand-check the interpolated model on a 2-doc corpus: fluent
+    word order scores strictly higher than the same bag shuffled."""
+    import math
+    import pytest
+    from goose_parser_spark.ops.textstats import bigram_logprob
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b b a a"), (3, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # corpus: tokens n=8, vocab v=2; c(a)=4, c(b)=4
+    # pairs: doc1 (a,b)(b,a)(a,b); doc2 (b,b)(b,a)(a,a)
+    # bc: (a,b)=2 (b,a)=2 (b,b)=1 (a,a)=1; hc: a=3, b=3
+    p_uni = (4 + 1.0) / (8 + 2)          # 0.5 for both tokens
+    lp = lambda p: round(math.log(p) * 1e6)  # noqa: E731
+    d1 = lp(p_uni) + 2 * lp(0.8 * 2 / 3 + 0.2 * p_uni) \
+        + lp(0.8 * 2 / 3 + 0.2 * p_uni)
+    # doc2 pairs: (b,b) bc=1, (b,a) bc=2 (shared with doc1), (a,a) bc=1
+    d2 = lp(p_uni) + 2 * lp(0.8 * 1 / 3 + 0.2 * p_uni) \
+        + lp(0.8 * 2 / 3 + 0.2 * p_uni)
+    assert out[1]["logprob_micro"] == d1
+    assert out[1]["n_tokens"] == 4
+    assert out[2]["logprob_micro"] == d2
+    assert out[1]["logprob_micro"] > out[2]["logprob_micro"]
+    assert 3 not in out                  # empty doc absent
+    with pytest.raises(ValueError):
+        bigram_logprob(df, lambda_milli=1001)
+
+
 def test_fix_mojibake_repairs_and_guards(spark):
     """Classic double-encoding is exactly inverted; clean text (ASCII,
     real accents, emoji, >U+00FF chars) passes through untouched; text
