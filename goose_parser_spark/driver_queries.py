@@ -3593,33 +3593,33 @@ QUERIES: dict[str, QueryFn] = {
     "n4_id_dedup": q_n4_id_dedup,
     # -- dedup / fingerprinting --
     "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "substring_dedup": q_substring_dedup,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "line_dedup": q_line_dedup,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic_keep": q_dedup_semantic_keep,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "contamination": q_contamination,
     "text_repetition": q_text_repetition,
     "i1_bucketing_md5": q_i1_bucketing_md5,
-    # -- similarity search --
+    # -- similarity search / retrieval --
     "simsearch_topk": q_simsearch_topk,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
+    "embedding_outliers": q_embedding_outliers,
     # -- text analysis / quality --
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_gopher_quality": q_text_gopher_quality,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_percentiles": q_corpus_percentiles,
-    "lm_score": q_lm_score,
-    "c4_clean": q_c4_clean,
+    "bigram_lm_score": q_bigram_lm_score,
+    "fix_mojibake": q_fix_mojibake,
     "script_stats": q_script_stats,
     "redact_pii": q_redact_pii,
     # -- urls / crawl frontier / link graph --
     "url_ops": q_url_ops,
     "robots_filter": q_robots_filter,
-    "frontier_urls": q_frontier_urls,
     "bloom_frontier": q_bloom_frontier,
     "link_pagerank": q_link_pagerank,
     "sitemap_parse": q_sitemap_parse,
@@ -3644,11 +3644,11 @@ QUERIES: dict[str, QueryFn] = {
     "normalize_nfc": q_normalize_nfc,
     "split_sentences": q_split_sentences,
     "simsearch_lsh": q_simsearch_lsh,
-    "substring_dedup": q_substring_dedup,
-    "hybrid_search": q_hybrid_search,
-    "embedding_outliers": q_embedding_outliers,
-    "fix_mojibake": q_fix_mojibake,
-    "bigram_lm_score": q_bigram_lm_score,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "lm_score": q_lm_score,
+    "c4_clean": q_c4_clean,
+    "frontier_urls": q_frontier_urls,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,

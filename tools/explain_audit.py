@@ -306,7 +306,13 @@ CHECKS = {
 #    each round's rank table (2 fixed + iterations rounds, all narrow
 #    long tables) — the same lineage-truncation discipline as
 #    connected_components.
+#  - bpe_train: ONE 1-row argmax collect per merge iteration over the
+#    bounded top-V word table (the winning pair IS the model update —
+#    the same bounded scalar-per-iteration exception as classifier
+#    training), plus periodic localCheckpoints; 16 merges in the
+#    driver query.
 ALLOWED_PLAN_ACTIONS = {
+    "bpe_train": 22,
     "simsearch_topk": 1,
     "simsearch_lsh": 1,
     "simsearch_ivf": 8,
