@@ -388,6 +388,7 @@ def main() -> int:
         "split_sentences", "normalize_nfc",
         "substring_dedup", "hybrid_search", "bpe_train",
         "embedding_outliers", "fix_mojibake", "bigram_lm_score",
+        "topic_clusters",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -407,6 +407,18 @@ WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
 """
 
 
+def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means topic organization with per-cluster TF-IDF profiles
+    (ops/similarity.py topic_clusters): 8 deterministic-Lloyd clusters
+    over the embeddings, term profiles from the aligned documents.
+    Rows-only (float k-means internals, like simsearch_ivf); planted-
+    topic separation is pytest-verified."""
+    from goose_parser_spark.ops.similarity import topic_clusters
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    return topic_clusters(emb, docs, n_clusters=8, iters=2, top_terms=5)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (ops/bpe.py train_bpe, Sennrich'16):
     learn 16 merges from the UNAMPLIFIED corpus word histogram.
@@ -3683,6 +3695,7 @@ QUERIES: dict[str, QueryFn] = {
     "simsearch_ivf": q_simsearch_ivf,
     "i1_bucketing": q_i1_bucketing,
     "bpe_train": q_bpe_train,
+    "topic_clusters": q_topic_clusters,
 }
 
 # Micro-queries whose coverage is fully subsumed by an in-window query

@@ -162,6 +162,71 @@ def embedding_outliers(
                     (F.col("dist") > F.col("cutoff")).alias("is_outlier")))
 
 
+def topic_clusters(
+    emb: DataFrame,
+    docs: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    top_terms: int = 5,
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus topic organization: k-means over embeddings + a TF-IDF
+    term profile per cluster — the "what is in this corpus" rollup
+    (and the cluster stage of SemDeDup/SSL-prototype curation recipes).
+
+    Composition of existing pieces: :func:`ivf_centroids` (deterministic
+    Lloyd — lowest-id seeds) trains the centroids, nearest-centroid
+    assignment is the same map-only path the IVF index uses (literal
+    inline below K=64, broadcast join above), then one narrow
+    (cluster, term) hash-agg builds the profile. Term score =
+    round(tf_cluster · ln(N/df) · 10^6) in integer micro-units; top
+    terms per cluster pre-trim under WindowGroupLimit. The corpus is
+    never self-joined; the only corpus-sized shuffles are keyed by
+    term and by doc id.
+
+    Columns: ``cluster, n_docs, top_terms`` (" | "-joined, score-desc
+    then term-asc).
+    """
+    cents = ivf_centroids(emb, n_centroids=n_clusters, iters=iters,
+                          vec_col=vec_col, id_col=vec_id_col)
+    vecs = emb.select(F.col(vec_id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = _assign_to_centroids(vecs, cents).select("id", "centroid")
+    dd = docs.select(F.col(doc_id_col).alias("id"), F.col(text_col))
+    joined = dd.join(assigned, on="id")
+    n_total = docs.count()
+    toks = (joined.select("id", "centroid",
+                          F.explode(F.filter(
+                              F.split(F.col(text_col), r"\s+"),
+                              lambda t: t != "")).alias("t")))
+    dfreq = (toks.select("id", "t").distinct()
+             .groupBy("t").agg(F.count("*").alias("df_")))
+    scored = (toks.groupBy("centroid", "t")
+              .agg(F.count("*").alias("tf"))
+              .join(dfreq, on="t")
+              .select("centroid", "t",
+                      F.round(F.col("tf")
+                              * F.log(F.lit(float(n_total))
+                                      / F.col("df_"))
+                              * 1_000_000).cast("long").alias("s")))
+    w = Window.partitionBy("centroid").orderBy(F.col("s").desc(),
+                                               F.col("t"))
+    tops = (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= top_terms)
+            .groupBy("centroid")
+            .agg(F.array_join(
+                F.expr("transform(array_sort(collect_list("
+                       "struct(rk, t))), x -> x.t)"), " | ")
+                .alias("top_terms")))
+    sizes = assigned.groupBy("centroid").agg(F.count("*").alias("n_docs"))
+    return (sizes.join(tops, on="centroid", how="left")
+            .select(F.col("centroid").alias("cluster"), "n_docs",
+                    F.coalesce("top_terms", F.lit("")).alias("top_terms")))
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random component in [-1, 1]: a fixed
     sin-hash of (plane, dim). Stable across runs/engines by

@@ -100,6 +100,33 @@ def test_cosine_topk_multi_matches_single(spark):
             [(s["vec_id"], s["sim"]) for s in single]
 
 
+def test_topic_clusters_separates_planted_topics(spark):
+    """Two well-separated embedding clumps with distinct vocabularies:
+    each cluster's profile surfaces its own topic terms and the doc
+    counts add up."""
+    from goose_parser_spark.ops.similarity import topic_clusters
+    rows_e, rows_d = [], []
+    for i in range(20):
+        hot = 1.0 if i % 2 == 0 else -1.0
+        rows_e.append((i, [hot, -hot, 0.1 * (i % 3)]))
+        rows_d.append((i, "sports game score team win"
+                       if i % 2 == 0 else "python spark code data job"))
+    emb = spark.createDataFrame(rows_e,
+                                "vec_id int, embedding array<double>")
+    docs = spark.createDataFrame(rows_d, "doc_id int, text string")
+    out = topic_clusters(emb, docs, n_clusters=2, iters=3,
+                         top_terms=3).collect()
+    assert sum(r["n_docs"] for r in out) == 20
+    profiles = {r["cluster"]: r["top_terms"] for r in out}
+    joined = " ".join(profiles.values())
+    assert "sports" in joined or "team" in joined or "game" in joined
+    assert "python" in joined or "spark" in joined or "code" in joined
+    # the two topics never share a profile
+    for p in profiles.values():
+        assert not ({"sports", "game"} & set(p.split(" | "))
+                    and {"python", "spark"} & set(p.split(" | ")))
+
+
 def test_bigram_logprob_hand_computed(spark):
     """Hand-check the interpolated model on a 2-doc corpus: fluent
     word order scores strictly higher than the same bag shuffled."""

@@ -311,8 +311,12 @@ CHECKS = {
 #    the same bounded scalar-per-iteration exception as classifier
 #    training), plus periodic localCheckpoints; 16 merges in the
 #    driver query.
+#  - topic_clusters: ivf_centroids (seed collect + one K-row mean
+#    collect per Lloyd iteration) + one corpus count for the IDF
+#    denominator — all K-row/1-row results.
 ALLOWED_PLAN_ACTIONS = {
     "bpe_train": 22,
+    "topic_clusters": 6,
     "simsearch_topk": 1,
     "simsearch_lsh": 1,
     "simsearch_ivf": 8,
