@@ -388,7 +388,7 @@ def main() -> int:
         "split_sentences", "normalize_nfc",
         "substring_dedup", "hybrid_search", "bpe_train",
         "embedding_outliers", "fix_mojibake", "bigram_lm_score",
-        "topic_clusters",
+        "topic_clusters", "policy_filter",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

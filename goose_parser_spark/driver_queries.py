@@ -2245,6 +2245,37 @@ FROM ntok n LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style policy filtering (ops/policy.py policy_filter): a
+    bounded domain blocklist (hosts h0/h13/h26.test) + a badword
+    regex, with fixed reason precedence (blocked_domain > badword).
+    Scan-level: one AQE-broadcast host join + one codegen rlike."""
+    from goose_parser_spark.ops.policy import policy_filter
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 37).cast("string"),
+                   F.lit(".test/p/"), d.cast("string"))
+    blocked = spark.createDataFrame(
+        [(f"h{k}.test",) for k in range(0, 37, 13)], "host string")
+    return policy_filter(docs.withColumn("url", url),
+                         badwords=["merge", "rollback"],
+                         blocked_hosts=blocked)
+
+
+SQL_POLICY_FILTER = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       reason IS NULL AS keep, reason
+FROM (
+  SELECT doc_id,
+         CASE WHEN (doc_id % 37) IN (0, 13, 26) THEN 'blocked_domain'
+              WHEN regexp_matches(text, '(?i)\\b(rollback|merge)\\b')
+                THEN 'badword' END AS reason
+  FROM docs_amp
+)
+"""
+
+
 _MOJI_TAIL = " café — “naïve” déjà… ðŸ™‚"
 
 
@@ -3658,6 +3689,7 @@ QUERIES: dict[str, QueryFn] = {
     "simsearch_lsh": q_simsearch_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "policy_filter": q_policy_filter,
     "lm_score": q_lm_score,
     "c4_clean": q_c4_clean,
     "frontier_urls": q_frontier_urls,
@@ -3773,6 +3805,7 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "fix_mojibake": SQL_FIX_MOJIBAKE,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+    "policy_filter": SQL_POLICY_FILTER,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,

@@ -100,6 +100,32 @@ def test_cosine_topk_multi_matches_single(spark):
             [(s["vec_id"], s["sim"]) for s in single]
 
 
+def test_policy_filter_reasons_and_precedence(spark):
+    """Domain block wins over badword; badwords match word-bounded
+    case-insensitively ('Merge' yes, 'submerged' no); clean docs keep
+    with NULL reason; empty badword list rejected."""
+    import pytest
+    from goose_parser_spark.ops.policy import badwords_pattern, policy_filter
+    rows = [
+        (1, "let us Merge the branches", "https://ok.test/a"),
+        (2, "the submerged city", "https://ok.test/b"),
+        (3, "totally fine text", "https://evil.test/c"),
+        (4, "merge this too", "https://evil.test/d"),
+        (5, "nothing wrong here", "https://ok.test/e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    blocked = spark.createDataFrame([("evil.test",)], "host string")
+    out = {r["doc_id"]: r for r in policy_filter(
+        df, badwords=["merge"], blocked_hosts=blocked).collect()}
+    assert out[1]["reason"] == "badword" and not out[1]["keep"]
+    assert out[2]["keep"] and out[2]["reason"] is None
+    assert out[3]["reason"] == "blocked_domain"
+    assert out[4]["reason"] == "blocked_domain"      # precedence
+    assert out[5]["keep"]
+    with pytest.raises(ValueError):
+        badwords_pattern([])
+
+
 def test_topic_clusters_separates_planted_topics(spark):
     """Two well-separated embedding clumps with distinct vocabularies:
     each cluster's profile surfaces its own topic terms and the doc
