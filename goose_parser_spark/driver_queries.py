@@ -576,37 +576,50 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents_amplified(spark, sf_dir)
     d = F.col("doc_id")
     s = d.cast("string")
+    # abbreviation cases planted (VERDICT r04 #7): Dr./vs./Prof./
+    # i.e./e.g./No./etc. must NOT open sentences
     punct = F.concat(
-        F.lit("Alpha fact "), s, F.lit(". Beta note "),
-        (d % 7).cast("string"), F.lit("! Gamma query "),
-        (d % 5).cast("string"), F.lit("? tail words here"))
+        F.lit("Alpha fact "), s, F.lit(". Dr. Smith vs. Prof. Jones "
+                                       "i.e. case "),
+        (d % 7).cast("string"), F.lit("! Gamma query e.g. No. "),
+        (d % 5).cast("string"), F.lit("? tail words etc. here"))
     lined = docs.select(
         "doc_id",
         F.when(d % 11 == 0, F.col("text")).otherwise(punct).alias("text"))
     return split_sentences(lined)
 
 
+from goose_parser_spark.ops.textstats import _ABBREV_ALT as _SS_ABBREV_ALT
+
 SQL_SPLIT_SENTENCES = f"""
 WITH {_SQL_DOCS_AMP_COPY}, lined AS (
   SELECT doc_id,
          CASE WHEN doc_id % 11 = 0 THEN text
-              ELSE 'Alpha fact ' || doc_id || '. Beta note ' ||
-                   (doc_id % 7) || '! Gamma query ' || (doc_id % 5) ||
-                   '? tail words here'
+              ELSE 'Alpha fact ' || doc_id ||
+                   '. Dr. Smith vs. Prof. Jones i.e. case ' ||
+                   (doc_id % 7) || '! Gamma query e.g. No. ' ||
+                   (doc_id % 5) || '? tail words etc. here'
          END AS text
   FROM docs_amp
 ), m AS (
   SELECT doc_id,
          list_filter(
            string_split(
-             regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(30), 'g'),
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '\\b([ei])\\.([ge])\\.',
+                                '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+                 '\\b({_SS_ABBREV_ALT})\\.', '\\1' || chr(1), 'g'),
+               '([.!?]+)\\s+', '\\1' || chr(30), 'g'),
              chr(30)),
            s -> trim(s) <> '') AS ss
   FROM lined
 )
-SELECT doc_id, CAST(i - 1 AS INT) AS sent_id, ss[i] AS sentence,
-       CAST(len(list_filter(string_split_regex(ss[i], '\\s+'),
-                            t -> t <> '')) AS INT) AS n_tokens
+SELECT doc_id, CAST(i - 1 AS INT) AS sent_id,
+       replace(ss[i], chr(1), '.') AS sentence,
+       CAST(len(list_filter(
+                string_split_regex(replace(ss[i], chr(1), '.'), '\\s+'),
+                t -> t <> '')) AS INT) AS n_tokens
 FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM m)
 """
 

@@ -241,3 +241,25 @@ def test_substring_dedup_long_run_fully_removed(spark):
     assert out[1]["n_removed"] == 0
     assert out[2]["text"] == "head b"
     assert out[2]["n_removed"] == 8
+
+
+def test_split_sentences_abbreviations(spark):
+    """VERDICT r04 #7: periods after the bounded abbreviation table
+    and inside e.g./i.e. do not open sentences; the sentinel is
+    restored so output text keeps the original periods."""
+    from goose_parser_spark.ops.textstats import split_sentences
+    df = spark.createDataFrame(
+        [(1, "Dr. Smith met Prof. Jones. They argued!"),
+         (2, "See e.g. Fig. 3 and i.e. No. 7 for details. Done."),
+         (3, "Costs rose vs. last year etc. and more. End."),
+         (4, "Endr. is not an abbreviation. Next one.")],
+        ["doc_id", "text"])
+    out = {}
+    for r in split_sentences(df).collect():
+        out.setdefault(r["doc_id"], []).append(r["sentence"])
+    assert out[1] == ["Dr. Smith met Prof. Jones.", "They argued!"]
+    assert out[2] == ["See e.g. Fig. 3 and i.e. No. 7 for details.",
+                      "Done."]
+    assert out[3] == ["Costs rose vs. last year etc. and more.", "End."]
+    # \b guard: "Endr." does NOT match the Dr alternative mid-word
+    assert out[4] == ["Endr.", "is not an abbreviation.", "Next one."]
