@@ -39,10 +39,13 @@ from pyspark.sql import DataFrame, functions as F
 class HashedLinearModel:
     """Trained model: weights DataFrame ``(bucket, w)`` + scalar bias.
     ``weights`` is bounded by ``n_buckets`` — broadcast-joinable for
-    scoring (AQE decides; no hint set)."""
+    scoring (AQE decides; no hint set). ``iterations_run`` records how
+    many GD passes actually executed (< ``iterations`` when the
+    ``tol`` early-stop fired)."""
     weights: DataFrame
     bias: float
     n_buckets: int
+    iterations_run: int = 0
 
 
 def _features(df: DataFrame, text_col: str, id_col: str,
@@ -70,13 +73,30 @@ def train_logreg_hashed(
     iterations: int = 10,
     lr: float = 2.0,
     l2: float = 0.0,
+    tol: float = 0.0,
 ) -> HashedLinearModel:
     """Full-batch logistic regression over hashed token features.
 
     ``label_col``: 0/1 (1 = high-quality / reference-like). Returns a
     :class:`HashedLinearModel`; score new corpora with
     :func:`score_logreg_hashed`.
+
+    Cost contract for cluster use (VERDICT r04 #8): each iteration is
+    ONE full pass over the feature matrix (2 narrow shuffles) plus ONE
+    bounded 1-row driver aggregate (bias gradient + mean |error|, same
+    action) — so total cost is ``iterations_run`` × one-corpus-pass,
+    with ``iterations`` the HARD cap. ``tol > 0`` adds an early stop:
+    training halts once the improvement in mean absolute error between
+    consecutive iterations drops below ``tol`` (the scalar is already
+    in the per-iteration aggregate — no extra pass). At 100 TB set an
+    explicit ``tol`` (e.g. 1e-4) so a flat loss surface never burns
+    the full cap. ``tol=0`` (default) preserves fixed-iteration
+    behavior, which the NumPy-differential test relies on.
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if tol < 0:
+        raise ValueError("tol must be >= 0")
     spark = df.sparkSession
     labels = (df.select(F.col(id_col).alias("doc"),
                         F.col(label_col).cast("double").alias("y"))
@@ -87,6 +107,8 @@ def train_logreg_hashed(
 
     weights = spark.createDataFrame([], "bucket long, w double")
     bias = 0.0
+    prev_mae = None
+    iterations_run = 0
     for _ in range(iterations):
         margin = (feats.join(weights, "bucket", "left")
                   .groupBy("doc")
@@ -112,10 +134,20 @@ def train_logreg_hashed(
                                                      F.lit(0.0)))
                            .alias("w"))
                    .localCheckpoint())
-        # bias gradient: mean error — the bounded 1-row driver scalar
-        bias -= lr * err.agg(F.avg("e")).collect()[0][0]
+        # bias gradient + early-stop scalar: ONE bounded 1-row driver
+        # aggregate per iteration (mean error and mean |error| ride
+        # the same action)
+        row = err.agg(F.avg("e").alias("g"),
+                      F.avg(F.abs(F.col("e"))).alias("mae")).collect()[0]
+        bias -= lr * row["g"]
+        iterations_run += 1
+        if tol > 0 and prev_mae is not None \
+                and prev_mae - row["mae"] < tol:
+            break
+        prev_mae = row["mae"]
     return HashedLinearModel(weights=weights, bias=bias,
-                             n_buckets=n_buckets)
+                             n_buckets=n_buckets,
+                             iterations_run=iterations_run)
 
 
 def score_logreg_hashed(

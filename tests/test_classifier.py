@@ -82,3 +82,25 @@ def test_trained_model_separates_and_scores_new_docs(spark):
     # empty text scores at the bias floor, never errors
     empty = spark.createDataFrame([(102, "")], "doc_id long, text string")
     assert 0.0 <= score_logreg_hashed(empty, model).collect()[0]["score"] <= 1.0
+
+
+def test_train_early_stop_tol(spark):
+    """VERDICT r04 #8: tol>0 halts training once the per-iteration
+    mean-|error| improvement drops below tol; iterations stays the
+    hard cap; tol=0 keeps fixed-iteration behavior."""
+    import pytest
+    from goose_parser_spark.ops.classifier import train_logreg_hashed
+    rows = [(i, "good clean prose text", 1) for i in range(20)] + \
+           [(i + 20, "spam spam buy now", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    # huge tol: first improvement check fires -> stops after 2 passes
+    m = train_logreg_hashed(df, n_buckets=1 << 10, iterations=10,
+                            tol=1e9)
+    assert m.iterations_run == 2
+    # tol=0 (default): runs the full cap
+    m0 = train_logreg_hashed(df, n_buckets=1 << 10, iterations=3)
+    assert m0.iterations_run == 3
+    with pytest.raises(ValueError):
+        train_logreg_hashed(df, iterations=0)
+    with pytest.raises(ValueError):
+        train_logreg_hashed(df, tol=-1.0)
