@@ -3450,39 +3450,68 @@ SELECT node AS doc_id, rank AS rank_micro FROM r2
 
 
 def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal near-dup: perceptual-hash (stub) fingerprints over
-    image payloads → pigeonhole Hamming pairs ≤ 3
-    (ops/multimodal.phash_stub + ops/dedup.hamming_pairs). Replica
-    groups share a base image; planted 1/2/4-bit variants exercise
-    include/exclude boundaries exactly."""
+    """Multimodal near-dup: REAL perceptual hash — fixed-point 8x8 DCT
+    over the decoded grayscale grid, AC median threshold
+    (ops/multimodal.phash_dct, VERDICT r04 #6) → pigeonhole Hamming
+    pairs ≤ 3 (ops/dedup.hamming_pairs). Replica groups share a base
+    image; per-doc pixel jitter ((doc_id%4)*74 on pixel 0) plants
+    perceptually-near variants whose DCT bits differ by 0-few — the
+    oracle replays the identical integer DCT sums."""
     from goose_parser_spark.ops.dedup import hamming_pairs
-    from goose_parser_spark.ops.multimodal import phash_stub
+    from goose_parser_spark.ops.multimodal import phash_dct
     docs = _documents_amplified(spark, sf_dir)
     pg = F.floor(F.col("doc_id") / 23).cast("long")
     payload = F.encode(F.concat(F.lit("img-"), pg.cast("string")), "utf-8")
-    v = F.col("doc_id") % 4
-    mask = (F.when(v == 1, F.lit(3))
-            .when(v == 2, F.lit(8))
-            .when(v == 3, F.lit((1 << 40) + (1 << 20) + 5))
-            .otherwise(F.lit(0))).cast("long")
-    fp = docs.select(
-        "doc_id", phash_stub(payload).bitwiseXOR(mask).alias("phash"))
+    jit = (F.col("doc_id") % 4) * 74
+    fp = phash_dct(docs.select("doc_id", payload.alias("payload")),
+                   pixel_jitter=jit)
     return hamming_pairs(fp, "phash", max_hamming=3, bits=60)
 
 
-SQL_PHASH_PAIRS = f"""
-WITH {_SQL_DOCS_AMP_COPY}, h AS (
-  SELECT doc_id,
-         xor(CAST(('0x' || substr(md5('img-' || (doc_id // 23)), 1, 15))
-                  AS BIGINT),
-             CAST(CASE doc_id % 4
-                    WHEN 1 THEN 3
-                    WHEN 2 THEN 8
-                    WHEN 3 THEN {(1 << 40) + (1 << 20) + 5}
-                    ELSE 0
-                  END AS BIGINT)) AS fp
+def _sql_phash_dct() -> str:
+    """CTE chain computing the fixed-point-DCT pHash in DuckDB from
+    the SAME integer basis table (ops/multimodal.DCT_C) the Spark op
+    uses — generated, never hand-copied, so the two cannot drift."""
+    from goose_parser_spark.ops.multimodal import DCT_C, PHASH_AC_ORDER
+    pix = ",\n         ".join(
+        ("least(greatest(CAST(('0x' || substr(md5(_h || ':0'), 1, 2)) "
+         "AS BIGINT) + _jit, 0), 255) AS p0" if k == 0 else
+         f"CAST(('0x' || substr(md5(_h || ':{k}'), 1, 2)) AS BIGINT) "
+         f"AS p{k}")
+        for k in range(64))
+    gs = ",\n         ".join(
+        " + ".join(f"{DCT_C[u][x]}*p{8 * x + y}" for x in range(8))
+        + f" AS g{u}_{y}"
+        for u in range(8) for y in range(8))
+    acs = ",\n          ".join(
+        " + ".join(f"{DCT_C[v][y]}*g{u}_{y}" for y in range(8))
+        for (u, v) in PHASH_AC_ORDER)
+    bits = " + ".join(
+        f"CASE WHEN acl[{k + 1}] > med THEN {1 << k} ELSE 0 END"
+        for k in range(len(PHASH_AC_ORDER)))
+    return f"""ph0 AS (
+  SELECT doc_id, md5('img-' || (doc_id // 23)) AS _h,
+         (doc_id % 4) * 74 AS _jit
   FROM docs_amp
-), blocks AS (
+), pix AS (
+  SELECT doc_id,
+         {pix}
+  FROM ph0
+), g AS (
+  SELECT doc_id,
+         {gs}
+  FROM pix
+), ac AS (
+  SELECT doc_id, [{acs}] AS acl FROM g
+), acm AS (
+  SELECT doc_id, acl, list_sort(acl)[30] AS med FROM ac
+), h AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM acm
+)"""
+
+
+SQL_PHASH_PAIRS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, {_sql_phash_dct()}, blocks AS (
   SELECT doc_id, fp, r.range AS blk,
          (fp >> CAST(r.range * 15 AS INTEGER)) & 32767 AS bv
   FROM h CROSS JOIN range(4) r
@@ -3498,7 +3527,6 @@ JOIN h ha ON ha.doc_id = doc_a
 JOIN h hb ON hb.doc_id = doc_b
 WHERE bit_count(xor(ha.fp, hb.fp)) <= 3
 """
-
 
 _CMS_PROBES = ("the", "a", "of", "and", "to", "quantum", "zzz_absent",
                "for", "is", "borogoves")

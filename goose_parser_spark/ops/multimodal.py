@@ -17,6 +17,7 @@ one-function change.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -120,3 +121,99 @@ def extract_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real perceptual hash: fixed-point 8x8 DCT (VERDICT r04 #6)
+# ---------------------------------------------------------------------------
+
+# Orthonormal 8-point DCT-II basis, fixed-point: round(alpha(u) *
+# cos((2x+1)*u*pi/16) * 2^15) with alpha(0)=sqrt(1/8), alpha(u>0)=1/2.
+# Integer table => every engine (Spark, DuckDB, pure Python) computes
+# bit-identical coefficient sums; worst case |F[u,v]| <= 64 * 255 *
+# 16384^2 ~ 4.4e15, far inside a signed 64-bit long.
+DCT_SCALE = 1 << 15
+DCT_C = [
+    [round((math.sqrt(0.125) if u == 0 else 0.5)
+           * math.cos((2 * x + 1) * u * math.pi / 16) * DCT_SCALE)
+     for x in range(8)]
+    for u in range(8)
+]
+# AC coefficients in row-major (u,v) order, DC (0,0) skipped, first 60
+# kept (drops the 3 highest-frequency corners) — 60 bits fits a signed
+# BIGINT in every engine, same convention as phash_stub.
+PHASH_AC_ORDER = [(u, v) for u in range(8) for v in range(8)
+                  if (u, v) != (0, 0)][:60]
+
+
+def phash_dct(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_col: str = "phash",
+    pixel_jitter: F.Column | None = None,
+) -> DataFrame:
+    """REAL perceptual hash: 8x8 DCT over a decoded grayscale grid,
+    AC coefficients thresholded at their median — the classic pHash
+    recipe (public knowledge: Zauner 2010, "Implementation and
+    Benchmarking of Perceptual Image Hash Functions") — entirely in
+    Catalyst integer expressions; no Python, no UDF.
+
+    The DECODE stage is this container's deterministic stand-in (no
+    image codecs offline, sanctioned by the brief): 64 grayscale
+    pixels derived from md5 of the payload bytes, so byte-identical
+    payloads yield identical grids. Deployment swaps ONLY that stage
+    for `decode -> resize(8x8) -> grayscale`; the DCT, median
+    threshold, and bit assembly below are the production algorithm and
+    survive unchanged. ``pixel_jitter`` (a long Column, clamped into
+    [0,255] on pixel 0) simulates slight decoded-pixel variation: the
+    DCT's perceptual property — small pixel deltas flip few/no bits,
+    unrelated images differ in ~half — is exercised end-to-end and
+    pinned by the test suite against an independent pure-Python
+    reference.
+
+    Plan: 4 chained projections (pixels -> row-DCT G -> column-DCT
+    AC + sorted median -> 60-bit assembly), map-only, codegen-friendly
+    integer arithmetic; one row out per row in. The fixed-point basis
+    :data:`DCT_C` is shared with the DuckDB oracle, which replays the
+    identical sums. Columns: ``id_col, out_col`` (60-bit long).
+    """
+    h = F.md5(F.col(payload_col))
+    pix = [
+        F.conv(F.substring(F.md5(F.concat(h, F.lit(f":{k}"))), 1, 2),
+               16, 10).cast("long").alias(f"_p{k}")
+        for k in range(64)
+    ]
+    if pixel_jitter is not None:
+        base = df.select(F.col(id_col), *pix,
+                         pixel_jitter.cast("long").alias("_jit"))
+        base = base.withColumn(
+            "_p0",
+            F.least(F.greatest(F.col("_p0") + F.col("_jit"),
+                               F.lit(0)), F.lit(255)))
+    else:
+        base = df.select(F.col(id_col), *pix)
+    # separable DCT: G[u][y] = sum_x C[u][x] * p[x][y]
+    g_cols = [
+        sum((F.col(f"_p{8 * x + y}") * F.lit(DCT_C[u][x])
+             for x in range(8)),
+            start=F.lit(0)).alias(f"_g{u}_{y}")
+        for u in range(8) for y in range(8)
+    ]
+    g = base.select(id_col, *g_cols)
+    ac_exprs = [
+        sum((F.col(f"_g{u}_{y}") * F.lit(DCT_C[v][y])
+             for y in range(8)),
+            start=F.lit(0))
+        for (u, v) in PHASH_AC_ORDER
+    ]
+    acs = g.select(id_col, F.array(*ac_exprs).alias("_ac"))
+    # lower median of the 60 AC values: 30th smallest (1-based)
+    med = acs.withColumn(
+        "_med", F.element_at(F.array_sort(F.col("_ac")), 30))
+    bits = sum(
+        (F.when(F.element_at(F.col("_ac"), k + 1) > F.col("_med"),
+                F.lit(1 << k)).otherwise(F.lit(0))
+         for k in range(len(PHASH_AC_ORDER))),
+        start=F.lit(0).cast("long"))
+    return med.select(F.col(id_col), bits.alias(out_col))
