@@ -3664,7 +3664,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Micro-queries fully subsumed by an in-window query live in
 # DEMOTED_QUERIES below (pytest-gated via tests/test_demoted_oracles).
 QUERIES: dict[str, QueryFn] = {
-    # -- extraction (S/C/N/T/A rows of SURVEY §2) --
+    # Driver-window rotation policy (VERDICT r04 #5): the driver
+    # hash-gates only the FIRST 50 entries, so the window rotates
+    # each round until every oracled operator has accumulated a
+    # driver-signed row. Round-5 window = pinned extraction family
+    # + md5 hard oracles (13), then ALL 25 oracled queries never
+    # seen by the driver in rounds 1-4, then 12 family
+    # representatives so each operator family keeps an in-window
+    # hash-green row. tools/check_oracles.py still verifies all 93
+    # every round regardless of the window.
+    # -- pinned: extraction family + md5 hard oracles --
     "extract_flagship": q_extract_flagship,
     "extract_grid_explode": q_extract_grid_explode,
     "extract_transform_chain": q_extract_transform_chain,
@@ -3675,88 +3684,82 @@ QUERIES: dict[str, QueryFn] = {
     "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
-    # -- dedup / fingerprinting --
-    "dedup_exact": q_dedup_exact,
-    "substring_dedup": q_substring_dedup,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_keep_canonical": q_dedup_keep_canonical,
-    "line_dedup": q_line_dedup,
-    "dedup_semantic_keep": q_dedup_semantic_keep,
     "dedup_minhash_md5": q_dedup_minhash_md5,
-    "contamination": q_contamination,
-    "text_repetition": q_text_repetition,
+    "dedup_simhash_md5": q_dedup_simhash_md5,
     "i1_bucketing_md5": q_i1_bucketing_md5,
-    # -- similarity search / retrieval --
-    "simsearch_topk": q_simsearch_topk,
-    "bm25_search": q_bm25_search,
+    # -- never driver-seen in r1-r4 (oracled) --
+    "substring_dedup": q_substring_dedup,
     "hybrid_search": q_hybrid_search,
     "embedding_outliers": q_embedding_outliers,
-    # -- text analysis / quality --
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
-    "text_gopher_quality": q_text_gopher_quality,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "corpus_percentiles": q_corpus_percentiles,
     "bigram_lm_score": q_bigram_lm_score,
     "fix_mojibake": q_fix_mojibake,
-    "script_stats": q_script_stats,
-    "redact_pii": q_redact_pii,
-    # -- urls / crawl frontier / link graph --
-    "url_ops": q_url_ops,
-    "robots_filter": q_robots_filter,
-    "bloom_frontier": q_bloom_frontier,
-    "link_pagerank": q_link_pagerank,
-    "sitemap_parse": q_sitemap_parse,
-    "cdx_parse": q_cdx_parse,
-    "anchor_text": q_anchor_text,
-    # -- sampling / packing / sharding --
-    "sample_by_hash": q_sample_by_hash,
-    "domain_quota": q_domain_quota,
-    "dsir_sample": q_dsir_sample,
-    "pack_sequences": q_pack_sequences,
-    # -- temporal / events --
-    "events_sessionize": q_events_sessionize,
-    "events_asof_join": q_events_asof_join,
-    "dedup_simhash_md5": q_dedup_simhash_md5,
-    # -- sketches --
-    "cms_topterms": q_cms_topterms,
-    "hll_cardinality": q_hll_cardinality,
-    # -- multimodal / aggregate profiles --
-    "multimodal_features": q_multimodal_features,
-    # ---- 50-entry window boundary (driver hashes up to here) ----
-    # oracled, family already hash-green in-window:
     "normalize_nfc": q_normalize_nfc,
     "split_sentences": q_split_sentences,
-    "simsearch_lsh": q_simsearch_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "policy_filter": q_policy_filter,
-    "lm_score": q_lm_score,
-    "c4_clean": q_c4_clean,
-    "frontier_urls": q_frontier_urls,
     "decontaminate": q_decontaminate,
     "frontier_schedule": q_frontier_schedule,
     "ccnet_buckets": q_ccnet_buckets,
     "imgtext_pairs": q_imgtext_pairs,
     "phash_pairs": q_phash_pairs,
     "extract_markdown": q_extract_markdown,
-    "dedup_paragraphs": q_dedup_paragraphs,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "clean_text": q_clean_text,
     "url_canonicalize": q_url_canonicalize,
     "hash_split": q_hash_split,
     "domain_quality": q_domain_quality,
     "chunk_documents": q_chunk_documents,
-    "text_subword_count": q_text_subword_count,
-    "text_top_ngrams": q_text_top_ngrams,
     "quality_classifier": q_quality_classifier,
     "mixture_sample": q_mixture_sample,
     "train_shards": q_train_shards,
-    "events_range_join": q_events_range_join,
-    "pdf_pages": q_pdf_pages,
     "corpus_profile": q_corpus_profile,
     "dedup_by_url": q_dedup_by_url,
     "pack_materialize": q_pack_materialize,
+    # -- family representatives (driver-green in prior rounds) --
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "line_dedup": q_line_dedup,
+    "dedup_semantic_keep": q_dedup_semantic_keep,
+    "simsearch_topk": q_simsearch_topk,
+    "bm25_search": q_bm25_search,
+    "link_pagerank": q_link_pagerank,
+    "bloom_frontier": q_bloom_frontier,
+    "hll_cardinality": q_hll_cardinality,
+    "robots_filter": q_robots_filter,
+    "events_asof_join": q_events_asof_join,
+    # ---- 50-entry window boundary (driver hashes up to here) ----
+    # oracled, driver-green in prior rounds:
+    "contamination": q_contamination,
+    "text_repetition": q_text_repetition,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "corpus_percentiles": q_corpus_percentiles,
+    "script_stats": q_script_stats,
+    "redact_pii": q_redact_pii,
+    "url_ops": q_url_ops,
+    "sitemap_parse": q_sitemap_parse,
+    "cdx_parse": q_cdx_parse,
+    "anchor_text": q_anchor_text,
+    "sample_by_hash": q_sample_by_hash,
+    "domain_quota": q_domain_quota,
+    "dsir_sample": q_dsir_sample,
+    "pack_sequences": q_pack_sequences,
+    "events_sessionize": q_events_sessionize,
+    "cms_topterms": q_cms_topterms,
+    "multimodal_features": q_multimodal_features,
+    "simsearch_lsh": q_simsearch_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "lm_score": q_lm_score,
+    "c4_clean": q_c4_clean,
+    "frontier_urls": q_frontier_urls,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "text_subword_count": q_text_subword_count,
+    "text_top_ngrams": q_text_top_ngrams,
+    "events_range_join": q_events_range_join,
+    "pdf_pages": q_pdf_pages,
     "events_rollups": q_events_rollups,
     "events_windowed_counts": q_events_windowed_counts,
     "rel_agg": q_rel_agg,
@@ -3770,6 +3773,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train": q_bpe_train,
     "topic_clusters": q_topic_clusters,
 }
+
 
 # Micro-queries whose coverage is fully subsumed by an in-window query
 # (t1/t2/t5/t6+t4 chains ⊂ extract_transform_chain; a3 ⊂
