@@ -3465,6 +3465,13 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jit = (F.col("doc_id") % 4) * 74
     fp = phash_dct(docs.select("doc_id", payload.alias("payload")),
                    pixel_jitter=jit)
+    # materialize the narrow (doc_id, phash) table before the
+    # self-join: hamming_pairs references its input on BOTH sides, and
+    # inlining the ~1000-expression DCT chain twice into the join
+    # stage blows codegen into interpreted fallback (~30x slower). At
+    # 100 TB this is the same shape: the fingerprint table is computed
+    # once (16 bytes/doc) and the pair join reads it, not the images.
+    fp = fp.localCheckpoint()
     return hamming_pairs(fp, "phash", max_hamming=3, bits=60)
 
 
@@ -3473,11 +3480,13 @@ def _sql_phash_dct() -> str:
     the SAME integer basis table (ops/multimodal.DCT_C) the Spark op
     uses — generated, never hand-copied, so the two cannot drift."""
     from goose_parser_spark.ops.multimodal import DCT_C, PHASH_AC_ORDER
+    digs = ",\n         ".join(
+        f"md5(_h || ':{j}') AS _d{j}" for j in range(4))
     pix = ",\n         ".join(
-        ("least(greatest(CAST(('0x' || substr(md5(_h || ':0'), 1, 2)) "
-         "AS BIGINT) + _jit, 0), 255) AS p0" if k == 0 else
-         f"CAST(('0x' || substr(md5(_h || ':{k}'), 1, 2)) AS BIGINT) "
-         f"AS p{k}")
+        (f"least(greatest(CAST(('0x' || substr(_d0, 1, 2)) AS BIGINT)"
+         " + _jit, 0), 255) AS p0" if k == 0 else
+         f"CAST(('0x' || substr(_d{k // 16}, {(k % 16) * 2 + 1}, 2)) "
+         f"AS BIGINT) AS p{k}")
         for k in range(64))
     gs = ",\n         ".join(
         " + ".join(f"{DCT_C[u][x]}*p{8 * x + y}" for x in range(8))
@@ -3493,10 +3502,14 @@ def _sql_phash_dct() -> str:
   SELECT doc_id, md5('img-' || (doc_id // 23)) AS _h,
          (doc_id % 4) * 74 AS _jit
   FROM docs_amp
+), dg AS (
+  SELECT doc_id, _jit,
+         {digs}
+  FROM ph0
 ), pix AS (
   SELECT doc_id,
          {pix}
-  FROM ph0
+  FROM dg
 ), g AS (
   SELECT doc_id,
          {gs}

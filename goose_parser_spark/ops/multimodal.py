@@ -161,59 +161,73 @@ def phash_dct(
 
     The DECODE stage is this container's deterministic stand-in (no
     image codecs offline, sanctioned by the brief): 64 grayscale
-    pixels derived from md5 of the payload bytes, so byte-identical
-    payloads yield identical grids. Deployment swaps ONLY that stage
-    for `decode -> resize(8x8) -> grayscale`; the DCT, median
-    threshold, and bit assembly below are the production algorithm and
-    survive unchanged. ``pixel_jitter`` (a long Column, clamped into
-    [0,255] on pixel 0) simulates slight decoded-pixel variation: the
-    DCT's perceptual property — small pixel deltas flip few/no bits,
-    unrelated images differ in ~half — is exercised end-to-end and
-    pinned by the test suite against an independent pure-Python
-    reference.
+    pixels unpacked from FOUR md5 digests of the payload (16 hex-pair
+    pixels per digest), so byte-identical payloads yield identical
+    grids. Deployment swaps ONLY that stage for `decode -> resize(8x8)
+    -> grayscale`; the DCT, median threshold, and bit assembly below
+    are the production algorithm and survive unchanged.
+    ``pixel_jitter`` (a long Column, clamped into [0,255] on pixel 0)
+    simulates slight decoded-pixel variation: the DCT's perceptual
+    property — small pixel deltas flip few/no bits, unrelated images
+    differ in ~half — is exercised end-to-end and pinned by the test
+    suite against an independent pure-Python reference.
 
-    Plan: 4 chained projections (pixels -> row-DCT G -> column-DCT
-    AC + sorted median -> 60-bit assembly), map-only, codegen-friendly
-    integer arithmetic; one row out per row in. The fixed-point basis
-    :data:`DCT_C` is shared with the DuckDB oracle, which replays the
-    identical sums. Columns: ``id_col, out_col`` (60-bit long).
+    Plan: chained narrow projections (digests -> pixels -> row-DCT G
+    -> column-DCT AC -> median -> banked bit assembly), map-only.
+    Stage sizing is deliberate: every projection holds MANY SMALL
+    expressions (nothing re-inlined, 15-term bit banks) so
+    whole-stage codegen compiles each one — the first cut built the
+    60-way AC array + 60-term bit sum as single giant expressions,
+    janino refused, and the interpreted fallback was ~50x slower.
+    The fixed-point basis :data:`DCT_C` is shared with the DuckDB
+    oracle, which replays the identical sums. Columns: ``id_col,
+    out_col`` (60-bit long).
     """
-    h = F.md5(F.col(payload_col))
-    pix = [
-        F.conv(F.substring(F.md5(F.concat(h, F.lit(f":{k}"))), 1, 2),
-               16, 10).cast("long").alias(f"_p{k}")
-        for k in range(64)
-    ]
+    # Every stage below is built from SQL STRINGS (one selectExpr per
+    # stage), not nested Column operators: the first cut chained
+    # thousands of Column `*`/`+` calls and spent ~12 s PER QUERY
+    # BUILD in py4j round-trips before any data moved. Strings are
+    # assembled in Python for free and parsed once JVM-side.
+    iq = f"`{id_col}`"
+    dig_exprs = [f"md5(concat(md5(`{payload_col}`), ':{j}')) AS _d{j}"
+                 for j in range(4)]
     if pixel_jitter is not None:
-        base = df.select(F.col(id_col), *pix,
-                         pixel_jitter.cast("long").alias("_jit"))
-        base = base.withColumn(
-            "_p0",
-            F.least(F.greatest(F.col("_p0") + F.col("_jit"),
-                               F.lit(0)), F.lit(255)))
+        digs = df.withColumn("_jit", pixel_jitter.cast("long")) \
+                 .selectExpr(iq, "_jit", *dig_exprs)
     else:
-        base = df.select(F.col(id_col), *pix)
+        digs = df.selectExpr(iq, *dig_exprs)
+    # pixel k lives at hex pair (k % 16) of digest (k // 16)
+    pix_exprs = []
+    for k in range(64):
+        p = (f"CAST(conv(substring(_d{k // 16}, {(k % 16) * 2 + 1}, 2), "
+             f"16, 10) AS BIGINT)")
+        if k == 0 and pixel_jitter is not None:
+            p = f"least(greatest({p} + _jit, 0L), 255L)"
+        pix_exprs.append(f"{p} AS _p{k}")
+    base = digs.selectExpr(iq, *pix_exprs)
     # separable DCT: G[u][y] = sum_x C[u][x] * p[x][y]
-    g_cols = [
-        sum((F.col(f"_p{8 * x + y}") * F.lit(DCT_C[u][x])
-             for x in range(8)),
-            start=F.lit(0)).alias(f"_g{u}_{y}")
+    g_exprs = [
+        " + ".join(f"_p{8 * x + y}*{DCT_C[u][x]}L" for x in range(8))
+        + f" AS _g{u}_{y}"
         for u in range(8) for y in range(8)
     ]
-    g = base.select(id_col, *g_cols)
+    g = base.selectExpr(iq, *g_exprs)
     ac_exprs = [
-        sum((F.col(f"_g{u}_{y}") * F.lit(DCT_C[v][y])
-             for y in range(8)),
-            start=F.lit(0))
-        for (u, v) in PHASH_AC_ORDER
+        " + ".join(f"_g{u}_{y}*{DCT_C[v][y]}L" for y in range(8))
+        + f" AS _a{k}"
+        for k, (u, v) in enumerate(PHASH_AC_ORDER)
     ]
-    acs = g.select(id_col, F.array(*ac_exprs).alias("_ac"))
+    acs = g.selectExpr(iq, *ac_exprs)
     # lower median of the 60 AC values: 30th smallest (1-based)
-    med = acs.withColumn(
-        "_med", F.element_at(F.array_sort(F.col("_ac")), 30))
-    bits = sum(
-        (F.when(F.element_at(F.col("_ac"), k + 1) > F.col("_med"),
-                F.lit(1 << k)).otherwise(F.lit(0))
-         for k in range(len(PHASH_AC_ORDER))),
-        start=F.lit(0).cast("long"))
-    return med.select(F.col(id_col), bits.alias(out_col))
+    arr = "array(" + ",".join(f"_a{k}" for k in range(60)) + ")"
+    med = acs.selectExpr(
+        "*", f"element_at(array_sort({arr}), 30) AS _med")
+    # bit assembly in 4 banks of 15 so no single expression grows
+    # beyond codegen comfort
+    bank_exprs = [
+        " + ".join(f"IF(_a{k} > _med, {1 << k}L, 0L)"
+                   for k in range(b * 15, b * 15 + 15)) + f" AS _b{b}"
+        for b in range(4)
+    ]
+    banks = med.selectExpr(iq, *bank_exprs)
+    return banks.selectExpr(iq, f"_b0 + _b1 + _b2 + _b3 AS `{out_col}`")

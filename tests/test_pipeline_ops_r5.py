@@ -279,7 +279,9 @@ def test_phash_dct_matches_reference_and_perceptual_props(spark):
 
     def ref_phash(payload: bytes, jitter: int = 0) -> int:
         h = hashlib.md5(payload).hexdigest()
-        p = [int(hashlib.md5((h + f":{k}").encode()).hexdigest()[:2], 16)
+        digs = [hashlib.md5((h + f":{j}").encode()).hexdigest()
+                for j in range(4)]
+        p = [int(digs[k // 16][(k % 16) * 2:(k % 16) * 2 + 2], 16)
              for k in range(64)]
         p[0] = max(0, min(255, p[0] + jitter))
         G = [[sum(DCT_C[u][x] * p[8 * x + y] for x in range(8))
