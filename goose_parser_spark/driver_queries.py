@@ -3676,6 +3676,105 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (xxhash64-seeded, not DuckDB-expressible; pytest-verified instead).
 # Micro-queries fully subsumed by an in-window query live in
 # DEMOTED_QUERIES below (pytest-gated via tests/test_demoted_oracles).
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade (ops/textstats.py
+    readability_scores) over punctuated synth docs (every 3rd doc gets
+    sentence punctuation; the rest are one implicit sentence).
+    Map-only scalar arithmetic on exact counts."""
+    from goose_parser_spark.ops.textstats import readability_scores
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    punct = F.concat(F.lit("Opening claim "), d.cast("string"),
+                     F.lit(". "), F.col("text"),
+                     F.lit("! Closing question "), (d % 9).cast("string"),
+                     F.lit("?"))
+    lined = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, punct).otherwise(F.col("text")).alias("text"))
+    return readability_scores(lined)
+
+
+SQL_READABILITY = f"""
+WITH {_SQL_DOCS_AMP_COPY}, lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Opening claim ' || doc_id || '. ' || text ||
+                   '! Closing question ' || (doc_id % 9) || '?'
+              ELSE text END AS text
+  FROM docs_amp
+), counts AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         CAST(list_sum(list_transform(
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+             t -> greatest(len(regexp_extract_all(lower(t), '[aeiouy]+')),
+                           1))) AS BIGINT) AS n_syllables
+  FROM lined
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_sentences AS INT) AS n_sentences, n_syllables,
+       CAST(floor((206.835
+                   - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                   - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)))
+                  * 1000.0) AS BIGINT) AS flesch_milli,
+       CAST(floor((0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                   + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
+                   - 15.59) * 1000.0) AS BIGINT) AS fk_milli
+FROM counts WHERE n_words > 0
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta (ops/crawl.py snapshot_diff): old = the
+    corpus; new = same minus every 11th url (gone), every 7th body
+    edited (changed), plus synthetic urls (added). One url-keyed
+    full-outer join over md5 digests — bodies never shuffle."""
+    from goose_parser_spark.ops.crawl import snapshot_diff
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 37).cast("string"),
+                   F.lit(".test/p/"), d.cast("string"))
+    old = docs.select(url.alias("url"), "text")
+    new = (docs.where(d % 11 != 0)
+           .select(url.alias("url"),
+                   F.when(d % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" [edited]")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.where(d % 13 == 0)
+               .select(F.concat(F.lit("https://new.test/p/"),
+                                d.cast("string")).alias("url"),
+                       F.col("text"))))
+    return snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH {_SQL_DOCS_AMP_COPY}, old AS (
+  SELECT 'https://h' || (doc_id % 37) || '.test/p/' || doc_id AS url,
+         md5(text) AS old_digest
+  FROM docs_amp
+), new AS (
+  SELECT 'https://h' || (doc_id % 37) || '.test/p/' || doc_id AS url,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                  ELSE text END) AS new_digest
+  FROM docs_amp WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT 'https://new.test/p/' || doc_id AS url, md5(text)
+  FROM docs_amp WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(old.url, new.url) AS url,
+       CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'gone'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_digest, new_digest
+FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # Driver-window rotation policy (VERDICT r04 #5): the driver
     # hash-gates only the FIRST 50 entries, so the window rotates
@@ -3736,11 +3835,13 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "link_pagerank": q_link_pagerank,
     "bloom_frontier": q_bloom_frontier,
-    "hll_cardinality": q_hll_cardinality,
-    "robots_filter": q_robots_filter,
+    "snapshot_diff": q_snapshot_diff,
+    "readability": q_readability,
     "events_asof_join": q_events_asof_join,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "robots_filter": q_robots_filter,
+    "hll_cardinality": q_hll_cardinality,
     "contamination": q_contamination,
     "text_repetition": q_text_repetition,
     "text_stats": q_text_stats,
@@ -3864,6 +3965,8 @@ ORACLES: dict[str, str] = {
     "fix_mojibake": SQL_FIX_MOJIBAKE,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "policy_filter": SQL_POLICY_FILTER,
+    "readability": SQL_READABILITY,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_percentiles": SQL_CORPUS_PERCENTILES,
     "url_canonicalize": SQL_URL_CANONICALIZE,

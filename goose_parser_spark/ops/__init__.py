@@ -37,6 +37,7 @@ from goose_parser_spark.ops.crawl import (
     parse_cdx,
     schedule_frontier,
     sitemap_urls,
+    snapshot_diff,
 )
 from goose_parser_spark.ops.classifier import (
     score_logreg_hashed,
@@ -102,6 +103,7 @@ from goose_parser_spark.ops.textstats import (
     repetition_stats,
     tfidf_top_terms,
     token_count,
+    readability_scores,
 )
 
 __all__ = [
@@ -130,4 +132,5 @@ __all__ = [
     "extract_image_text_pairs", "perplexity_buckets", "bm25_topk",
     "split_sentences", "normalize_text_nfc",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
+    "snapshot_diff", "readability_scores", "phash_dct",
 ]

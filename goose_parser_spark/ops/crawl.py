@@ -163,3 +163,39 @@ def schedule_frontier(
                     # where the oracle (and intuition) round to 300.
                     F.round(F.col("fetch_slot") * delay_ms)
                     .cast("long").alias("start_offset_ms")))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Crawl-snapshot delta: classify every url across two crawls as
+    ``added`` (new only), ``gone`` (old only), ``changed`` (both, body
+    differs) or ``unchanged`` — the incremental-processing primitive
+    (re-extract/re-score only ``added``+``changed``; retire ``gone``),
+    same shape as comparing two Common Crawl monthly snapshots.
+
+    Bodies are compared by md5 digest so the join shuffles 32-byte
+    hashes, never page bodies; at 10^12 urls this is one url-keyed
+    full-outer hash join (AQE handles hot-host skew) over two narrow
+    projections. Inputs with duplicate urls should be pre-deduplicated
+    (e.g. ops/urls.dedup_by_url keep-latest); otherwise the join
+    multiplies matches per url.
+
+    Columns: ``url, status, old_digest, new_digest`` — digests NULL on
+    the side where the url is absent.
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(content_col)).alias("old_digest"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(content_col)).alias("new_digest"))
+    j = o.join(n, on="url", how="full_outer")
+    status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
+              .when(F.col("new_digest").isNull(), F.lit("gone"))
+              .when(F.col("old_digest") == F.col("new_digest"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("url", status.alias("status"),
+                    "old_digest", "new_digest")

@@ -768,3 +768,60 @@ def normalize_text_nfc(
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability quality signals (public formulas: Flesch 1948;
+    Kincaid et al. 1975), used alongside Gopher/C4 rules to filter
+    training text by audience complexity.
+
+    Deterministic rule-based counts, identical in every engine:
+    - words: whitespace tokens (same tokenizer as token_count);
+    - sentences: ``. ! ?`` runs (>=1 so the ratio is total);
+    - syllables: per word, count of ``[aeiouy]+`` vowel groups in the
+      lowercased token, min 1 — the standard heuristic (no dictionary).
+
+    FRE  = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    FKGL = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59
+
+    Scores are emitted as integer MILLI-units (``floor(score*1000)``):
+    per-document scalar IEEE arithmetic on exact integer counts is
+    bit-identical across engines, and ``floor`` avoids the decimal
+    round-half trap (Spark and DuckDB disagree on round(9.0875, 3) —
+    observed live) — the same integer-unit discipline as lm_score /
+    bm25. No cross-row float summation anywhere. Map-only: two regexp
+    projections + arithmetic, no shuffle. Columns: ``doc_id, n_words,
+    n_sentences, n_syllables, flesch_milli, fk_milli``.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    words = F.size(toks)
+    # sentence count: runs of .!? ; a doc with no terminal punctuation
+    # is one sentence (min 1 keeps the ratio total)
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1))
+    # syllables: vowel groups per lowercased token, min 1 per token
+    syll = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.greatest(
+            F.size(F.regexp_extract_all(F.lower(t),
+                                        F.lit("[aeiouy]+"), 0)),
+            F.lit(1)))
+    out = df.select(
+        F.col(id_col), words.alias("n_words"), sents.alias("n_sentences"),
+        syll.alias("n_syllables"))
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    fre = (F.lit(206.835) - F.lit(1.015) * (w / s)
+           - F.lit(84.6) * (y / w)) * F.lit(1000.0)
+    fkgl = (F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w)
+            - F.lit(15.59)) * F.lit(1000.0)
+    return (out.where(F.col("n_words") > 0)
+            .withColumn("flesch_milli", F.floor(fre).cast("long"))
+            .withColumn("fk_milli", F.floor(fkgl).cast("long")))

@@ -306,3 +306,58 @@ def test_phash_dct_matches_reference_and_perceptual_props(spark):
     near = bin(out[0] ^ out[3]).count("1")       # jitter 0 vs 222
     far = bin(out[0] ^ out[4]).count("1")        # img-0 vs img-1
     assert near <= 10 < far
+
+
+def test_snapshot_diff_four_statuses(spark):
+    """Each url classifies into exactly one of added/gone/changed/
+    unchanged; digests are NULL on the absent side."""
+    from goose_parser_spark.ops.crawl import snapshot_diff
+    old = spark.createDataFrame([
+        ("u/same", "body one"),
+        ("u/edit", "body two"),
+        ("u/dead", "body three"),
+    ], ["url", "text"])
+    new = spark.createDataFrame([
+        ("u/same", "body one"),
+        ("u/edit", "body two EDITED"),
+        ("u/born", "body four"),
+    ], ["url", "text"])
+    out = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    assert len(out) == 4
+    assert out["u/same"]["status"] == "unchanged"
+    assert out["u/edit"]["status"] == "changed"
+    assert out["u/dead"]["status"] == "gone"
+    assert out["u/born"]["status"] == "added"
+    assert out["u/dead"]["new_digest"] is None
+    assert out["u/born"]["old_digest"] is None
+    assert (out["u/same"]["old_digest"]
+            == out["u/same"]["new_digest"])
+    assert (out["u/edit"]["old_digest"]
+            != out["u/edit"]["new_digest"])
+
+
+def test_readability_hand_computed(spark):
+    """FRE/FKGL milli-units match hand arithmetic on exact counts;
+    a doc with no terminal punctuation counts as one sentence;
+    empty docs are dropped."""
+    import math
+    from goose_parser_spark.ops.textstats import readability_scores
+    df = spark.createDataFrame([
+        # 4 words, 2 sentences (runs of [.!?]), syllables:
+        # the=1(e) cat=1(a) sat=1(a) down=1(ow) -> 4
+        (1, "The cat sat. Down!"),
+        # no punctuation: 1 sentence; banana=3(a,a,a) apple=1(a,e? ->
+        # 'apple' lower: a..e -> groups 'a','e' = 2)
+        (2, "banana apple"),
+        (3, ""),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    assert 3 not in out  # zero-word doc dropped
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (4, 2, 4)
+    fre = 206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4)
+    fk = 0.39 * (4 / 2) + 11.8 * (4 / 4) - 15.59
+    assert r1["flesch_milli"] == math.floor(fre * 1000)
+    assert r1["fk_milli"] == math.floor(fk * 1000)
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 5)
