@@ -247,10 +247,16 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
             return
+        stack = self.stack
+        # fast path: well-formed HTML closes the top of the stack (the
+        # root is '#document', never equal to a real tag name)
+        if stack[-1].tag == tag:
+            stack.pop()
+            return
         # find nearest matching open element; ignore if none (stray end tag)
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
         # no match → ignored (browser behavior for unexpected end tags)
 
