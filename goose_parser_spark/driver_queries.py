@@ -3775,6 +3775,60 @@ FROM old FULL OUTER JOIN new ON old.url = new.url
 """
 
 
+_TOKEN_BUDGET = 300_000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget selection (ops/sampling.py
+    select_token_budget): md5-derived integer pseudo-quality in [0,97)
+    — replica families share a bucket, so whole-bucket keep/drop AND
+    the single boundary bucket's per-doc ordered cumsum both execute.
+    Bounded-histogram cumsum plan; only the boundary bucket pays a
+    per-document window."""
+    from goose_parser_spark.ops.sampling import select_token_budget
+    docs = _documents_amplified(spark, sf_dir)
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                           lambda t: t != ""))
+    qual = F.pmod(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10)
+        .cast("long"), F.lit(97)).cast("int")
+    scored = docs.select("doc_id", qual.alias("quality"),
+                         toks.cast("long").alias("n_tokens"))
+    return select_token_budget(scored, budget=_TOKEN_BUDGET)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH {_SQL_DOCS_AMP_COPY}, scored AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 97
+              AS INTEGER) AS quality,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM docs_amp
+), hist AS (
+  SELECT quality, SUM(n_tokens) AS bt FROM scored GROUP BY quality
+), cum AS (
+  SELECT quality, bt,
+         COALESCE(SUM(bt) OVER (ORDER BY quality DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist
+), j AS (
+  SELECT s.doc_id, s.quality, s.n_tokens, c.bt, c.cb
+  FROM scored s JOIN cum c USING (quality)
+), boundary AS (
+  SELECT doc_id, quality, n_tokens, cb,
+         SUM(n_tokens) OVER (PARTITION BY quality
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dc
+  FROM j WHERE cb < {_TOKEN_BUDGET} AND cb + bt > {_TOKEN_BUDGET}
+)
+SELECT doc_id, quality, n_tokens FROM j WHERE cb + bt <= {_TOKEN_BUDGET}
+UNION ALL
+SELECT doc_id, quality, n_tokens FROM boundary
+WHERE cb + dc <= {_TOKEN_BUDGET}
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # Driver-window rotation policy (VERDICT r04 #5): the driver
     # hash-gates only the FIRST 50 entries, so the window rotates
@@ -3837,9 +3891,10 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_frontier": q_bloom_frontier,
     "snapshot_diff": q_snapshot_diff,
     "readability": q_readability,
-    "events_asof_join": q_events_asof_join,
+    "token_budget": q_token_budget,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
     "hll_cardinality": q_hll_cardinality,
     "contamination": q_contamination,
@@ -3965,6 +4020,7 @@ ORACLES: dict[str, str] = {
     "fix_mojibake": SQL_FIX_MOJIBAKE,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "policy_filter": SQL_POLICY_FILTER,
+    "token_budget": SQL_TOKEN_BUDGET,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "decontaminate": SQL_DECONTAMINATE,

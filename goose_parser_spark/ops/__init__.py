@@ -63,6 +63,7 @@ from goose_parser_spark.ops.sampling import (
     per_domain_quota,
     materialize_sequences,
     sample_by_hash,
+    select_token_budget,
     stratified_sample_by_hash,
 )
 from goose_parser_spark.ops.layout import extract_pdf_pages
@@ -133,4 +134,5 @@ __all__ = [
     "split_sentences", "normalize_text_nfc",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
     "snapshot_diff", "readability_scores", "phash_dct",
+    "select_token_budget",
 ]

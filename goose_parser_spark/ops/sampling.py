@@ -319,3 +319,61 @@ def dsir_logratio(
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.sum(micro).alias("dsir_micro")))
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global token-budget selection: keep the highest-quality
+    documents whose cumulative token count fills ``budget`` — the
+    final curation step before pretraining ("give me the best N
+    billion tokens"), reference behavior: the quality-threshold pass
+    every published pipeline (C4, CCNet, Gopher, FineWeb) runs after
+    scoring.
+
+    Semantics (deterministic, engine-reproducible): order documents by
+    ``quality`` DESC, then ``md5(id)``, then ``id``; keep the maximal
+    prefix whose INCLUSIVE token sum is ≤ budget.
+
+    Plan — never a global per-document sort: one hash-agg collapses
+    the corpus to a per-quality-bucket histogram (bounded: quality
+    scores are integers in this repo's milli/micro-unit discipline); a
+    window cumsum over that tiny table classifies each bucket as
+    keep-whole / drop-whole / boundary; whole buckets resolve with a
+    scan-level filter after a bounded hash join (AQE broadcasts the
+    histogram), and only the SINGLE boundary bucket pays a per-doc
+    ordered cumsum. At 100 TB with milli-unit scores the boundary
+    bucket is a vanishing corpus fraction; the coarser the score, the
+    larger that one ordered partition — use finer scores, not a
+    coarser budget. Rows with NULL quality or tokens are dropped.
+
+    Output: the kept rows of ``df`` (original columns, no order
+    guarantee).
+    """
+    cols = df.columns
+    df = df.where(F.col(quality_col).isNotNull()
+                  & F.col(tokens_col).isNotNull())
+    hist = df.groupBy(quality_col).agg(F.sum(tokens_col).alias("_bt"))
+    # bounded table: single-partition window is fine (and the only
+    # place a global order exists in this plan)
+    wq = (Window.orderBy(F.col(quality_col).desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    hist = hist.select(
+        quality_col, "_bt",
+        F.coalesce(F.sum("_bt").over(wq), F.lit(0)).alias("_cb"))
+    j = df.join(hist, on=quality_col)
+    full = j.where(F.col("_cb") + F.col("_bt") <= budget)
+    boundary = j.where((F.col("_cb") < budget)
+                       & (F.col("_cb") + F.col("_bt") > budget))
+    wd = (Window.partitionBy(quality_col)
+          .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                   F.col(id_col).asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    part = (boundary
+            .withColumn("_dc", F.sum(tokens_col).over(wd))
+            .where(F.col("_cb") + F.col("_dc") <= budget))
+    return full.select(cols).unionByName(part.select(cols))

@@ -361,3 +361,47 @@ def test_readability_hand_computed(spark):
     assert r1["fk_milli"] == math.floor(fk * 1000)
     r2 = out[2]
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 5)
+
+
+def test_select_token_budget_bucket_and_boundary(spark):
+    """Whole better-quality buckets are kept, the boundary bucket fills
+    greedily in (md5(id), id) order with an inclusive-prefix rule, and
+    worse buckets are dropped entirely; NULL rows are ignored."""
+    import hashlib
+    from goose_parser_spark.ops.sampling import select_token_budget
+    rows = [
+        # quality 9: 40 tokens total -> fits whole (budget 100)
+        (1, 9, 25), (2, 9, 15),
+        # quality 5: 80 tokens total -> boundary (40 + 80 > 100)
+        (3, 5, 30), (4, 5, 30), (5, 5, 30),
+        # quality 1: dropped whole
+        (6, 1, 5),
+        (7, None, 10), (8, 2, None),  # NULLs ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, quality int, n_tokens int")
+    out = select_token_budget(df, budget=100).collect()
+    kept = {r["doc_id"] for r in out}
+    assert {1, 2} <= kept and 6 not in kept
+    assert 7 not in kept and 8 not in kept
+    # boundary: remaining budget = 60 -> exactly two of docs 3/4/5 in
+    # md5 order
+    order = sorted([3, 4, 5],
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert kept - {1, 2} == set(order[:2])
+    # total tokens within budget
+    total = sum(r["n_tokens"] for r in out)
+    assert total <= 100
+
+
+def test_select_token_budget_edge_budgets(spark):
+    """A budget smaller than the best doc keeps nothing beyond what
+    fits; a budget covering everything keeps all non-NULL rows."""
+    from goose_parser_spark.ops.sampling import select_token_budget
+    df = spark.createDataFrame(
+        [(1, 3, 50), (2, 2, 10)],
+        "doc_id int, quality int, n_tokens int")
+    assert select_token_budget(df, budget=40).count() == 0
+    assert select_token_budget(df, budget=60).count() == 2
+    got = select_token_budget(df, budget=55).collect()
+    assert [r["doc_id"] for r in got] == [1]
