@@ -101,11 +101,17 @@ _SQL_DOCS_AMP_VARIED = f"""docs_amp AS (
 # DOM-extraction queries (C1-C8, N1-N5, T1-T7 through the real engine)
 # --------------------------------------------------------------------------
 
-def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pages_from_documents(spark: SparkSession, sf_dir: str,
+                          docs: DataFrame | None = None,
+                          url_prefix: str = "https://docs.test/",
+                          ) -> DataFrame:
     """Synthesize a pages table from documents (deterministic,
     lossless): one html document embedding title/body/lang/source.
-    Amplified ×_AMP so the extraction oracles exercise >10^4 docs."""
-    docs = _documents_amplified(spark, sf_dir)
+    Amplified ×_AMP so the extraction oracles exercise >10^4 docs.
+    ``docs`` overrides the corpus (snapshot-delta queries pass edited
+    replicas); ``url_prefix`` distinguishes crawls of the same ids."""
+    if docs is None:
+        docs = _documents_amplified(spark, sf_dir)
     html = F.concat(
         F.lit('<html><body><div class="doc" data-lang="'), F.col("lang"),
         F.lit('"><h1 class="t">doc '), F.col("doc_id").cast("string"),
@@ -120,7 +126,7 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</div></body></html>"),
     )
     return docs.select(
-        F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string"))
+        F.concat(F.lit(url_prefix), F.col("doc_id").cast("string"))
          .alias("url"),
         html.alias("html"),
     )
@@ -3775,6 +3781,55 @@ FROM old FULL OUTER JOIN new ON old.url = new.url
 """
 
 
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot INCREMENTAL extraction — the monthly-crawl-delta
+    workflow end-to-end: snapshot_diff classifies urls between two
+    synthesized crawls over md5 digests (bodies never shuffle), a
+    left-semi join keeps only added+changed pages, and ONLY those run
+    the extraction engine. At 10^12 urls with a few-percent monthly
+    churn this turns re-extraction cost from corpus-proportional to
+    delta-proportional. New crawl: every 11th url gone, every 7th
+    body edited, every 13th doc re-published at a /new/ url."""
+    from goose_parser_spark.ops.crawl import snapshot_diff
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    old_pages = _pages_from_documents(spark, sf_dir, docs=docs)
+    new_docs = (docs.where(d % 11 != 0)
+                .withColumn("text",
+                            F.when(d % 7 == 0,
+                                   F.concat(F.col("text"),
+                                            F.lit(" [edited]")))
+                            .otherwise(F.col("text"))))
+    new_pages = (_pages_from_documents(spark, sf_dir, docs=new_docs)
+                 .unionByName(_pages_from_documents(
+                     spark, sf_dir, docs=docs.where(d % 13 == 0),
+                     url_prefix="https://docs.test/new/")))
+    delta = snapshot_diff(old_pages, new_pages, content_col="html")
+    todo = (delta.where(F.col("status").isin("added", "changed"))
+            .select("url"))
+    pages = new_pages.join(todo, on="url", how="left_semi")
+    out = extract(pages, _FLAGSHIP_RULES)
+    return out.select(
+        "url",
+        F.col("extracted.title").alias("title"),
+        F.col("extracted.body").alias("body"),
+    )
+
+
+SQL_INCREMENTAL_EXTRACT = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://docs.test/' || doc_id AS url,
+       'doc ' || doc_id AS title,
+       text || ' [edited]' AS body
+FROM docs_amp WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+UNION ALL
+SELECT 'https://docs.test/new/' || doc_id AS url,
+       'doc ' || doc_id AS title,
+       text AS body
+FROM docs_amp WHERE doc_id % 13 = 0
+"""
+
+
 _TOKEN_BUDGET = 300_000
 
 
@@ -3888,12 +3943,13 @@ QUERIES: dict[str, QueryFn] = {
     "simsearch_topk": q_simsearch_topk,
     "bm25_search": q_bm25_search,
     "link_pagerank": q_link_pagerank,
-    "bloom_frontier": q_bloom_frontier,
     "snapshot_diff": q_snapshot_diff,
     "readability": q_readability,
     "token_budget": q_token_budget,
+    "incremental_extract": q_incremental_extract,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
     "hll_cardinality": q_hll_cardinality,
@@ -4021,6 +4077,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "policy_filter": SQL_POLICY_FILTER,
     "token_budget": SQL_TOKEN_BUDGET,
+    "incremental_extract": SQL_INCREMENTAL_EXTRACT,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "decontaminate": SQL_DECONTAMINATE,

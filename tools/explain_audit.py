@@ -288,6 +288,26 @@ CHECKS = {
         ("no Python UDF (stub hash is pure Catalyst)",
          lambda p: "Python" not in p),
     ],
+    "snapshot_diff": [
+        ("url-keyed digest join, never all-pairs",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("pure Catalyst (md5 digests JVM-side, bodies never shuffle)",
+         lambda p: "Python" not in p),
+    ],
+    "token_budget": [
+        ("no Python UDF", lambda p: "Python" not in p),
+        ("histogram has map-side partial aggregation",
+         lambda p: "partial_sum" in p),
+        ("no cartesian/nested-loop", lambda p: "Cartesian" not in p
+         and "NestedLoop" not in p),
+    ],
+    "incremental_extract": [
+        ("extraction gated behind the delta (left-semi above the "
+         "extractor)", lambda p: "LeftSemi" in p),
+        ("the extractor is the only Python node",
+         lambda p: _exec_part(p).count("MapInArrow") == 1
+         and "BatchEvalPython" not in p),
+    ],
 }
 
 # Queries whose CONSTRUCTION is allowed a bounded number of driver
