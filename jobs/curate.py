@@ -92,6 +92,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="per-source rates, e.g. 'src0=0.9,src1=0.5,*=0.1'")
     p.add_argument("--near-dedup", action="store_true",
                    help="MinHash-LSH near-dup removal (keep canonical)")
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="after dedup, keep only the highest-quality "
+                        "documents whose cumulative whitespace-token "
+                        "count fits this corpus-wide budget")
     p.add_argument("--split", default=None,
                    help="hash split, e.g. 'train=0.9,val=0.05,test=0.05'")
     p.add_argument("--shards", type=int, default=None,
@@ -158,6 +162,20 @@ def main(argv: list[str] | None = None) -> int:
                                   threshold=0.5)
         clusters = connected_components(docs.select("doc_id"), pairs)
         docs = keep_canonical(docs, clusters)
+
+    if args.token_budget:
+        # final selection: the best documents until the token budget
+        # is met (bounded-histogram plan; see ops/sampling.py)
+        from goose_parser_spark.ops.sampling import select_token_budget
+        scored = (docs
+                  .withColumn("_q", F.round(quality_score("text") * 1000)
+                              .cast("int"))
+                  .withColumn("_nt", F.size(F.filter(
+                      F.split(F.col("text"), r"\s+"),
+                      lambda t: t != "")).cast("long")))
+        docs = (select_token_budget(scored, args.token_budget,
+                                    quality_col="_q", tokens_col="_nt")
+                .drop("_q", "_nt"))
 
     part_cols: list[str] = []
     if args.split:

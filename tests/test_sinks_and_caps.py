@@ -288,3 +288,39 @@ def test_spark_submit_curate_cli_c4_clean(tmp_path):
     ).fetchall()
     assert got == [(0, "This line survives the cleanup pass.\n"
                        "Another proper sentence stays too!")]
+
+
+def test_spark_submit_curate_cli_token_budget(tmp_path):
+    """jobs/curate.py --token-budget: after dedup the corpus is cut to
+    the best docs whose cumulative token count fits the budget."""
+    import shutil
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from goose_parser_spark.deploy import build_package_zip
+
+    good = ("a meaningful sentence with varied everyday words that "
+            "reads like real prose and carries clear content onward ")
+    rows = [{"doc_id": i, "source": "s",
+             "text": good + f"unique closing token{i}"}
+            for i in range(10)]  # 20 tokens each, similar quality
+    table = pa.Table.from_pylist(rows)
+    docs = str(tmp_path / "documents.parquet")
+    pq.write_table(table, docs)
+
+    out_dir = str(tmp_path / "curated")
+    zip_path = build_package_zip(str(tmp_path))
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         "jobs/curate.py", "--input", docs, "--output", out_dir,
+         "--token-budget", "100"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 10
+    # each doc is 20 tokens; a 100-token budget keeps at most 5 docs
+    assert 1 <= summary["rows_out"] <= 5
