@@ -2034,6 +2034,60 @@ def q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_cdx(base.select(line.alias("line")))
 
 
+def q_capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL capture history over a synthesized multi-capture CDX
+    index (ops/crawl.py capture_history): replicas of a urlkey carry
+    distinct timestamps/digests, so first/last capture, version count
+    and OK-share all vary. One urlkey-keyed hash-agg with map-side
+    partials; torn lines (NULL urlkey) drop out."""
+    from goose_parser_spark.ops.crawl import capture_history, parse_cdx
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    key = (d % 1499).cast("string")
+    ver = F.floor(d / 1499) % 3
+    line = F.concat(
+        F.lit("test,site)/p/"), key,
+        F.lit(" 202401"),
+        F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+        F.lpad((d % 24).cast("string"), 2, "0"), F.lit("0000"),
+        F.lit(' {"url": "https://site.test/p/'), key,
+        F.lit('", "mime": "text/html", "status": "'),
+        F.when(d % 50 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.lit('", "digest": "sha1:'), ver.cast("string"),
+        F.lit('", "length": "1000", "offset": "0", '
+              '"filename": "crawl.warc.gz"}'))
+    line = F.when(d % 97 == 13, F.lit("torn")).otherwise(line)
+    return capture_history(parse_cdx(base.select(line.alias("line"))))
+
+
+SQL_CAPTURE_HISTORY = f"""
+WITH {_SQL_DOCS_AMP_COPY}, rec AS (
+  SELECT CAST(doc_id % 1499 AS VARCHAR) AS key,
+         try_strptime('202401' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                       2, '0')
+                      || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                      || '0000', '%Y%m%d%H%M%S') AS ts,
+         (doc_id // 1499) % 3 AS ver,
+         CASE WHEN doc_id % 50 = 0 THEN 404 ELSE 200 END AS status
+  FROM docs_amp WHERE doc_id % 97 <> 13
+)
+SELECT 'test,site)/p/' || key AS urlkey,
+       MIN(ts) AS first_seen,
+       MAX(ts) AS last_seen,
+       COUNT(*) AS n_captures,
+       COUNT(DISTINCT ver) AS n_versions,
+       CAST(SUM(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ok
+FROM rec GROUP BY key
+UNION ALL
+-- torn one-field lines parse to urlkey='torn' with NULL ts/digest/
+-- status: they survive the NULL-urlkey guard and form one group
+SELECT 'torn', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM docs_amp WHERE doc_id % 97 = 13
+"""
+
+
 SQL_CDX_PARSE = f"""
 WITH {_SQL_DOCS_AMP_COPY}, lines AS (
   SELECT CASE WHEN doc_id % 97 = 13 THEN 'torn 1234 notjson'
@@ -3942,13 +3996,14 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_keep": q_dedup_semantic_keep,
     "simsearch_topk": q_simsearch_topk,
     "bm25_search": q_bm25_search,
-    "link_pagerank": q_link_pagerank,
     "snapshot_diff": q_snapshot_diff,
     "readability": q_readability,
     "token_budget": q_token_budget,
     "incremental_extract": q_incremental_extract,
+    "capture_history": q_capture_history,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "link_pagerank": q_link_pagerank,
     "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
@@ -4077,6 +4132,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "policy_filter": SQL_POLICY_FILTER,
     "token_budget": SQL_TOKEN_BUDGET,
+    "capture_history": SQL_CAPTURE_HISTORY,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

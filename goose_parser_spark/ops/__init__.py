@@ -34,6 +34,7 @@ from goose_parser_spark.ops.robots import (
 )
 from goose_parser_spark.ops.linkgraph import anchor_text_stats, pagerank_int
 from goose_parser_spark.ops.crawl import (
+    capture_history,
     parse_cdx,
     schedule_frontier,
     sitemap_urls,
@@ -134,5 +135,5 @@ __all__ = [
     "split_sentences", "normalize_text_nfc",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
     "snapshot_diff", "readability_scores", "phash_dct",
-    "select_token_budget",
+    "select_token_budget", "capture_history",
 ]

@@ -199,3 +199,38 @@ def snapshot_diff(
               .otherwise(F.lit("changed")))
     return j.select("url", status.alias("status"),
                     "old_digest", "new_digest")
+
+
+def capture_history(
+    df: DataFrame,
+    urlkey_col: str = "urlkey",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-URL capture history over a parsed CDX index (the CDX-server
+    summary every crawl operator reads): first/last capture time,
+    capture count, distinct content versions, and OK-status count —
+    the url-stability signals that pick refresh candidates (many
+    versions = churny) and prioritize stable pages for training
+    corpora (one version across months = durable content).
+
+    One hash-aggregate keyed on ``urlkey``; map-side partial
+    aggregation means the exchange carries one partial row per
+    (task, urlkey), not the 3·10^9 raw index lines. Distinct-version
+    counting uses ``count_distinct`` on the digest — an exact
+    expand-style distinct under the same agg (swap to
+    ``approx_count_distinct`` at full-index scale if 2% error is
+    acceptable; documented, not defaulted).
+
+    Columns: ``urlkey, first_seen, last_seen, n_captures, n_versions,
+    n_ok``. NULL urlkeys (torn lines) are dropped.
+    """
+    ok = (F.col(status_col) >= 200) & (F.col(status_col) < 300)
+    return (df.where(F.col(urlkey_col).isNotNull())
+            .groupBy(urlkey_col)
+            .agg(F.min(ts_col).alias("first_seen"),
+                 F.max(ts_col).alias("last_seen"),
+                 F.count("*").alias("n_captures"),
+                 F.count_distinct(F.col(digest_col)).alias("n_versions"),
+                 F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok")))
