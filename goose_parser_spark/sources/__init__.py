@@ -13,6 +13,7 @@ from goose_parser_spark.sources.jsonl import (
 from goose_parser_spark.sources.warc import (
     iter_warc_records,
     read_warc,
+    write_warc,
     write_warc_bytes,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "write_pages_jsonl",
     "iter_warc_records",
     "read_warc",
+    "write_warc",
     "write_warc_bytes",
 ]

@@ -283,3 +283,33 @@ def test_read_wet_conversion_records(spark, tmp_path):
     assert len(out) == 5
     assert out[0]["text"] == "extracted text 0\nsecond line"
     assert out[0]["url"] == "https://w.test/0"
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Distributed WARC sink → read_warc round-trip: every (url, ts,
+    payload) survives byte-identically; one shard per non-empty
+    partition; the manifest counts match; NULL payloads are skipped."""
+    import datetime as dt
+    import glob
+    from goose_parser_spark.sources.warc import read_warc, write_warc
+
+    rows = [(f"https://w.test/{i}",
+             dt.datetime(2024, 3, 1, 12, 0, i),
+             f"<html><body>doc {i}</body></html>".encode())
+            for i in range(37)]
+    rows.append(("https://w.test/null", dt.datetime(2024, 3, 1), None))
+    df = (spark.createDataFrame(rows, "url string, warc_ts timestamp,"
+                                " html binary")
+          .repartition(4))
+    out = str(tmp_path / "warcs")
+    manifest = write_warc(df, out).collect()
+    assert sum(r["n_records"] for r in manifest) == 37
+    assert len(manifest) == len(glob.glob(f"{out}/part-*.warc.gz"))
+    back = read_warc(spark, out).collect()
+    assert len(back) == 37
+    got = {r["url"]: r for r in back}
+    for i in range(37):
+        r = got[f"https://w.test/{i}"]
+        assert bytes(r["html"]) == f"<html><body>doc {i}</body></html>".encode()
+        assert r["warc_ts"] == dt.datetime(2024, 3, 1, 12, 0, i)
+    assert "https://w.test/null" not in got
