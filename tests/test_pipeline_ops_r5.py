@@ -405,3 +405,33 @@ def test_select_token_budget_edge_budgets(spark):
     assert select_token_budget(df, budget=60).count() == 2
     got = select_token_budget(df, budget=55).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_select_token_budget_matches_bruteforce_reference(spark):
+    """15 seeded-random corpora: the bucketed plan's kept set equals a
+    plain sort-and-prefix reference (quality desc, md5(id), id;
+    inclusive-prefix rule) at assorted budgets incl. 0 and all."""
+    import hashlib
+    import random
+    from goose_parser_spark.ops.sampling import select_token_budget
+
+    rng = random.Random(1234)
+    for case in range(15):
+        n = rng.randint(1, 40)
+        rows = [(i, rng.randint(0, 5), rng.randint(1, 20))
+                for i in range(n)]
+        total = sum(t for _, _, t in rows)
+        budget = rng.choice([0, 1, total // 3, total // 2, total])
+        order = sorted(rows, key=lambda r: (
+            -r[1], hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+        expect, cum = set(), 0
+        for i, q, t in order:
+            if cum + t > budget:
+                break
+            cum += t
+            expect.add(i)
+        df = spark.createDataFrame(
+            rows, "doc_id int, quality int, n_tokens int")
+        got = {r["doc_id"]
+               for r in select_token_budget(df, budget=budget).collect()}
+        assert got == expect, (case, budget, sorted(got), sorted(expect))
