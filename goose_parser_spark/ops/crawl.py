@@ -185,12 +185,20 @@ def snapshot_diff(
     multiplies matches per url.
 
     Columns: ``url, status, old_digest, new_digest`` — digests NULL on
-    the side where the url is absent.
+    the side where the url is absent. A NULL body (fetched but empty /
+    failed capture) digests as the empty string rather than NULL, so a
+    url PRESENT in both snapshots can never masquerade as added/gone —
+    NULL-vs-text compares as changed, NULL-vs-NULL as unchanged.
     """
+    # coalesce the DIGEST (not the body): md5('') == md5(x'') so the
+    # sentinel is type-agnostic across string and binary content cols
+    empty = F.md5(F.lit(""))
     o = old.select(F.col(url_col).alias("url"),
-                   F.md5(F.col(content_col)).alias("old_digest"))
+                   F.coalesce(F.md5(F.col(content_col)), empty)
+                   .alias("old_digest"))
     n = new.select(F.col(url_col).alias("url"),
-                   F.md5(F.col(content_col)).alias("new_digest"))
+                   F.coalesce(F.md5(F.col(content_col)), empty)
+                   .alias("new_digest"))
     j = o.join(n, on="url", how="full_outer")
     status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
               .when(F.col("new_digest").isNull(), F.lit("gone"))

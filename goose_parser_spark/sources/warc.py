@@ -236,7 +236,10 @@ def write_warc(
 
     Records are written as WARC/1.0 ``response`` records with an
     HTTP/1.1 envelope (what ``read_warc`` strips back off). Rows with
-    a NULL payload are skipped. The sink streams batch-by-batch
+    a NULL payload, url or timestamp are skipped — WARC requires
+    WARC-Target-URI and WARC-Date, and a stringified ``None`` in a
+    header is worse for interchange than an absent record (filter or
+    repair upstream if those rows matter). The sink streams batch-by-batch
     through the file handle — shard memory is one Arrow batch, not the
     partition.
 
@@ -286,7 +289,7 @@ def write_warc(
                 recs = [
                     {"url": u, "warc_ts": t, "payload": p}
                     for u, t, p in zip(urls, tss, payloads)
-                    if p is not None
+                    if p is not None and u is not None and t is not None
                 ]
                 if not recs:
                     continue

@@ -135,3 +135,20 @@ def test_schedule_frontier_slots_and_delays(spark):
     # unknown host: default 1s delay, own slot sequence
     assert out["https://b.test/x"]["fetch_slot"] == 0
     assert out["https://b.test/x"]["start_offset_ms"] == 0
+
+
+def test_snapshot_diff_null_bodies_never_add_or_gone(spark):
+    """A url present in BOTH snapshots classifies changed/unchanged
+    even when a body is NULL (failed capture): NULL-vs-text is
+    changed, NULL-vs-NULL unchanged."""
+    from goose_parser_spark.ops.crawl import snapshot_diff
+    old = spark.createDataFrame(
+        [("u/a", None), ("u/b", None), ("u/c", "x")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u/a", "now has text"), ("u/b", None), ("u/c", None)],
+        "url string, text string")
+    out = {r["url"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert out == {"u/a": "changed", "u/b": "unchanged",
+                   "u/c": "changed"}
