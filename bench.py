@@ -389,6 +389,8 @@ def main() -> int:
         "substring_dedup", "hybrid_search", "bpe_train",
         "embedding_outliers", "fix_mojibake", "bigram_lm_score",
         "topic_clusters", "policy_filter",
+        "snapshot_diff", "readability", "token_budget",
+        "incremental_extract", "capture_history",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:
