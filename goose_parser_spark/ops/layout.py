@@ -1,17 +1,28 @@
-"""PDF / layout parsing plumbing (north rule: "PDF/layout parse").
+"""PDF / layout parsing (north rule: "PDF/layout parse").
 
-No PDF library exists in this container, so the codec is STUBBED the
-same way as the image/audio decoders in ops/multimodal.py: the
-Spark-side plumbing — binary column in, per-page text rows out,
-Arrow batching, failure isolation — is real and tested;
-:func:`parse_pdf_stub` raises ``NotImplementedError`` unless
-``fake=True``, in which case it deterministically fakes page splits
-so the pipeline shape can be exercised end to end. Swapping in
-pdfminer/pypdf on a real cluster is a one-function change.
+Two tiers:
+
+- :func:`parse_pdf_text` — a REAL pure-stdlib PDF text extractor
+  (zlib FlateDecode, page-tree walk, BT/ET text operators). Scope is
+  the classic generated-PDF shape that dominates web corpora exports:
+  uncompressed object tables, direct /Length, Flate or raw content
+  streams, simple (single-byte) fonts decoded latin-1. Out of scope
+  and raising ValueError (per-doc isolation upstream): encrypted
+  documents, cross-reference/object streams (/Type /ObjStm), non-Flate
+  filters, CID/ToUnicode text mapping. A full-fidelity parser
+  (pdfminer/pypdf) remains a drop-in swap on a real cluster.
+- :func:`parse_pdf_stub` — the deterministic fake splitter kept for
+  exercising the Spark plumbing with non-PDF payloads.
+
+:func:`extract_pdf_pages` routes by the ``%PDF-`` magic: real parser
+for real PDFs (failures isolated per document), fake splitter
+otherwise.
 """
 
 from __future__ import annotations
 
+import re
+import zlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -21,6 +32,235 @@ from pyspark.sql.types import IntegerType, LongType, StringType, StructField, St
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
+
+
+# ---- real PDF text extraction (pure stdlib) -----------------------------
+
+_OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_REF = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_NUM = re.compile(rb"[-+]?\d*\.?\d+")
+
+_ESCAPES = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+            ord("b"): "\b", ord("f"): "\f", ord("("): "(",
+            ord(")"): ")", ord("\\"): "\\"}
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """obj number → (dict/body bytes, stream bytes or None). Scans
+    ``N G obj`` headers directly (no xref) — robust to linearized and
+    appended-update files; the LAST definition of a number wins, which
+    matches incremental-update semantics."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_HEAD.finditer(data):
+        num = int(m.group(1))
+        body_start = m.end()
+        sm = re.compile(rb"stream\r?\n|endobj").search(data, body_start)
+        if sm is None:
+            continue
+        if sm.group().startswith(b"endobj"):
+            objects[num] = (data[body_start:sm.start()], None)
+            continue
+        head = data[body_start:sm.start()]
+        sdata_start = sm.end()
+        lm = _LENGTH.search(head)
+        if lm is not None:
+            send = sdata_start + int(lm.group(1))
+            # trust /Length only if endstream actually follows
+            if data[send:send + 20].lstrip()[:9] != b"endstream":
+                send = data.find(b"endstream", sdata_start)
+        else:
+            send = data.find(b"endstream", sdata_start)
+        if send < 0:
+            continue
+        objects[num] = (head, data[sdata_start:send].rstrip(b"\r\n"))
+    return objects
+
+
+def _decode_stream(head: bytes, raw: bytes) -> bytes:
+    if b"/Filter" not in head:
+        return raw
+    if b"/FlateDecode" not in head:
+        raise ValueError("unsupported PDF stream filter")
+    return zlib.decompress(raw)
+
+
+def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Page object numbers in page-tree order (catalog → /Pages →
+    /Kids walk); falls back to file order of /Type /Page objects."""
+    catalog = next((n for n, (h, _) in objects.items()
+                    if b"/Type" in h and b"/Catalog" in h), None)
+    pages: list[int] = []
+    if catalog is not None:
+        pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objects[catalog][0])
+        if pm is not None:
+            stack = [int(pm.group(1))]
+            seen = set()
+            while stack:
+                node = stack.pop(0)
+                if node in seen or node not in objects:
+                    continue
+                seen.add(node)
+                head = objects[node][0]
+                if b"/Page" in head and b"/Pages" not in head:
+                    pages.append(node)
+                    continue
+                km = re.search(rb"/Kids\s*\[(.*?)\]", head, re.DOTALL)
+                if km is not None:
+                    kids = [int(r.group(1))
+                            for r in _REF.finditer(km.group(1))]
+                    stack = kids + stack
+    if not pages:
+        pages = [n for n, (h, _) in objects.items()
+                 if re.search(rb"/Type\s*/Page\b", h)]
+    return pages
+
+
+def _content_of(page_head: bytes,
+                objects: dict[int, tuple[bytes, bytes | None]]) -> bytes:
+    cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page_head)
+    refs: list[int] = []
+    if cm is not None:
+        refs = [int(cm.group(1))]
+    else:
+        am = re.search(rb"/Contents\s*\[(.*?)\]", page_head, re.DOTALL)
+        if am is not None:
+            refs = [int(r.group(1)) for r in _REF.finditer(am.group(1))]
+    parts = []
+    for r in refs:
+        if r in objects and objects[r][1] is not None:
+            head, raw = objects[r]
+            parts.append(_decode_stream(head, raw))
+    # spec: multiple content streams form one stream, whitespace-joined
+    return b"\n".join(parts)
+
+
+def _show_text_ops(content: bytes) -> str:
+    """Run the text-showing subset of the content-stream language:
+    Tj ' \" TJ show strings; Td/TD/T* (and ') start new lines; TJ
+    kerns more negative than -150/1000 em render as a space. Bytes
+    decode latin-1 (simple fonts; no ToUnicode CMaps by design)."""
+    out: list[str] = []
+    strings: list[str] = []  # operand stack of decoded strings
+    nums: list[float] = []
+    in_array = False
+    array_parts: list[str] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            i += 1
+            depth = 1
+            buf: list[str] = []
+            while i < n and depth:
+                b = content[i]
+                if b == 0x5C:  # backslash
+                    i += 1
+                    if i >= n:
+                        break
+                    e = content[i]
+                    if 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                        oct_ = chr(e)
+                        for _ in range(2):
+                            if i + 1 < n and 0x30 <= content[i + 1] <= 0x37:
+                                i += 1
+                                oct_ += chr(content[i])
+                        buf.append(chr(int(oct_, 8)))
+                    elif e in (0x0A, 0x0D):
+                        # line continuation; \CRLF consumes both bytes
+                        if e == 0x0D and content[i + 1:i + 2] == b"\n":
+                            i += 1
+                    else:
+                        buf.append(_ESCAPES.get(e, chr(e)))
+                    i += 1
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if not depth:
+                        i += 1
+                        break
+                buf.append(chr(b))
+                i += 1
+            s = "".join(buf)
+            (array_parts if in_array else strings).append(s)
+            continue
+        if c == 0x3C and content[i:i + 2] != b"<<":  # <hex string>
+            j = content.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", content[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            s = bytes.fromhex(hx.decode("ascii", "ignore")).decode("latin-1")
+            (array_parts if in_array else strings).append(s)
+            i = j + 1
+            continue
+        if c == 0x5B:  # [
+            in_array = True
+            array_parts = []
+            i += 1
+            continue
+        if c == 0x5D:  # ]
+            in_array = False
+            i += 1
+            continue
+        if c in (0x2B, 0x2D, 0x2E) or 0x30 <= c <= 0x39:
+            m = _NUM.match(content, i)
+            v = float(m.group())
+            if in_array:
+                if v < -150:  # kern wide enough to be a word gap
+                    array_parts.append(" ")
+            else:
+                nums.append(v)
+            i = m.end()
+            continue
+        if 0x41 <= c <= 0x7A and (c <= 0x5A or c >= 0x61):  # letter
+            m = re.compile(rb"[A-Za-z*']+").match(content, i)
+            op = m.group()
+            if op == b"Tj" and strings:
+                out.append(strings[-1])
+            elif op == b"TJ":
+                out.append("".join(array_parts))
+                array_parts = []
+            elif op in (b"Td", b"TD", b"T*"):
+                if op == b"T*" or (len(nums) >= 1 and nums[-1] != 0):
+                    out.append("\n")
+            strings = []
+            nums = []
+            i = m.end()
+            continue
+        if c == 0x27 or c == 0x22:  # ' and " show-on-next-line ops
+            if strings:
+                out.append("\n" + strings[-1])
+            strings = []
+            nums = []
+            i += 1
+            continue
+        i += 1
+    text = "".join(out)
+    # collapse leading newline artifacts from the initial Td
+    return text.lstrip("\n")
+
+
+def parse_pdf_text(data: bytes) -> list[str]:
+    """Real PDF → list of per-page texts (pure stdlib; scope in the
+    module docstring). Raises ValueError on encrypted documents,
+    object-stream-only files, or unsupported filters."""
+    if b"/Encrypt" in data:
+        raise ValueError("encrypted PDF not supported")
+    objects = _scan_objects(data)
+    if not objects:
+        raise ValueError("no PDF objects found")
+    pages = _page_order(objects)
+    if not pages:
+        if any(b"/ObjStm" in h for h, _ in objects.values()):
+            raise ValueError("object-stream (compressed xref) PDF "
+                             "not supported")
+        raise ValueError("no pages found")
+    return [_show_text_ops(_content_of(objects[p][0], objects))
+            for p in pages]
 
 
 def parse_pdf_stub(data: bytes, fake: bool = True) -> list[str]:
@@ -46,6 +286,13 @@ def extract_pdf_pages(
 ) -> "DataFrame":
     """Binary PDF payloads → one row per (doc, page_no, page_text).
 
+    Payloads with the ``%PDF-`` magic run the REAL extractor
+    (:func:`parse_pdf_text`); anything else gets the deterministic
+    fake splitter so plumbing tests and non-PDF fixtures keep working.
+    Per-document failure isolation (I4): a document whose parse raises
+    contributes one row with ``page_no = -1`` and NULL text — poison
+    never kills the batch, and failures stay countable downstream.
+
     The explode happens inside the Python worker (a parsed page list
     never crosses the boundary twice); output rows are narrow.
     """
@@ -68,7 +315,18 @@ def extract_pdf_pages(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                pages = parse_pdf_stub(bytes(payload))
+                raw = bytes(payload)
+                try:
+                    if raw.startswith(b"%PDF-"):
+                        pages = parse_pdf_text(raw)
+                    else:
+                        pages = parse_pdf_stub(raw)
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    ids.append(doc_id)
+                    page_nos.append(-1)
+                    texts.append(None)
+                    n_pages_col.append(0)
+                    continue
                 for pno, ptext in enumerate(pages):
                     ids.append(doc_id)
                     page_nos.append(pno)

@@ -117,3 +117,75 @@ def test_extract_markdown_spark_maponly(spark):
     assert rows["u2"]["error"] is not None      # poison isolation
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _build_pdf(pages_content: list[bytes], compress: bool = True) -> bytes:
+    """Author a minimal classic-layout PDF: catalog → pages → kids,
+    one (optionally Flate) content stream per page."""
+    import zlib
+    objs: list[bytes] = []
+    n_pages = len(pages_content)
+    kid_nums = [3 + 2 * i for i in range(n_pages)]
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs.append(b"<< /Type /Pages /Kids [" + kids +
+                b"] /Count %d >>" % n_pages)
+    for i, content in enumerate(pages_content):
+        objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
+                    % (kid_nums[i] + 1))
+        data = zlib.compress(content) if compress else content
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs.append(b"<< /Length %d%s >>\nstream\n" % (len(data), filt)
+                    + data + b"\nendstream")
+    out = [b"%PDF-1.4"]
+    for num, body in enumerate(objs, start=1):
+        out.append(b"%d 0 obj\n" % num + body + b"\nendobj")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_parse_pdf_text_real_documents():
+    """Real (authored) PDFs: Flate + raw streams, literal/hex strings,
+    escapes, TJ kerning, multi-page order via the page tree."""
+    from goose_parser_spark.ops.layout import parse_pdf_text
+    p1 = (b"BT /F1 12 Tf 72 720 Td (Hello) Tj ( ) Tj "
+          b"[(Wor) -300 (ld)] TJ T* (Next line) Tj ET")
+    p2 = (b"BT 72 720 Td <48656C6C6F20686578> Tj "
+          b"(esc \\(paren\\) \\101 and \\\\slash) ' ET")
+    pdf = _build_pdf([p1, p2])
+    pages = parse_pdf_text(pdf)
+    assert len(pages) == 2
+    assert pages[0] == "Hello Wor ld\nNext line"
+    assert pages[1].startswith("Hello hex")
+    assert "esc (paren) A and \\slash" in pages[1]
+    # raw (uncompressed) stream variant
+    raw = parse_pdf_text(_build_pdf([b"BT (plain) Tj ET"],
+                                    compress=False))
+    assert raw == ["plain"]
+
+
+def test_parse_pdf_text_rejects_unsupported():
+    from goose_parser_spark.ops.layout import parse_pdf_text
+    with pytest.raises(ValueError):
+        parse_pdf_text(b"%PDF-1.7 garbage with no objects")
+    with pytest.raises(ValueError):
+        parse_pdf_text(_build_pdf([b"BT (x) Tj ET"]) + b" /Encrypt ")
+
+
+def test_extract_pdf_pages_real_and_poison(spark):
+    """The DataFrame op routes %PDF- payloads to the real parser;
+    a poison PDF lands as one page_no=-1 NULL-text row."""
+    from goose_parser_spark.ops.layout import extract_pdf_pages
+    good = _build_pdf([b"BT (page one) Tj ET", b"BT (page two) Tj ET"])
+    rows = [(1, bytearray(good)),
+            (2, bytearray(b"%PDF-1.4 truncated")),
+            (3, bytearray(b"not a pdf at all"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {}
+    for r in extract_pdf_pages(df).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    texts = [r["page_text"] for r in
+             sorted(out[1], key=lambda r: r["page_no"])]
+    assert texts == ["page one", "page two"]
+    assert out[2][0]["page_no"] == -1 and out[2][0]["page_text"] is None
+    assert out[3][0]["n_pages"] == 1  # fake-split path for non-PDF
