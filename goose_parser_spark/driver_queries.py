@@ -3884,6 +3884,44 @@ FROM docs_amp WHERE doc_id % 13 = 0
 """
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF parsing under the value oracle (ops/layout.py
+    parse_pdf_text): raw-stream single-page PDFs are authored JVM-side
+    by pure string concat (escape → content → /Length via
+    octet_length), then the extractor parses them back inside
+    mapInPandas (a sanctioned Python point). The oracle predicts the
+    fixed point — page text must equal the document text byte-for-byte
+    — so the whole object-scan → page-tree → content-stream →
+    text-operator pipeline is value-gated, not just the plumbing."""
+    from goose_parser_spark.ops.layout import extract_pdf_pages
+    docs = _documents_amplified(spark, sf_dir)
+    esc = F.regexp_replace(F.col("text"), r"([\\()])", r"\\$1")
+    content = F.concat(F.lit("BT ("), esc, F.lit(") Tj ET"))
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+              "endobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+              "\nendobj\n"
+              "4 0 obj\n<< /Length "),
+        F.octet_length(content).cast("string"),
+        F.lit(" >>\nstream\n"), content,
+        F.lit("\nendstream\nendobj\n%%EOF"))
+    pages = docs.select("doc_id", F.encode(pdf, "utf-8").alias("payload"))
+    out = extract_pdf_pages(pages, payload_col="payload",
+                            id_col="doc_id")
+    return out.select("doc_id", "page_no", "page_text", "n_pages")
+
+
+SQL_PDF_EXTRACT = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id, CAST(0 AS INTEGER) AS page_no, text AS page_text,
+       CAST(1 AS INTEGER) AS n_pages
+FROM docs_amp
+"""
+
+
 _TOKEN_BUDGET = 300_000
 
 
@@ -3992,7 +4030,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
-    "line_dedup": q_line_dedup,
     "dedup_semantic_keep": q_dedup_semantic_keep,
     "simsearch_topk": q_simsearch_topk,
     "bm25_search": q_bm25_search,
@@ -4001,8 +4038,10 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget": q_token_budget,
     "incremental_extract": q_incremental_extract,
     "capture_history": q_capture_history,
+    "pdf_extract": q_pdf_extract,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "line_dedup": q_line_dedup,
     "link_pagerank": q_link_pagerank,
     "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
@@ -4133,6 +4172,7 @@ ORACLES: dict[str, str] = {
     "policy_filter": SQL_POLICY_FILTER,
     "token_budget": SQL_TOKEN_BUDGET,
     "capture_history": SQL_CAPTURE_HISTORY,
+    "pdf_extract": SQL_PDF_EXTRACT,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -67,7 +67,7 @@ from goose_parser_spark.ops.sampling import (
     select_token_budget,
     stratified_sample_by_hash,
 )
-from goose_parser_spark.ops.layout import extract_pdf_pages
+from goose_parser_spark.ops.layout import extract_pdf_pages, parse_pdf_text
 from goose_parser_spark.ops.maincontent import extract_main_content
 from goose_parser_spark.ops.urls import (
     host_stats,
@@ -135,5 +135,5 @@ __all__ = [
     "split_sentences", "normalize_text_nfc",
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
     "snapshot_diff", "readability_scores", "phash_dct",
-    "select_token_budget", "capture_history",
+    "select_token_budget", "capture_history", "parse_pdf_text",
 ]
