@@ -49,7 +49,12 @@ from goose_parser_spark.ops.metadata import (
     extract_page_metadata,
 )
 from goose_parser_spark.ops.retrieval import bm25_topk
-from goose_parser_spark.ops.multimodal import phash_stub
+from goose_parser_spark.ops.imagecodec import decode_image_gray, resize_gray_box
+from goose_parser_spark.ops.multimodal import (
+    phash_dct,
+    phash_image,
+    phash_stub,
+)
 from goose_parser_spark.ops.sketches import (
     count_min_build,
     count_min_query,
@@ -136,4 +141,5 @@ __all__ = [
     "count_min_build", "count_min_query", "hll_build", "hll_estimate",
     "snapshot_diff", "readability_scores", "phash_dct",
     "select_token_budget", "capture_history", "parse_pdf_text",
+    "decode_image_gray", "resize_gray_box", "phash_image",
 ]

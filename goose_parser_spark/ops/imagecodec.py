@@ -1,0 +1,207 @@
+"""Pure-stdlib image decoding for the formats that need no codec
+library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
+uncompressed) and binary PPM/PGM. This upgrades the multimodal
+pipeline's decode stage from a stand-in to a REAL decoder wherever
+the container's stdlib suffices — JPEG/WebP/AVIF (entropy coders,
+frequency transforms) remain out of scope offline and raise
+ValueError, isolated per document upstream.
+
+Everything is integer arithmetic and therefore bit-deterministic
+across machines: grayscale is ITU-R BT.601 in fixed point
+((299*R + 587*G + 114*B + 500) // 1000) and resize is exact-count
+box averaging (sum // count).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = ["decode_image_gray", "resize_gray_box"]
+
+
+def _gray(r: int, g: int, b: int) -> int:
+    return (299 * r + 587 * g + 114 * b + 500) // 1000
+
+
+def _png_gray(data: bytes) -> tuple[int, int, list[int]]:
+    pos = 8  # signature already checked
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette: bytes | None = None
+    n = len(data)
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = bytes(body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("malformed PNG")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("unsupported PNG (need 8-bit non-interlaced)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError("unsupported PNG color type")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    # unfilter (filters 0-4: None, Sub, Up, Average, Paeth)
+    out = bytearray(height * stride)
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        pos += 1
+        line_off = y * stride
+        line = raw[pos:pos + stride]
+        pos += stride
+        if f == 0:
+            out[line_off:line_off + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[line_off + x - channels] if x >= channels else 0
+                out[line_off + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                b = out[prev_off + line_off + x] if y else 0
+                out[line_off + x] = (line[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[line_off + x - channels] if x >= channels else 0
+                b = out[prev_off + line_off + x] if y else 0
+                out[line_off + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[line_off + x - channels] if x >= channels else 0
+                b = out[prev_off + line_off + x] if y else 0
+                c = (out[prev_off + line_off + x - channels]
+                     if (y and x >= channels) else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    b if pb <= pc else c
+                out[line_off + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    gray: list[int] = []
+    if color_type == 0:
+        gray = list(out)
+    elif color_type == 4:  # gray+alpha
+        gray = list(out[0::2])
+    elif color_type == 3:  # palette
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        lut = [_gray(palette[3 * i], palette[3 * i + 1],
+                     palette[3 * i + 2])
+               for i in range(len(palette) // 3)]
+        gray = [lut[v] for v in out]
+    else:  # RGB / RGBA
+        step = channels
+        for i in range(0, len(out), step):
+            gray.append(_gray(out[i], out[i + 1], out[i + 2]))
+    return width, height, gray
+
+
+def _bmp_gray(data: bytes) -> tuple[int, int, list[int]]:
+    if len(data) < 54:
+        raise ValueError("truncated BMP")
+    off = struct.unpack("<I", data[10:14])[0]
+    hdr = struct.unpack("<I", data[14:18])[0]
+    if hdr < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError("unsupported BMP (need uncompressed 24/32-bit)")
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    step = bpp // 8
+    stride = (width * step + 3) & ~3
+    gray: list[int] = []
+    for row in range(height):
+        y = (height - 1 - row) if flip else row
+        base = off + y * stride
+        line = data[base:base + width * step]
+        if len(line) < width * step:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):
+            b, g, r = line[x * step], line[x * step + 1], line[x * step + 2]
+            gray.append(_gray(r, g, b))
+    return width, height, gray
+
+
+def _pnm_gray(data: bytes) -> tuple[int, int, list[int]]:
+    # binary PGM (P5) / PPM (P6), maxval <= 255
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            pos = data.find(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(data[start:pos])
+    width, height, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise ValueError("unsupported PNM maxval")
+    pos += 1  # single whitespace after maxval
+    if data[:2] == b"P5":
+        px = data[pos:pos + width * height]
+        if len(px) < width * height:
+            raise ValueError("truncated PGM")
+        return width, height, list(px)
+    px = data[pos:pos + 3 * width * height]
+    if len(px) < 3 * width * height:
+        raise ValueError("truncated PPM")
+    return width, height, [_gray(px[i], px[i + 1], px[i + 2])
+                           for i in range(0, len(px), 3)]
+
+
+def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode PNG / BMP / binary PPM/PGM bytes to ``(width, height,
+    grayscale_pixels_row_major)`` with pure stdlib. Raises ValueError
+    for other formats (JPEG/WebP/… need codec libraries)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_gray(data)
+    if data[:2] == b"BM":
+        return _bmp_gray(data)
+    if data[:2] in (b"P5", b"P6"):
+        return _pnm_gray(data)
+    raise ValueError("unsupported image format (stdlib decoders: "
+                     "PNG, BMP, PPM/PGM)")
+
+
+def resize_gray_box(width: int, height: int, pixels: list[int],
+                    out_w: int = 8, out_h: int = 8) -> list[int]:
+    """Exact integer box-average resize (the pHash front-end): output
+    cell (i, j) averages the input box [floor(j*h/out_h),
+    floor((j+1)*h/out_h)) × [floor(i*w/out_w), floor((i+1)*w/out_w)),
+    value = sum // count. Deterministic on every machine."""
+    if width < out_w or height < out_h:
+        raise ValueError("image smaller than target grid")
+    out: list[int] = []
+    for j in range(out_h):
+        y0, y1 = j * height // out_h, (j + 1) * height // out_h
+        for i in range(out_w):
+            x0, x1 = i * width // out_w, (i + 1) * width // out_w
+            s = 0
+            for y in range(y0, y1):
+                row = y * width
+                s += sum(pixels[row + x0:row + x1])
+            out.append(s // ((y1 - y0) * (x1 - x0)))
+    return out

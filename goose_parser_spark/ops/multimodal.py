@@ -205,19 +205,33 @@ def phash_dct(
             p = f"least(greatest({p} + _jit, 0L), 255L)"
         pix_exprs.append(f"{p} AS _p{k}")
     base = digs.selectExpr(iq, *pix_exprs)
+    return _phash_from_pixel_cols(base, id_col, out_col)
+
+
+def _phash_from_pixel_cols(base: DataFrame, id_col: str, out_col: str,
+                           valid_col: str | None = None) -> DataFrame:
+    """Shared pHash back half: ``_p0.._p63`` grayscale columns →
+    60-bit hash. Separable fixed-point 8x8 DCT, lower-median
+    threshold, banked bit assembly — all Catalyst, all codegen-sized
+    stages (see phash_dct's docstring for the staging rationale).
+    ``valid_col`` (boolean) threads decode success through the stages:
+    invalid rows emit a NULL hash (NULL pixels alone would collapse to
+    hash 0 — IF(NULL, x, 0) takes the else branch)."""
+    iq = f"`{id_col}`"
+    keep = [iq] + ([valid_col] if valid_col else [])
     # separable DCT: G[u][y] = sum_x C[u][x] * p[x][y]
     g_exprs = [
         " + ".join(f"_p{8 * x + y}*{DCT_C[u][x]}L" for x in range(8))
         + f" AS _g{u}_{y}"
         for u in range(8) for y in range(8)
     ]
-    g = base.selectExpr(iq, *g_exprs)
+    g = base.selectExpr(*keep, *g_exprs)
     ac_exprs = [
         " + ".join(f"_g{u}_{y}*{DCT_C[v][y]}L" for y in range(8))
         + f" AS _a{k}"
         for k, (u, v) in enumerate(PHASH_AC_ORDER)
     ]
-    acs = g.selectExpr(iq, *ac_exprs)
+    acs = g.selectExpr(*keep, *ac_exprs)
     # lower median of the 60 AC values: 30th smallest (1-based)
     arr = "array(" + ",".join(f"_a{k}" for k in range(60)) + ")"
     med = acs.selectExpr(
@@ -229,5 +243,63 @@ def phash_dct(
                    for k in range(b * 15, b * 15 + 15)) + f" AS _b{b}"
         for b in range(4)
     ]
-    banks = med.selectExpr(iq, *bank_exprs)
-    return banks.selectExpr(iq, f"_b0 + _b1 + _b2 + _b3 AS `{out_col}`")
+    banks = med.selectExpr(*keep, *bank_exprs)
+    bits = "_b0 + _b1 + _b2 + _b3"
+    if valid_col:
+        bits = f"IF({valid_col}, {bits}, CAST(NULL AS BIGINT))"
+    return banks.selectExpr(iq, f"{bits} AS `{out_col}`")
+
+
+def phash_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """pHash over REAL image decode: PNG / BMP / binary PPM-PGM
+    payloads are decoded with the pure-stdlib codecs in
+    ops/imagecodec.py, box-averaged to the 8x8 grayscale grid inside
+    an Arrow-batched mapInPandas (the sanctioned per-document Python
+    point — bytes cross the boundary once per batch), and the grid
+    feeds the SAME Catalyst DCT/median/bit pipeline as
+    :func:`phash_dct`. Undecodable payloads (JPEG/WebP, truncated
+    files) yield a NULL hash instead of failing the batch (I4).
+
+    Columns: ``id_col, out_col`` (60-bit long; NULL = decode failed).
+    """
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import IntegerType
+
+    from pyspark.sql.types import BooleanType
+
+    grid_schema = StructType(
+        [df.schema[id_col], StructField("_ok", BooleanType(), False)]
+        + [StructField(f"_p{k}", IntegerType(), True) for k in range(64)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.imagecodec import (
+            decode_image_gray, resize_gray_box)
+        for pdf in batches:
+            cols: dict[str, list] = {id_col: [], "_ok": []}
+            for k in range(64):
+                cols[f"_p{k}"] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    w, h, px = decode_image_gray(bytes(payload))
+                    grid = resize_gray_box(w, h, px)
+                    ok = True
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    grid = [0] * 64
+                    ok = False
+                cols[id_col].append(doc_id)
+                cols["_ok"].append(ok)
+                for k in range(64):
+                    cols[f"_p{k}"].append(grid[k])
+            yield pd.DataFrame(cols)
+
+    base = df.select(id_col, payload_col).mapInPandas(
+        decode, schema=grid_schema)
+    return _phash_from_pixel_cols(base, id_col, out_col, valid_col="_ok")

@@ -1,0 +1,186 @@
+"""Pure-stdlib image decoders (ops/imagecodec.py) + real-decode pHash
+(ops/multimodal.py phash_image). Images are AUTHORED here with
+stdlib-only encoders so every decode path — all five PNG filters,
+color types, BMP row padding/flip, PNM headers — is exercised against
+known pixels."""
+
+import struct
+import zlib
+
+import pytest
+
+from goose_parser_spark.ops.imagecodec import (
+    decode_image_gray, resize_gray_box)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _write_png(w, h, rows, color_type=0, filters=(0,)):
+    """rows: h lists of pixel tuples/ints. Applies the given filter
+    per scanline (cycling), encoding with the spec's predictors."""
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    flat = []
+    for row in rows:
+        line = bytearray()
+        for px in row:
+            line += bytes(px if isinstance(px, tuple) else (px,))
+        flat.append(bytes(line))
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, line in enumerate(flat):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(len(line)):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    b if pb <= pc else c
+            raw.append((line[x] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _write_bmp(w, h, rgb_rows):
+    step = 3
+    stride = (w * step + 3) & ~3
+    px = bytearray()
+    for row in reversed(rgb_rows):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += bytes(stride - len(line))
+        px += line
+    off = 54
+    head = (b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(px), 2835, 2835, 0, 0))
+    return head + bytes(px)
+
+
+def _gray(r, g, b):
+    return (299 * r + 587 * g + 114 * b + 500) // 1000
+
+
+def test_png_gray_all_filters():
+    rows = [[(13 * y + 7 * x) % 256 for x in range(9)] for y in range(7)]
+    for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+        data = _write_png(9, 7, rows, color_type=0, filters=filters)
+        w, h, px = decode_image_gray(data)
+        assert (w, h) == (9, 7)
+        assert px == [v for row in rows for v in row], filters
+
+
+def test_png_rgb_rgba_and_grayscale_conversion():
+    rows = [[(x * 40 % 256, y * 60 % 256, (x + y) * 30 % 256)
+             for x in range(5)] for y in range(4)]
+    data = _write_png(5, 4, rows, color_type=2, filters=(4,))
+    w, h, px = decode_image_gray(data)
+    assert px == [_gray(*p) for row in rows for p in row]
+    rows4 = [[p + (255,) for p in row] for row in rows]
+    data4 = _write_png(5, 4, rows4, color_type=6, filters=(3,))
+    assert decode_image_gray(data4)[2] == px
+
+
+def test_bmp_bottom_up_with_padding():
+    rows = [[(x * 50 % 256, y * 80 % 256, 10) for x in range(3)]
+            for y in range(5)]
+    w, h, px = decode_image_gray(_write_bmp(3, 5, rows))
+    assert (w, h) == (3, 5)
+    assert px == [_gray(*p) for row in rows for p in row]
+
+
+def test_pnm_formats():
+    gray = bytes((x * 7 + y) % 256 for y in range(4) for x in range(6))
+    pgm = b"P5\n# comment\n6 4\n255\n" + gray
+    assert decode_image_gray(pgm) == (6, 4, list(gray))
+    rgb = bytes(v for y in range(2) for x in range(3)
+                for v in (x * 90, y * 100, 30))
+    ppm = b"P6 3 2 255\n" + rgb
+    w, h, px = decode_image_gray(ppm)
+    assert px == [_gray(rgb[i], rgb[i + 1], rgb[i + 2])
+                  for i in range(0, len(rgb), 3)]
+
+
+def test_unsupported_formats_raise():
+    with pytest.raises(ValueError):
+        decode_image_gray(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError):
+        decode_image_gray(b"RIFF....WEBP")
+
+
+def test_resize_box_average_exact():
+    # 4x4 → 2x2: each output is the integer mean of a 2x2 box
+    px = list(range(16))
+    out = resize_gray_box(4, 4, px, 2, 2)
+    assert out == [(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4,
+                   (8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4]
+    with pytest.raises(ValueError):
+        resize_gray_box(4, 4, px, 8, 8)
+
+
+def _texture_rows(w, h, shift=0, scale_pct=100):
+    """Two-blob texture (strong low-frequency structure — the image
+    class pHash is built for), optionally brightness-shifted or
+    contrast-scaled."""
+    out = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = 40
+            if (x - 8) ** 2 + (y - 10) ** 2 < 49:
+                v = 220
+            if (x - 22) ** 2 + (y - 24) ** 2 < 100:
+                v = 160
+            v = min(255, max(0, v * scale_pct // 100 + shift))
+            row.append(v)
+        out.append(row)
+    return out
+
+
+def test_phash_image_perceptual_and_poison(spark):
+    """Real-decode pHash: brightness shift and mild contrast change
+    land within a few bits (DC is discarded; AC signs survive), a
+    structurally different image lands far, the same pixels hash
+    identically across PNG and PGM containers, and undecodable
+    payloads yield NULL."""
+    from goose_parser_spark.ops.multimodal import phash_image
+    w, h = 32, 32
+    base_rows = _texture_rows(w, h)
+    png = _write_png(w, h, base_rows, color_type=0, filters=(0, 2, 4))
+    brighter = _write_png(w, h, _texture_rows(w, h, shift=12))
+    softer = _write_png(w, h, _texture_rows(w, h, scale_pct=90))
+    other = _write_png(w, h, [[(x * 37 + y * 11) % 256
+                               for x in range(w)] for y in range(h)])
+    pgm = (b"P5 32 32 255\n"
+           + bytes(v for row in base_rows for v in row))
+    rows = [(1, bytearray(png)), (2, bytearray(brighter)),
+            (3, bytearray(other)), (4, bytearray(pgm)),
+            (5, bytearray(b"\xff\xd8 not decodable")),
+            (6, bytearray(softer))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["phash"] for r in phash_image(df).collect()}
+    assert out[5] is None
+    assert out[1] == out[4]  # same pixels, different container
+    bright_bits = bin(out[1] ^ out[2]).count("1")
+    soft_bits = bin(out[1] ^ out[6]).count("1")
+    far_bits = bin(out[1] ^ out[3]).count("1")
+    assert bright_bits <= 8 and soft_bits <= 8
+    assert far_bits > 15
