@@ -5,13 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross the JVM↔Python
 boundary once per batch.
 
-The actual codec step is STUBBED in this environment (no image/audio
-libraries in the container): :func:`decode_stub` raises
-``NotImplementedError`` unless ``fake=True``, in which case it emits a
-deterministic fake "decoded" feature vector derived from the bytes.
-The Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and tested; swapping in a real decoder is a
-one-function change.
+Codec status: PNG / BMP / binary PPM-PGM decode is REAL (pure-stdlib
+decoders in ops/imagecodec.py; :func:`phash_image` hashes genuinely
+decoded pixels). Formats that require codec libraries offline —
+JPEG/WebP/AVIF, all audio/video — remain STUBBED: :func:`decode_stub`
+raises ``NotImplementedError`` unless ``fake=True``, which emits a
+deterministic fake feature vector so the Spark-side plumbing (schema,
+batch shape, partitioning, UDF signature) stays real and tested;
+swapping in a full decoder is a one-function change.
 """
 
 from __future__ import annotations
