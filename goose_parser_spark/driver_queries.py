@@ -3535,10 +3535,12 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(fp, "phash", max_hamming=3, bits=60)
 
 
-def _sql_phash_dct() -> str:
+def _sql_phash_dct(jit_sql: str = "(doc_id % 4) * 74") -> str:
     """CTE chain computing the fixed-point-DCT pHash in DuckDB from
     the SAME integer basis table (ops/multimodal.DCT_C) the Spark op
-    uses — generated, never hand-copied, so the two cannot drift."""
+    uses — generated, never hand-copied, so the two cannot drift.
+    ``jit_sql`` is the pixel-0 jitter expression ('0' for the
+    real-decode query, which feeds unjittered digest bytes)."""
     from goose_parser_spark.ops.multimodal import DCT_C, PHASH_AC_ORDER
     digs = ",\n         ".join(
         f"md5(_h || ':{j}') AS _d{j}" for j in range(4))
@@ -3560,7 +3562,7 @@ def _sql_phash_dct() -> str:
         for k in range(len(PHASH_AC_ORDER)))
     return f"""ph0 AS (
   SELECT doc_id, md5('img-' || (doc_id // 23)) AS _h,
-         (doc_id % 4) * 74 AS _jit
+         {jit_sql} AS _jit
   FROM docs_amp
 ), dg AS (
   SELECT doc_id, _jit,
@@ -3600,6 +3602,31 @@ JOIN h ha ON ha.doc_id = doc_a
 JOIN h hb ON hb.doc_id = doc_b
 WHERE bit_count(xor(ha.fp, hb.fp)) <= 3
 """
+
+def q_phash_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decoder under the value oracle: 8x8 PGM images
+    are authored JVM-side (binary concat of the P5 header + unhex of
+    the SAME md5 digest chain phash_dct derives pixels from), then
+    phash_image decodes them with the pure-stdlib codec and hashes the
+    genuinely decoded pixels. The oracle replays phash_dct's digest
+    arithmetic with jitter 0 — so the decode must reproduce every
+    pixel byte exactly or the 60-bit hashes diverge."""
+    from goose_parser_spark.ops.multimodal import phash_image
+    docs = _documents_amplified(spark, sf_dir)
+    pg = F.floor(F.col("doc_id") / 23).cast("long")
+    h = F.md5(F.encode(
+        F.concat(F.lit("img-"), pg.cast("string")), "utf-8"))
+    parts = [F.unhex(F.md5(F.concat(h, F.lit(f":{j}"))))
+             for j in range(4)]
+    payload = F.concat(F.encode(F.lit("P5 8 8 255\n"), "utf-8"), *parts)
+    return phash_image(docs.select("doc_id", payload.alias("payload")))
+
+
+SQL_PHASH_IMAGE_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, {_sql_phash_dct(jit_sql="0")}
+SELECT doc_id, fp AS phash FROM h
+"""
+
 
 _CMS_PROBES = ("the", "a", "of", "and", "to", "quantum", "zzz_absent",
                "for", "is", "borogoves")
@@ -4014,7 +4041,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_buckets": q_ccnet_buckets,
     "imgtext_pairs": q_imgtext_pairs,
     "phash_pairs": q_phash_pairs,
-    "extract_markdown": q_extract_markdown,
+    "phash_image_decode": q_phash_image_decode,
     "clean_text": q_clean_text,
     "url_canonicalize": q_url_canonicalize,
     "hash_split": q_hash_split,
@@ -4041,6 +4068,7 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_extract": q_pdf_extract,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "extract_markdown": q_extract_markdown,
     "line_dedup": q_line_dedup,
     "link_pagerank": q_link_pagerank,
     "bloom_frontier": q_bloom_frontier,
@@ -4173,6 +4201,7 @@ ORACLES: dict[str, str] = {
     "token_budget": SQL_TOKEN_BUDGET,
     "capture_history": SQL_CAPTURE_HISTORY,
     "pdf_extract": SQL_PDF_EXTRACT,
+    "phash_image_decode": SQL_PHASH_IMAGE_DECODE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
