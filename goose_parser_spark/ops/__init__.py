@@ -49,8 +49,14 @@ from goose_parser_spark.ops.metadata import (
     extract_page_metadata,
 )
 from goose_parser_spark.ops.retrieval import bm25_topk
-from goose_parser_spark.ops.imagecodec import decode_image_gray, resize_gray_box
+from goose_parser_spark.ops.imagecodec import (
+    audio_frame_features,
+    decode_audio_pcm,
+    decode_image_gray,
+    resize_gray_box,
+)
 from goose_parser_spark.ops.multimodal import (
+    audio_features,
     phash_dct,
     phash_image,
     phash_stub,
@@ -142,4 +148,5 @@ __all__ = [
     "snapshot_diff", "readability_scores", "phash_dct",
     "select_token_budget", "capture_history", "parse_pdf_text",
     "decode_image_gray", "resize_gray_box", "phash_image",
+    "decode_audio_pcm", "audio_frame_features", "audio_features",
 ]

@@ -1,6 +1,6 @@
-"""Pure-stdlib image decoding for the formats that need no codec
+"""Pure-stdlib media decoding for the formats that need no codec
 library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
-uncompressed) and binary PPM/PGM. This upgrades the multimodal
+uncompressed), binary PPM/PGM, and RIFF/WAVE integer PCM audio. This upgrades the multimodal
 pipeline's decode stage from a stand-in to a REAL decoder wherever
 the container's stdlib suffices — JPEG/WebP/AVIF (entropy coders,
 frequency transforms) remain out of scope offline and raise
@@ -17,7 +17,8 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["decode_image_gray", "resize_gray_box"]
+__all__ = ["decode_image_gray", "resize_gray_box",
+           "decode_audio_pcm", "audio_frame_features"]
 
 
 def _gray(r: int, g: int, b: int) -> int:
@@ -204,4 +205,61 @@ def resize_gray_box(width: int, height: int, pixels: list[int],
                 row = y * width
                 s += sum(pixels[row + x0:row + x1])
             out.append(s // ((y1 - y0) * (x1 - x0)))
+    return out
+
+
+def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a RIFF/WAVE file with integer PCM samples (format tag 1,
+    8 or 16-bit — the uncompressed shape) to ``(sample_rate,
+    n_channels, mono_samples)`` with pure stdlib. Multi-channel audio
+    is downmixed by exact integer mean (sum // n_channels); 8-bit
+    unsigned samples are re-centered to signed (-128..127) so both
+    depths share the zero line. Raises ValueError for compressed
+    codecs (MP3/AAC/Opus need codec libraries) and malformed files."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    pcm: bytes | None = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError("unsupported WAV (need integer PCM 8/16-bit)")
+    if bits == 16:
+        count = len(pcm) // 2
+        samples = list(struct.unpack("<%dh" % count, pcm[:count * 2]))
+    else:
+        samples = [b - 128 for b in pcm]
+    if channels > 1:
+        usable = (len(samples) // channels) * channels
+        samples = [sum(samples[i:i + channels]) // channels
+                   for i in range(0, usable, channels)]
+    return rate, channels, samples
+
+
+def audio_frame_features(samples: list[int],
+                         frame: int = 400) -> list[tuple[int, int]]:
+    """Per-frame (mean_abs_amplitude, zero_crossings) over fixed-size
+    windows — the deterministic integer front-end for audio quality /
+    silence filtering (no floats, no FFT: bit-identical everywhere).
+    The trailing partial frame is dropped (its statistics are not
+    comparable)."""
+    out = []
+    for off in range(0, len(samples) - frame + 1, frame):
+        w = samples[off:off + frame]
+        energy = sum(abs(s) for s in w) // frame
+        zc = sum(1 for i in range(1, frame)
+                 if (w[i - 1] < 0) != (w[i] < 0))
+        out.append((energy, zc))
     return out

@@ -5,10 +5,12 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross the JVM↔Python
 boundary once per batch.
 
-Codec status: PNG / BMP / binary PPM-PGM decode is REAL (pure-stdlib
-decoders in ops/imagecodec.py; :func:`phash_image` hashes genuinely
-decoded pixels). Formats that require codec libraries offline —
-JPEG/WebP/AVIF, all audio/video — remain STUBBED: :func:`decode_stub`
+Codec status: PNG / BMP / binary PPM-PGM image decode and RIFF/WAVE
+integer-PCM audio decode are REAL (pure-stdlib decoders in
+ops/imagecodec.py; :func:`phash_image` hashes genuinely decoded
+pixels, :func:`audio_features` frames genuinely decoded samples).
+Formats that require codec libraries offline — JPEG/WebP/AVIF,
+MP3/AAC/Opus, all video — remain STUBBED: :func:`decode_stub`
 raises ``NotImplementedError`` unless ``fake=True``, which emits a
 deterministic fake feature vector so the Spark-side plumbing (schema,
 batch shape, partitioning, UDF signature) stays real and tested;
@@ -304,3 +306,73 @@ def phash_image(
     base = df.select(id_col, payload_col).mapInPandas(
         decode, schema=grid_schema)
     return _phash_from_pixel_cols(base, id_col, out_col, valid_col="_ok")
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 400,
+) -> DataFrame:
+    """Audio quality features over REAL WAV decode: RIFF/WAVE integer
+    PCM payloads are decoded with the pure-stdlib codec
+    (ops/imagecodec.decode_audio_pcm — 8/16-bit, multi-channel
+    downmixed by exact integer mean) and reduced to per-frame
+    (mean-abs amplitude, zero crossings) — the silence/clipping/
+    noisiness front-end for audio corpus filtering, all integer
+    arithmetic so results are bit-identical on any machine.
+
+    One row per frame: ``id_col, sample_rate, n_channels, frame_no,
+    energy, zero_crossings``. Compressed codecs (MP3/AAC/Opus) and
+    malformed files yield a single ``frame_no = -1`` row with NULL
+    features (I4 poison isolation). Arrow-batched mapInPandas —
+    payload bytes cross the boundary once per batch; frames explode
+    inside the worker.
+    """
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import IntegerType, LongType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("frame_no", IntegerType(), False),
+        StructField("energy", LongType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.imagecodec import (
+            audio_frame_features, decode_audio_pcm)
+        for pdf in batches:
+            cols = {k: [] for k in ("_id", "sample_rate", "n_channels",
+                                    "frame_no", "energy",
+                                    "zero_crossings")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    rate, ch, samples = decode_audio_pcm(bytes(payload))
+                    feats = audio_frame_features(samples, frame=frame)
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    cols["_id"].append(doc_id)
+                    cols["sample_rate"].append(None)
+                    cols["n_channels"].append(None)
+                    cols["frame_no"].append(-1)
+                    cols["energy"].append(None)
+                    cols["zero_crossings"].append(None)
+                    continue
+                for fno, (energy, zc) in enumerate(feats):
+                    cols["_id"].append(doc_id)
+                    cols["sample_rate"].append(rate)
+                    cols["n_channels"].append(ch)
+                    cols["frame_no"].append(fno)
+                    cols["energy"].append(energy)
+                    cols["zero_crossings"].append(zc)
+            out = pd.DataFrame(cols)
+            out.columns = [id_col] + list(out.columns[1:])
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=out_schema)

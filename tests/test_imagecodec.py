@@ -184,3 +184,71 @@ def test_phash_image_perceptual_and_poison(spark):
     far_bits = bin(out[1] ^ out[3]).count("1")
     assert bright_bits <= 8 and soft_bits <= 8
     assert far_bits > 15
+
+
+def _write_wav(samples, rate=16000, channels=1, bits=16):
+    """Interleaved-sample RIFF/WAVE writer (stdlib only)."""
+    if bits == 16:
+        pcm = struct.pack("<%dh" % len(samples), *samples)
+    else:
+        pcm = bytes((s + 128) & 0xFF for s in samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decode_16_and_8_bit_and_downmix():
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    mono = [0, 1000, -1000, 32767, -32768, 5]
+    rate, ch, out = decode_audio_pcm(_write_wav(mono))
+    assert (rate, ch, out) == (16000, 1, mono)
+    # stereo: exact integer mean downmix (note -1001//2 floors)
+    stereo = [100, 200, -1000, -1001, 7, 8]
+    _, ch2, out2 = decode_audio_pcm(_write_wav(stereo, channels=2))
+    assert ch2 == 2 and out2 == [150, (-1000 - 1001) // 2, 7]
+    # 8-bit unsigned recentered to signed
+    eight = [0, 127, -128, 64]
+    _, _, out8 = decode_audio_pcm(_write_wav(eight, bits=8))
+    assert out8 == eight
+
+
+def test_wav_rejects_compressed_and_malformed():
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    with pytest.raises(ValueError):
+        decode_audio_pcm(b"ID3\x03 mp3-ish payload")
+    bad = bytearray(_write_wav([0, 1]))
+    bad[20] = 85  # format tag 0x55 = MP3
+    with pytest.raises(ValueError):
+        decode_audio_pcm(bytes(bad))
+
+
+def test_audio_frame_features_hand_computed():
+    from goose_parser_spark.ops.imagecodec import audio_frame_features
+    samples = [10, -10, 10, -10] + [0, 0, 100, 100]
+    out = audio_frame_features(samples, frame=4)
+    # frame 0: mean|.|=10, crossings at every step (3)
+    # frame 1: mean|.|=50, one sign change? 0,0,100,100 -> (s<0) never
+    assert out == [(10, 3), (50, 0)]
+    assert audio_frame_features([1, 2], frame=4) == []
+
+
+def test_audio_features_dataframe_and_poison(spark):
+    from goose_parser_spark.ops.multimodal import audio_features
+    loud = _write_wav([1000, -1000] * 400)       # 800 samples: 2 frames
+    quiet = _write_wav([0] * 400)                # 1 silent frame
+    rows = [(1, bytearray(loud)), (2, bytearray(quiet)),
+            (3, bytearray(b"ID3 not wav"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {}
+    for r in audio_features(df).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert len(out[1]) == 2
+    assert all(r["energy"] == 1000 and r["zero_crossings"] == 399
+               for r in out[1])
+    assert out[2][0]["energy"] == 0 and out[2][0]["zero_crossings"] == 0
+    assert out[1][0]["sample_rate"] == 16000
+    p = out[3][0]
+    assert p["frame_no"] == -1 and p["energy"] is None
