@@ -3628,6 +3628,72 @@ SELECT doc_id, fp AS phash FROM h
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL WAV decoder under the value oracle: fixed-shape
+    RIFF/WAVE files (16-bit mono PCM, 64 data bytes = 32 samples from
+    an md5 digest chain) are authored JVM-side as one binary-literal
+    header + unhex digest concat, decoded by the pure-stdlib codec,
+    and reduced to one 32-sample frame of (energy, zero_crossings).
+    The oracle re-derives every sample from the same digests (little-
+    endian pair + two's-complement) — one wrong byte, sign or
+    alignment and the integer features diverge."""
+    import struct as _struct
+    from goose_parser_spark.ops.multimodal import audio_features
+    docs = _documents_amplified(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("wav-"), F.col("doc_id").cast("string")))
+    parts = [F.unhex(F.md5(F.concat(h, F.lit(f":{j}"))))
+             for j in range(4)]
+    fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    header = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 64)
+              + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+              + b"data" + _struct.pack("<I", 64))
+    payload = F.concat(F.lit(header), *parts)
+    wav = docs.select("doc_id", payload.alias("payload"))
+    return audio_features(wav, frame=32)
+
+
+def _sql_audio_decode() -> str:
+    """Generated DuckDB replay of q_audio_decode: 32 little-endian
+    two's-complement samples from the digest chain, then the integer
+    frame features."""
+    samp = []
+    for k in range(32):
+        terms = []
+        for byte, mul in ((2 * k, 1), (2 * k + 1, 256)):
+            d, off = byte // 16, byte % 16
+            terms.append(
+                f"CAST(('0x' || substr(_d{d}, {off * 2 + 1}, 2)) "
+                f"AS BIGINT) * {mul}")
+        u = " + ".join(terms)
+        samp.append(f"CASE WHEN {u} >= 32768 THEN {u} - 65536 "
+                    f"ELSE {u} END AS s{k}")
+    abs_sum = " + ".join(f"abs(s{k})" for k in range(32))
+    zc = " + ".join(
+        f"CASE WHEN (s{k - 1} < 0) <> (s{k} < 0) THEN 1 ELSE 0 END"
+        for k in range(1, 32))
+    digs = ",\n         ".join(
+        f"md5(_h || ':{j}') AS _d{j}" for j in range(4))
+    samples = ",\n         ".join(samp)
+    return (
+        "a0 AS (\n"
+        "  SELECT doc_id, md5('wav-' || doc_id) AS _h FROM docs_amp\n"
+        "), ad AS (\n"
+        f"  SELECT doc_id,\n         {digs}\n  FROM a0\n"
+        "), asamp AS (\n"
+        f"  SELECT doc_id,\n         {samples}\n  FROM ad\n"
+        ")\n"
+        "SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,\n"
+        "       CAST(1 AS INTEGER) AS n_channels,\n"
+        "       CAST(0 AS INTEGER) AS frame_no,\n"
+        f"       CAST(({abs_sum}) // 32 AS BIGINT) AS energy,\n"
+        f"       CAST({zc} AS INTEGER) AS zero_crossings\n"
+        "FROM asamp")
+
+
+SQL_AUDIO_DECODE = (
+    f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_audio_decode())
+
+
 _CMS_PROBES = ("the", "a", "of", "and", "to", "quantum", "zzz_absent",
                "for", "is", "borogoves")
 
@@ -4044,7 +4110,7 @@ QUERIES: dict[str, QueryFn] = {
     "phash_image_decode": q_phash_image_decode,
     "clean_text": q_clean_text,
     "url_canonicalize": q_url_canonicalize,
-    "hash_split": q_hash_split,
+    "audio_decode": q_audio_decode,
     "domain_quality": q_domain_quality,
     "chunk_documents": q_chunk_documents,
     "quality_classifier": q_quality_classifier,
@@ -4068,6 +4134,7 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_extract": q_pdf_extract,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "hash_split": q_hash_split,
     "extract_markdown": q_extract_markdown,
     "line_dedup": q_line_dedup,
     "link_pagerank": q_link_pagerank,
@@ -4202,6 +4269,7 @@ ORACLES: dict[str, str] = {
     "capture_history": SQL_CAPTURE_HISTORY,
     "pdf_extract": SQL_PDF_EXTRACT,
     "phash_image_decode": SQL_PHASH_IMAGE_DECODE,
+    "audio_decode": SQL_AUDIO_DECODE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
