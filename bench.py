@@ -391,6 +391,8 @@ def main() -> int:
         "topic_clusters", "policy_filter",
         "snapshot_diff", "readability", "token_budget",
         "incremental_extract", "capture_history",
+        "pdf_extract", "phash_image_decode", "audio_decode",
+        "media_probe",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -3694,6 +3694,43 @@ SQL_AUDIO_DECODE = (
     f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_audio_decode())
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media probing under the value oracle
+    (ops/multimodal.media_probe): minimal JPEG prefixes are authored
+    JVM-side with doc-derived SOF0 dimensions (big-endian u16 via
+    unhex(lpad(hex(..)))); every 97th payload is garbage and must
+    yield the NULL-format poison row. The oracle predicts format and
+    dimensions arithmetically — a byte-order or offset bug in the SOF
+    scan diverges immediately."""
+    from goose_parser_spark.ops.multimodal import media_probe
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def be16(col: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+    payload = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0\x00\x0b\x08"),
+        be16((d % 1080) + 32), be16((d % 1920) + 32),
+        F.lit(b"\x01\x11\x00"))
+    payload = F.when(d % 97 == 13,
+                     F.lit(b"no header here")).otherwise(payload)
+    return media_probe(docs.select("doc_id", payload.alias("payload")))
+
+
+SQL_MEDIA_PROBE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       CASE WHEN doc_id % 97 = 13 THEN NULL ELSE 'jpeg' END AS format,
+       CASE WHEN doc_id % 97 = 13 THEN NULL
+            ELSE CAST(doc_id % 1920 + 32 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 97 = 13 THEN NULL
+            ELSE CAST(doc_id % 1080 + 32 AS INTEGER) END AS height,
+       CAST(NULL AS BIGINT) AS duration_ms
+FROM docs_amp
+"""
+
+
 _CMS_PROBES = ("the", "a", "of", "and", "to", "quantum", "zzz_absent",
                "for", "is", "borogoves")
 
@@ -4109,8 +4146,8 @@ QUERIES: dict[str, QueryFn] = {
     "phash_pairs": q_phash_pairs,
     "phash_image_decode": q_phash_image_decode,
     "clean_text": q_clean_text,
-    "url_canonicalize": q_url_canonicalize,
     "audio_decode": q_audio_decode,
+    "media_probe": q_media_probe,
     "domain_quality": q_domain_quality,
     "chunk_documents": q_chunk_documents,
     "quality_classifier": q_quality_classifier,
@@ -4134,6 +4171,7 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_extract": q_pdf_extract,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # oracled, driver-green in prior rounds:
+    "url_canonicalize": q_url_canonicalize,
     "hash_split": q_hash_split,
     "extract_markdown": q_extract_markdown,
     "line_dedup": q_line_dedup,
@@ -4270,6 +4308,7 @@ ORACLES: dict[str, str] = {
     "pdf_extract": SQL_PDF_EXTRACT,
     "phash_image_decode": SQL_PHASH_IMAGE_DECODE,
     "audio_decode": SQL_AUDIO_DECODE,
+    "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,
     "readability": SQL_READABILITY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

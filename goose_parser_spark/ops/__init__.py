@@ -51,12 +51,14 @@ from goose_parser_spark.ops.metadata import (
 from goose_parser_spark.ops.retrieval import bm25_topk
 from goose_parser_spark.ops.imagecodec import (
     audio_frame_features,
+    probe_media,
     decode_audio_pcm,
     decode_image_gray,
     resize_gray_box,
 )
 from goose_parser_spark.ops.multimodal import (
     audio_features,
+    media_probe,
     phash_dct,
     phash_image,
     phash_stub,
@@ -149,4 +151,5 @@ __all__ = [
     "select_token_budget", "capture_history", "parse_pdf_text",
     "decode_image_gray", "resize_gray_box", "phash_image",
     "decode_audio_pcm", "audio_frame_features", "audio_features",
+    "probe_media", "media_probe",
 ]

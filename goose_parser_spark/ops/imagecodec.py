@@ -263,3 +263,114 @@ def audio_frame_features(samples: list[int],
                  if (w[i - 1] < 0) != (w[i] < 0))
         out.append((energy, zc))
     return out
+
+
+def probe_media(data: bytes) -> tuple[str, int | None, int | None,
+                                      int | None]:
+    """Header-only media probe: ``(format, width, height,
+    duration_ms)`` WITHOUT decoding — the size/duration filter a
+    100 TB multimodal pipeline runs before paying for any decode
+    (LAION-style min-resolution rules, clip-length caps). Pure struct
+    parsing, so it covers formats whose PIXEL decode needs codec
+    libraries: JPEG (SOF scan), PNG (IHDR), GIF (logical screen),
+    BMP, WebP (VP8/VP8L/VP8X), WAV (duration from fmt+data sizes) and
+    MP4/ISO-BMFF (mvhd duration + tkhd track dimensions). Returns
+    NULLs for fields a format does not carry; raises ValueError for
+    unrecognized bytes."""
+    n = len(data)
+    if data[:3] == b"\xff\xd8\xff":  # JPEG: scan markers for SOFn
+        pos = 2
+        while pos + 9 < n:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            size = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return ("jpeg", w, h, None)
+            pos += 2 + size
+        raise ValueError("JPEG without SOF marker")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        return ("png", w, h, None)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return ("gif", w, h, None)
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return ("bmp", w, abs(h), None)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        tag = data[12:16]
+        if tag == b"VP8X":
+            w = 1 + int.from_bytes(data[24:27], "little")
+            h = 1 + int.from_bytes(data[27:30], "little")
+            return ("webp", w, h, None)
+        if tag == b"VP8L":
+            bits = int.from_bytes(data[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1, None)
+        if tag == b"VP8 ":
+            w, h = struct.unpack("<HH", data[26:30])
+            return ("webp", w & 0x3FFF, h & 0x3FFF, None)
+        raise ValueError("unrecognized WebP variant")
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        rate, nch, bits, dsize = None, None, None, None
+        pos = 12
+        while pos + 8 <= n:
+            cid = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            if cid == b"fmt ":
+                _, nch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", data[pos + 8:pos + 24])
+            elif cid == b"data":
+                dsize = size
+            pos += 8 + size + (size & 1)
+        if rate and nch and bits and dsize is not None:
+            dur = dsize * 8000 // (rate * nch * bits)
+            return ("wav", None, None, dur)
+        raise ValueError("malformed WAV")
+    if n >= 12 and data[4:8] == b"ftyp":  # MP4 / ISO-BMFF
+        dur_ms = width = height = None
+
+        def walk(lo: int, hi: int) -> None:
+            nonlocal dur_ms, width, height
+            pos = lo
+            while pos + 8 <= hi:
+                size = struct.unpack(">I", data[pos:pos + 4])[0]
+                btype = data[pos + 4:pos + 8]
+                body = pos + 8
+                if size == 1:  # 64-bit box size
+                    size = struct.unpack(">Q", data[body:body + 8])[0]
+                    body += 8
+                if size < 8 or pos + size > hi:
+                    break
+                if btype in (b"moov", b"trak"):
+                    walk(body, pos + size)
+                elif btype == b"mvhd":
+                    ver = data[body]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", data[body + 20:body + 32])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", data[body + 12:body + 20])
+                    if ts:
+                        dur_ms = dur * 1000 // ts
+                elif btype == b"tkhd" and width is None:
+                    ver = data[body]
+                    off = body + (88 if ver == 1 else 76)
+                    w16, h16 = struct.unpack(">II", data[off:off + 8])
+                    if w16 and h16:  # 16.16 fixed point
+                        width, height = w16 >> 16, h16 >> 16
+                pos += size
+
+        walk(0, n)
+        if dur_ms is None and width is None:
+            raise ValueError("MP4 without moov metadata")
+        return ("mp4", width, height, dur_ms)
+    raise ValueError("unrecognized media container")

@@ -9,8 +9,12 @@ Codec status: PNG / BMP / binary PPM-PGM image decode and RIFF/WAVE
 integer-PCM audio decode are REAL (pure-stdlib decoders in
 ops/imagecodec.py; :func:`phash_image` hashes genuinely decoded
 pixels, :func:`audio_features` frames genuinely decoded samples).
-Formats that require codec libraries offline — JPEG/WebP/AVIF,
-MP3/AAC/Opus, all video — remain STUBBED: :func:`decode_stub`
+:func:`media_probe` additionally reads format/dimensions/duration
+from HEADERS alone (JPEG SOF, PNG, GIF, BMP, WebP, WAV, MP4 moov) —
+the pre-decode size/length filter, real even for codec-bound formats.
+PIXEL/SAMPLE decode for formats that require codec libraries offline
+— JPEG/WebP/AVIF, MP3/AAC/Opus, all video — remains STUBBED:
+:func:`decode_stub`
 raises ``NotImplementedError`` unless ``fake=True``, which emits a
 deterministic fake feature vector so the Spark-side plumbing (schema,
 batch shape, partitioning, UDF signature) stays real and tested;
@@ -370,6 +374,57 @@ def audio_features(
                     cols["frame_no"].append(fno)
                     cols["energy"].append(energy)
                     cols["zero_crossings"].append(zc)
+            out = pd.DataFrame(cols)
+            out.columns = [id_col] + list(out.columns[1:])
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=out_schema)
+
+
+def media_probe(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Header-only media probing at corpus scale: format, dimensions
+    and duration WITHOUT decoding (ops/imagecodec.probe_media — JPEG
+    SOF, PNG IHDR, GIF, BMP, WebP, WAV, MP4 moov). This is the
+    min-resolution / clip-length filter a multimodal pipeline runs
+    BEFORE paying for any decode: probing reads a few hundred header
+    bytes per document, so the filter is scan-speed even for formats
+    whose pixel decode needs codec libraries. Unrecognized payloads
+    yield a NULL-format row (I4). Columns: ``id_col, format, width,
+    height, duration_ms``."""
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import IntegerType, LongType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.imagecodec import probe_media
+        for pdf in batches:
+            cols = {k: [] for k in ("_id", "format", "width", "height",
+                                    "duration_ms")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    fmt, w, h, dur = probe_media(bytes(payload))
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    fmt = w = h = dur = None
+                cols["_id"].append(doc_id)
+                cols["format"].append(fmt)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["duration_ms"].append(dur)
             out = pd.DataFrame(cols)
             out.columns = [id_col] + list(out.columns[1:])
             yield out

@@ -252,3 +252,52 @@ def test_audio_features_dataframe_and_poison(spark):
     assert out[1][0]["sample_rate"] == 16000
     p = out[3][0]
     assert p["frame_no"] == -1 and p["energy"] is None
+
+
+def _write_jpeg_header(w, h):
+    """JPEG prefix: SOI, APP0, DQT(skippable), SOF0 carrying dims."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 8
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def _mp4_box(btype, body):
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _write_mp4(duration_ms, w, h, timescale=1000):
+    mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + struct.pack(">II", timescale,
+                          duration_ms * timescale // 1000)
+            + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd)
+                    + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)))
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+
+
+def test_probe_media_all_formats():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    assert probe_media(_write_jpeg_header(640, 480)) == \
+        ("jpeg", 640, 480, None)
+    assert probe_media(_write_png(9, 7, [[0] * 9] * 7)) == \
+        ("png", 9, 7, None)
+    assert probe_media(b"GIF89a" + struct.pack("<HH", 320, 200)
+                       + b"\x00" * 4) == ("gif", 320, 200, None)
+    assert probe_media(_write_bmp(3, 5, [[(0, 0, 0)] * 3] * 5)) == \
+        ("bmp", 3, 5, None)
+    # lossy WebP: VP8 chunk with 14-bit dims at offset 26
+    vp8 = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 "
+           + struct.pack("<I", 14) + b"\x00" * 6
+           + struct.pack("<HH", 550, 368))
+    assert probe_media(vp8) == ("webp", 550, 368, None)
+    # 2 s of 16 kHz 16-bit mono = 64000 data bytes
+    wav = _write_wav([0] * 32000)
+    assert probe_media(wav) == ("wav", None, None, 2000)
+    assert probe_media(_write_mp4(5500, 1920, 1080)) == \
+        ("mp4", 1920, 1080, 5500)
+    with pytest.raises(ValueError):
+        probe_media(b"\x00\x01\x02 nothing")
