@@ -1,6 +1,7 @@
 """Pure-stdlib media decoding for the formats that need no codec
 library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
-uncompressed), binary PPM/PGM, and RIFF/WAVE integer PCM audio. This upgrades the multimodal
+uncompressed), GIF (LZW, first frame, interlace), binary PPM/PGM,
+and RIFF/WAVE integer PCM audio. This upgrades the multimodal
 pipeline's decode stage from a stand-in to a REAL decoder wherever
 the container's stdlib suffices — JPEG/WebP/AVIF (entropy coders,
 frequency transforms) remain out of scope offline and raise
@@ -183,8 +184,10 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
         return _bmp_gray(data)
     if data[:2] in (b"P5", b"P6"):
         return _pnm_gray(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_gray(data)
     raise ValueError("unsupported image format (stdlib decoders: "
-                     "PNG, BMP, PPM/PGM)")
+                     "PNG, GIF, BMP, PPM/PGM)")
 
 
 def resize_gray_box(width: int, height: int, pixels: list[int],
@@ -374,3 +377,108 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
             raise ValueError("MP4 without moov metadata")
         return ("mp4", width, height, dur_ms)
     raise ValueError("unrecognized media container")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    """GIF-flavor LZW: variable-width codes (LSB-first bit packing),
+    CLEAR resets the table, EOI ends the stream; code width grows
+    after the table fills 2^width (capped at 12 bits per the spec)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset() -> int:
+        nonlocal table
+        table = [[i] for i in range(clear)] + [[], []]
+        return min_code_size + 1
+
+    width = reset()
+    acc = bits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_expected:
+                return out[:n_expected]
+    return out
+
+
+def _gif_gray(data: bytes) -> tuple[int, int, list[int]]:
+    if len(data) < 13:
+        raise ValueError("truncated GIF")
+    sw, sh, flags = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    global_pal: bytes | None = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        global_pal = data[pos:pos + size]
+        pos += size
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor — decode the FIRST frame
+            _, _, w, h, iflags = struct.unpack("<HHHHB",
+                                               data[pos + 1:pos + 10])
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                size = 3 * (2 << (iflags & 7))
+                pal = data[pos:pos + size]
+                pos += size
+            if pal is None:
+                raise ValueError("GIF frame without color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n and data[pos]:
+                cnt = data[pos]
+                lzw += data[pos + 1:pos + 1 + cnt]
+                pos += 1 + cnt
+            idx = _lzw_decode(bytes(lzw), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                rows = [idx[i * w:(i + 1) * w] for i in range(h)]
+                remap = [None] * h
+                for src, dst in enumerate(order):
+                    remap[dst] = rows[src]
+                idx = [v for row in remap for v in row]
+            lut = [_gray(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])
+                   if 3 * i + 2 < len(pal) else 0
+                   for i in range(256)]
+            return w, h, [lut[v] for v in idx]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError("corrupt GIF block stream")
+    raise ValueError("GIF without an image frame")

@@ -301,3 +301,147 @@ def test_probe_media_all_formats():
         ("mp4", 1920, 1080, 5500)
     with pytest.raises(ValueError):
         probe_media(b"\x00\x01\x02 nothing")
+
+
+def _lzw_encode(indices, mcs):
+    """Standard GIF LZW encoder (greedy dict, late width change):
+    written independently of the decoder's table-size rule so a
+    width-sync bug cannot hide in mirrored logic."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    outb = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            outb.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        outb.append(acc & 255)
+    return bytes(outb)
+
+
+def _write_gif(w, h, indices, palette, mcs=8, interlaced=False,
+               lzw=None):
+    flags = 0xF0 | 7  # global palette, 256 entries
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += bytes(3 * (256 - len(palette)))
+    iflags = 0x40 if interlaced else 0
+    lzw = _lzw_encode(indices, mcs) if lzw is None else lzw
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        sub += bytes((len(chunk),)) + chunk
+    sub += b"\x00"
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, flags, 0, 0)
+            + bytes(pal)
+            + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+            + bytes((mcs,)) + bytes(sub) + b"\x3b")
+
+
+def _uncompressed_lzw(indices, mcs=8):
+    """Second, independent encoding: literal codes only, CLEAR before
+    the table can grow past 9-bit codes (the classic 'uncompressed
+    GIF' trick) — exercises the decoder without any dict entries."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    outb = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            outb.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, k in enumerate(indices):
+        if i and i % 200 == 0:
+            emit(clear)
+        emit(k)
+    emit(eoi)
+    if nbits:
+        outb.append(acc & 255)
+    return bytes(outb)
+
+
+def test_gif_lzw_roundtrip_and_uncompressed_agree():
+    import random
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    rng = random.Random(99)
+    palette = [(i, i, i) for i in range(256)]  # gray LUT == index
+    w, h = 20, 13
+    # repetitive content exercises dict growth incl. the KwKwK case
+    idx = []
+    while len(idx) < w * h:
+        run = [rng.randrange(8)] * rng.randint(1, 9)
+        idx.extend(run)
+    idx = idx[:w * h]
+    g1 = _write_gif(w, h, idx, palette)
+    g2 = _write_gif(w, h, idx, palette,
+                    lzw=_uncompressed_lzw(idx))
+    assert decode_image_gray(g1) == (w, h, idx)
+    assert decode_image_gray(g2) == (w, h, idx)
+
+
+def test_gif_interlaced_and_color_palette():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 6, 9
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    plain = decode_image_gray(_write_gif(w, h, idx, palette))
+    # interlaced storage: rows permuted into 8/8-4/4-2/1 pass order
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    rows = [idx[y * w:(y + 1) * w] for y in range(h)]
+    stored = [v for y in order for v in rows[y]]
+    inter = decode_image_gray(_write_gif(w, h, stored, palette,
+                                         interlaced=True))
+    assert inter == plain
+    lut = [_gray(*palette[v]) for v in idx]
+    assert list(plain[2]) == lut
+
+
+def test_gif_small_code_size_and_truncation():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    palette = [(0, 0, 0), (85, 85, 85), (170, 170, 170),
+               (255, 255, 255)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 1, 1]
+    out = decode_image_gray(_write_gif(4, 3, idx, palette, mcs=2))
+    assert out == (4, 3, [_gray(*palette[v]) for v in idx])
+    with pytest.raises(ValueError):
+        decode_image_gray(b"GIF89a" + b"\x00" * 4)
