@@ -445,3 +445,20 @@ def test_gif_small_code_size_and_truncation():
     assert out == (4, 3, [_gray(*palette[v]) for v in idx])
     with pytest.raises(ValueError):
         decode_image_gray(b"GIF89a" + b"\x00" * 4)
+
+
+def test_phash_gif_matches_png_same_pixels(spark):
+    """The same pixels hash identically whether they arrive as GIF
+    (LZW) or PNG (Flate) — container-independence of the real-decode
+    pHash now covers the compressed palette path too."""
+    from goose_parser_spark.ops.multimodal import phash_image
+    w, h = 32, 32
+    rows = _texture_rows(w, h)
+    palette = [(i, i, i) for i in range(256)]
+    gif = _write_gif(w, h, [v for r in rows for v in r], palette)
+    png = _write_png(w, h, rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r["phash"] for r in phash_image(df).collect()}
+    assert out[1] == out[2]
