@@ -218,7 +218,7 @@ def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
     is downmixed by exact integer mean (sum // n_channels); 8-bit
     unsigned samples are re-centered to signed (-128..127) so both
     depths share the zero line. Raises ValueError for compressed
-    codecs (MP3/AAC/Opus need codec libraries) and malformed files."""
+    codecs (MP3/AAC/Vorbis need codec libraries) and malformed files."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12

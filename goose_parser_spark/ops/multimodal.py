@@ -13,7 +13,7 @@ pixels, :func:`audio_features` frames genuinely decoded samples).
 from HEADERS alone (JPEG SOF, PNG, GIF, BMP, WebP, WAV, MP4 moov) —
 the pre-decode size/length filter, real even for codec-bound formats.
 PIXEL/SAMPLE decode for formats that require codec libraries offline
-— JPEG/WebP/AVIF, MP3/AAC/Opus, all video — remains STUBBED:
+— JPEG/WebP/AVIF, MP3/AAC/Vorbis, all video — remains STUBBED:
 :func:`decode_stub`
 raises ``NotImplementedError`` unless ``fake=True``, which emits a
 deterministic fake feature vector so the Spark-side plumbing (schema,
@@ -327,7 +327,7 @@ def audio_features(
     arithmetic so results are bit-identical on any machine.
 
     One row per frame: ``id_col, sample_rate, n_channels, frame_no,
-    energy, zero_crossings``. Compressed codecs (MP3/AAC/Opus) and
+    energy, zero_crossings``. Compressed codecs (MP3/AAC/Vorbis) and
     malformed files yield a single ``frame_no = -1`` row with NULL
     features (I4 poison isolation). Arrow-batched mapInPandas —
     payload bytes cross the boundary once per batch; frames explode
