@@ -5,7 +5,7 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross the JVM↔Python
 boundary once per batch.
 
-Codec status: PNG / BMP / binary PPM-PGM image decode and RIFF/WAVE
+Codec status: PNG / GIF / BMP / binary PPM-PGM image decode and RIFF/WAVE
 integer-PCM audio decode are REAL (pure-stdlib decoders in
 ops/imagecodec.py; :func:`phash_image` hashes genuinely decoded
 pixels, :func:`audio_features` frames genuinely decoded samples).
