@@ -186,8 +186,10 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
         return _pnm_gray(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_gray(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_gray(data)
     raise ValueError("unsupported image format (stdlib decoders: "
-                     "PNG, GIF, BMP, PPM/PGM)")
+                     "PNG, GIF, BMP, TIFF, PPM/PGM)")
 
 
 def resize_gray_box(width: int, height: int, pixels: list[int],
@@ -482,3 +484,52 @@ def _gif_gray(data: bytes) -> tuple[int, int, list[int]]:
         else:
             raise ValueError("corrupt GIF block stream")
     raise ValueError("GIF without an image frame")
+
+
+def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    ifd = struct.unpack(e + "I", data[4:8])[0]
+    if ifd + 2 > len(data):
+        raise ValueError("truncated TIFF (IFD out of range)")
+    n_tags = struct.unpack(e + "H", data[ifd:ifd + 2])[0]
+    if ifd + 2 + 12 * n_tags > len(data):
+        raise ValueError("truncated TIFF (IFD entries out of range)")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", data[off:off + 8])
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        voff = off + 8 if total <= 4 else \
+            struct.unpack(e + "I", data[off + 8:off + 12])[0]
+        if voff + total > len(data):
+            raise ValueError("truncated TIFF (tag value out of range)")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(
+            e + fmt * cnt, data[voff:voff + total]))
+    try:
+        width, height = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError:
+        raise ValueError("TIFF missing required tags") from None
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("unsupported TIFF compression")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise ValueError("unsupported TIFF (need 8-bit gray or RGB)")
+    raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
+    need = width * height * spp
+    if len(raw) < need:
+        raise ValueError("truncated TIFF pixel data")
+    if spp == 1:
+        return width, height, list(raw[:need])
+    return width, height, [_gray(raw[i], raw[i + 1], raw[i + 2])
+                           for i in range(0, need, 3)]

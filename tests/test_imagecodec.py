@@ -462,3 +462,76 @@ def test_phash_gif_matches_png_same_pixels(spark):
         "doc_id long, payload binary")
     out = {r["doc_id"]: r["phash"] for r in phash_image(df).collect()}
     assert out[1] == out[2]
+
+
+def _write_tiff(w, h, pixels, rgb=False, big_endian=False,
+                rows_per_strip=None):
+    """Minimal baseline TIFF writer: uncompressed strips, 8-bit."""
+    e = ">" if big_endian else "<"
+    spp = 3 if rgb else 1
+    flat = bytearray()
+    for px in pixels:
+        flat += bytes(px if isinstance(px, tuple) else (px,))
+    rps = rows_per_strip or h
+    strips = [bytes(flat[y * w * spp:(y + rps) * w * spp])
+              for y in range(0, h, rps)]
+    # layout: header(8) | strip data | ifd
+    data_off = 8
+    offsets, pos = [], data_off
+    for sdat in strips:
+        offsets.append(pos)
+        pos += len(sdat)
+    ifd_off = pos
+    n_strips = len(strips)
+
+    def entry(tag, typ, cnt, value_bytes):
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size <= 4:
+            return struct.pack(e + "HHI", tag, typ, cnt) + \
+                value_bytes.ljust(4, b"\x00"), b""
+        nonlocal extra_off
+        out = struct.pack(e + "HHII", tag, typ, cnt, extra_off)
+        extra_off += size
+        return out, value_bytes
+
+    # 9 entries; extra arrays (offsets/counts/bps) follow the IFD
+    n_entries = 9
+    extra_off = ifd_off + 2 + 12 * n_entries + 4
+    u16 = lambda *v: struct.pack(e + "H" * len(v), *v)
+    u32 = lambda *v: struct.pack(e + "I" * len(v), *v)
+    entries, extras = [], []
+    for tag, typ, cnt, vb in [
+        (256, 3, 1, u16(w)), (257, 3, 1, u16(h)),
+        (258, 3, spp, u16(*([8] * spp))),
+        (259, 3, 1, u16(1)),
+        (262, 3, 1, u16(1 if not rgb else 2)),
+        (273, 4, n_strips, u32(*offsets)),
+        (277, 3, 1, u16(spp)),
+        (278, 3, 1, u16(rps)),
+        (279, 4, n_strips, u32(*[len(s) for s in strips])),
+    ]:
+        ent, extra = entry(tag, typ, cnt, vb)
+        entries.append(ent)
+        extras.append(extra)
+    head = (b"II*\x00" if not big_endian else b"MM\x00*") \
+        + u32(ifd_off)
+    ifd = u16(n_entries) + b"".join(entries) + u32(0)
+    return head + bytes(flat) + ifd + b"".join(extras)
+
+
+def test_tiff_gray_rgb_strips_and_endianness():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 7, 6
+    gray = [(x * 11 + y * 3) % 256 for y in range(h) for x in range(w)]
+    for be in (False, True):
+        for rps in (None, 2):
+            out = decode_image_gray(_write_tiff(w, h, gray,
+                                                big_endian=be,
+                                                rows_per_strip=rps))
+            assert out == (w, h, gray), (be, rps)
+    rgb = [((x * 30) % 256, (y * 50) % 256, 77)
+           for y in range(h) for x in range(w)]
+    out = decode_image_gray(_write_tiff(w, h, rgb, rgb=True))
+    assert out == (w, h, [_gray(*p) for p in rgb])
+    with pytest.raises(ValueError):
+        decode_image_gray(b"II*\x00" + b"\x00" * 8)
