@@ -339,6 +339,30 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
             dur = dsize * 8000 // (rate * nch * bits)
             return ("wav", None, None, dur)
         raise ValueError("malformed WAV")
+    if data[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: dims from tags
+        try:
+            e = "<" if data[:2] == b"II" else ">"
+            ifd = struct.unpack(e + "I", data[4:8])[0]
+            n_tags = struct.unpack(e + "H", data[ifd:ifd + 2])[0]
+            w = h = None
+            for i in range(n_tags):
+                off = ifd + 2 + 12 * i
+                tag, typ, _cnt = struct.unpack(e + "HHI",
+                                               data[off:off + 8])
+                if tag in (256, 257) and typ in (3, 4):
+                    fmt = "H" if typ == 3 else "I"
+                    v = struct.unpack(e + fmt,
+                                      data[off + 8:off + 8
+                                           + (2 if typ == 3 else 4)])[0]
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            if w and h:
+                return ("tiff", w, h, None)
+        except struct.error:
+            pass
+        raise ValueError("TIFF without dimension tags")
     if n >= 12 and data[4:8] == b"ftyp":  # MP4 / ISO-BMFF
         dur_ms = width = height = None
 

@@ -535,3 +535,11 @@ def test_tiff_gray_rgb_strips_and_endianness():
     assert out == (w, h, [_gray(*p) for p in rgb])
     with pytest.raises(ValueError):
         decode_image_gray(b"II*\x00" + b"\x00" * 8)
+
+
+def test_probe_media_tiff_and_gif_header_only():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    t = _write_tiff(7, 6, [0] * 42)
+    assert probe_media(t) == ("tiff", 7, 6, None)
+    t_be = _write_tiff(7, 6, [0] * 42, big_endian=True)
+    assert probe_media(t_be) == ("tiff", 7, 6, None)
