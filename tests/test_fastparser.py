@@ -139,3 +139,32 @@ def test_unbalanced_quote_divergence_is_stable():
         fast = parse_html(h, backend="fast")
         parse_html(h, backend="stdlib")  # no crash
         assert [e.text() for e in select(fast, "p")] == ["x"]
+
+
+def test_hard_scanner_paths_through_full_extraction():
+    """Quoted '>' and '<' inside attribute values — the split-scanner's
+    exact-regex fallback paths — must survive the FULL rule pipeline:
+    selectors still match and attr extraction returns the raw value."""
+    from goose_parser_spark.rules.compiler import RuleCompiler
+    from goose_parser_spark.rules.evaluator import evaluate_document
+    html = ('<html><body>'
+            '<div class="doc" title="a > b and a < b">'
+            '<h1 class="t">Title</h1>'
+            "<p class=\"b\" data-x='1<2>3'>Body text</p>"
+            '</div></body></html>')
+    compiled = RuleCompiler().compile({
+        "scope": "div.doc",
+        "collection": [
+            {"name": "title", "scope": "h1.t"},
+            {"name": "body", "scope": "p.b"},
+            {"name": "note", "scope": "div.doc", "attr": "title",
+             "parentScope": "body"},
+            {"name": "x", "scope": "p.b", "attr": "data-x",
+             "parentScope": "body"},
+        ],
+    })
+    out = evaluate_document(compiled, html)
+    assert out["title"] == "Title"
+    assert out["body"] == "Body text"
+    assert out["note"] == "a > b and a < b"
+    assert out["x"] == "1<2>3"
