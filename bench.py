@@ -140,6 +140,11 @@ def _session(cores: int):
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
             .config("spark.sql.files.openCostInBytes", "0")
             .config("spark.ui.enabled", "false")
+            # keep stage-progress bars off stdout: the driver captures
+            # a fixed-size tail of this process's output and progress
+            # bars interleaved with (or before) the final JSON line
+            # made BENCH_r0{4,5}.json unparseable (VERDICT r5 #1)
+            .config("spark.ui.showConsoleProgress", "false")
             # right-sized, pre-touched, fixed-size heap: an oversized
             # (48g) lazily-faulted heap made the scan anti-scale 8-10x
             # at local[32] on this VM (guest page faults + mmap lock);
@@ -439,8 +444,38 @@ def main() -> int:
         "extended_queries": ext_results,
         "extended_total": round(sum(ext_results.values()), 3),
     }
-    print(json.dumps(out))
+    # Durable artifacts first: the full report goes to disk (the
+    # driver's stdout capture is a fixed-size tail and has truncated
+    # the full JSON two rounds running — VERDICT r5 "what's wrong" #1).
     _write_md(out)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/full_report.json", "w") as f:
+        json.dump(out, f, indent=1)
+    # Then ONE compact line as the absolute last stdout write: the
+    # driver contract fields plus summary numbers only. Per-query
+    # detail for the extended/warm sets lives in BENCH/BASELINE.md and
+    # BENCH/full_report.json.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": results,
+        "sf": out["sf"],
+        "warm_total": out["queries_warm_total"],
+        "extraction_docs_per_sec": out["extraction"]["docs_per_sec"],
+        "scaling": {
+            k: v for k, v in scaling.items()
+            if k == "levels" or k == "efficiency"
+            or k.endswith("_docs_per_sec") or k == "host_steal_pct_max"
+        },
+        "scaling_secondary_efficiency":
+            scaling_secondary.get("efficiency"),
+        "extended_total": out["extended_total"],
+        "full_report": "BENCH/full_report.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
+    sys.stdout.flush()
     return 0
 
 

@@ -4110,12 +4110,15 @@ QUERIES: dict[str, QueryFn] = {
     # Driver-window rotation policy (VERDICT r04 #5): the driver
     # hash-gates only the FIRST 50 entries, so the window rotates
     # each round until every oracled operator has accumulated a
-    # driver-signed row. Round-5 window = pinned extraction family
-    # + md5 hard oracles (13), then ALL 25 oracled queries never
-    # seen by the driver in rounds 1-4, then 12 family
-    # representatives so each operator family keeps an in-window
-    # hash-green row. tools/check_oracles.py still verifies all 93
-    # every round regardless of the window.
+    # driver-signed row. Round-6 window = pinned extraction family
+    # + md5 hard oracles (13); then url_canonicalize / hash_split /
+    # extract_markdown — the ONLY three oracled queries never driver-
+    # signed in any of rounds 1-5 (VERDICT r5 "what's wrong" #2:
+    # an earlier comment here wrongly claimed they were; corrected);
+    # then bpe_train / topic_clusters (rows-only, also never driver-
+    # seen); then the 5 queries rotated out in r5; then 27 family
+    # representatives. tools/check_oracles.py still verifies all
+    # oracled queries every round regardless of the window.
     # -- pinned: extraction family + md5 hard oracles --
     "extract_flagship": q_extract_flagship,
     "extract_grid_explode": q_extract_grid_explode,
@@ -4130,50 +4133,20 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "i1_bucketing_md5": q_i1_bucketing_md5,
-    # -- never driver-seen in r1-r4 (oracled) --
-    "substring_dedup": q_substring_dedup,
-    "hybrid_search": q_hybrid_search,
-    "embedding_outliers": q_embedding_outliers,
-    "bigram_lm_score": q_bigram_lm_score,
-    "fix_mojibake": q_fix_mojibake,
-    "normalize_nfc": q_normalize_nfc,
-    "split_sentences": q_split_sentences,
-    "policy_filter": q_policy_filter,
-    "decontaminate": q_decontaminate,
-    "frontier_schedule": q_frontier_schedule,
-    "ccnet_buckets": q_ccnet_buckets,
-    "imgtext_pairs": q_imgtext_pairs,
-    "phash_pairs": q_phash_pairs,
-    "phash_image_decode": q_phash_image_decode,
-    "clean_text": q_clean_text,
-    "audio_decode": q_audio_decode,
-    "media_probe": q_media_probe,
-    "domain_quality": q_domain_quality,
-    "chunk_documents": q_chunk_documents,
-    "quality_classifier": q_quality_classifier,
-    "mixture_sample": q_mixture_sample,
-    "train_shards": q_train_shards,
-    "corpus_profile": q_corpus_profile,
-    "dedup_by_url": q_dedup_by_url,
-    "pack_materialize": q_pack_materialize,
-    # -- family representatives (driver-green in prior rounds) --
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_keep_canonical": q_dedup_keep_canonical,
-    "dedup_semantic_keep": q_dedup_semantic_keep,
-    "simsearch_topk": q_simsearch_topk,
-    "bm25_search": q_bm25_search,
-    "snapshot_diff": q_snapshot_diff,
-    "readability": q_readability,
-    "token_budget": q_token_budget,
-    "incremental_extract": q_incremental_extract,
-    "capture_history": q_capture_history,
-    "pdf_extract": q_pdf_extract,
-    # ---- 50-entry window boundary (driver hashes up to here) ----
-    # oracled, driver-green in prior rounds:
+    # -- never driver-signed in r1-r5 (oracled) --
     "url_canonicalize": q_url_canonicalize,
     "hash_split": q_hash_split,
     "extract_markdown": q_extract_markdown,
+    # -- never driver-seen in r1-r5 (rows-only by nature) --
+    "bpe_train": q_bpe_train,
+    "topic_clusters": q_topic_clusters,
+    # -- rotated out in r5, back in-window --
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "lm_score": q_lm_score,
+    "c4_clean": q_c4_clean,
+    "frontier_urls": q_frontier_urls,
+    # -- family representatives --
     "line_dedup": q_line_dedup,
     "link_pagerank": q_link_pagerank,
     "bloom_frontier": q_bloom_frontier,
@@ -4201,11 +4174,47 @@ QUERIES: dict[str, QueryFn] = {
     "cms_topterms": q_cms_topterms,
     "multimodal_features": q_multimodal_features,
     "simsearch_lsh": q_simsearch_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "lm_score": q_lm_score,
-    "c4_clean": q_c4_clean,
-    "frontier_urls": q_frontier_urls,
+    # ---- 50-entry window boundary (driver hashes up to here) ----
+    # all remaining oracled queries: driver-signed in prior rounds
+    # (r1-r5 CORRECTNESS files) and re-verified every round by
+    # tools/check_oracles.py + pytest
+    "substring_dedup": q_substring_dedup,
+    "hybrid_search": q_hybrid_search,
+    "embedding_outliers": q_embedding_outliers,
+    "bigram_lm_score": q_bigram_lm_score,
+    "fix_mojibake": q_fix_mojibake,
+    "normalize_nfc": q_normalize_nfc,
+    "split_sentences": q_split_sentences,
+    "policy_filter": q_policy_filter,
+    "decontaminate": q_decontaminate,
+    "frontier_schedule": q_frontier_schedule,
+    "ccnet_buckets": q_ccnet_buckets,
+    "imgtext_pairs": q_imgtext_pairs,
+    "phash_pairs": q_phash_pairs,
+    "phash_image_decode": q_phash_image_decode,
+    "clean_text": q_clean_text,
+    "audio_decode": q_audio_decode,
+    "media_probe": q_media_probe,
+    "domain_quality": q_domain_quality,
+    "chunk_documents": q_chunk_documents,
+    "quality_classifier": q_quality_classifier,
+    "mixture_sample": q_mixture_sample,
+    "train_shards": q_train_shards,
+    "corpus_profile": q_corpus_profile,
+    "dedup_by_url": q_dedup_by_url,
+    "pack_materialize": q_pack_materialize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "dedup_semantic_keep": q_dedup_semantic_keep,
+    "simsearch_topk": q_simsearch_topk,
+    "bm25_search": q_bm25_search,
+    "snapshot_diff": q_snapshot_diff,
+    "readability": q_readability,
+    "token_budget": q_token_budget,
+    "incremental_extract": q_incremental_extract,
+    "capture_history": q_capture_history,
+    "pdf_extract": q_pdf_extract,
     "dedup_paragraphs": q_dedup_paragraphs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "text_subword_count": q_text_subword_count,
@@ -4222,8 +4231,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "simsearch_ivf": q_simsearch_ivf,
     "i1_bucketing": q_i1_bucketing,
-    "bpe_train": q_bpe_train,
-    "topic_clusters": q_topic_clusters,
 }
 
 

@@ -61,15 +61,23 @@ def test_demoted_query_matches_oracle(spark, duck, name):
 
 
 def test_registry_window_layout():
-    """Pin the 50-entry-window contract: every key in the first 50
-    slots has an oracle, and every oracled family representative sits
-    inside the window (rows-only entries come last)."""
+    """Pin the 50-entry-window contract (round-6 rotation): the window
+    carries full oracles everywhere except ``bpe_train`` /
+    ``topic_clusters`` — rows-only by nature, rotated through once so
+    even their weaker rows-only check gets a driver-signed row (they
+    were the last two queries never seen by the driver, VERDICT r5).
+    All other rows-only entries form the final contiguous block."""
     from goose_parser_spark.driver_queries import ORACLES, QUERIES
 
     keys = list(QUERIES)
     window = keys[:50]
-    assert all(k in ORACLES for k in window), [
-        k for k in window if k not in ORACLES]
-    rows_only = [k for k in keys if k not in ORACLES]
-    # rows-only entries are the final block
-    assert keys[-len(rows_only):] == rows_only
+    assert [k for k in window if k not in ORACLES] == [
+        "bpe_train", "topic_clusters"]
+    # the three oracled queries never driver-signed in r1-r5 must be
+    # in-window this round (VERDICT r5 "what's wrong" #2)
+    for k in ("url_canonicalize", "hash_split", "extract_markdown"):
+        assert k in window, k
+    tail_rows_only = [k for k in keys
+                      if k not in ORACLES and k not in window]
+    # remaining rows-only entries are the final block
+    assert keys[-len(tail_rows_only):] == tail_rows_only
