@@ -397,7 +397,7 @@ def main() -> int:
         "snapshot_diff", "readability", "token_budget",
         "incremental_extract", "capture_history",
         "pdf_extract", "phash_image_decode", "audio_decode",
-        "media_probe",
+        "media_probe", "jpeg_decode",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

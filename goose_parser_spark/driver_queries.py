@@ -3535,21 +3535,14 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(fp, "phash", max_hamming=3, bits=60)
 
 
-def _sql_phash_dct(jit_sql: str = "(doc_id % 4) * 74") -> str:
-    """CTE chain computing the fixed-point-DCT pHash in DuckDB from
-    the SAME integer basis table (ops/multimodal.DCT_C) the Spark op
-    uses — generated, never hand-copied, so the two cannot drift.
-    ``jit_sql`` is the pixel-0 jitter expression ('0' for the
-    real-decode query, which feeds unjittered digest bytes)."""
+def _sql_phash_chain() -> str:
+    """The g/ac/acm/h CTE tail computing the fixed-point-DCT pHash in
+    DuckDB from an upstream ``pix`` CTE exposing ``doc_id, p0..p63``
+    (the 8x8 image row-major). Generated from the SAME integer basis
+    table (ops/multimodal.DCT_C) the Spark op uses — never
+    hand-copied, so the two cannot drift. Shared by the PGM-decode,
+    phash-pairs and JPEG-decode oracles."""
     from goose_parser_spark.ops.multimodal import DCT_C, PHASH_AC_ORDER
-    digs = ",\n         ".join(
-        f"md5(_h || ':{j}') AS _d{j}" for j in range(4))
-    pix = ",\n         ".join(
-        (f"least(greatest(CAST(('0x' || substr(_d0, 1, 2)) AS BIGINT)"
-         " + _jit, 0), 255) AS p0" if k == 0 else
-         f"CAST(('0x' || substr(_d{k // 16}, {(k % 16) * 2 + 1}, 2)) "
-         f"AS BIGINT) AS p{k}")
-        for k in range(64))
     gs = ",\n         ".join(
         " + ".join(f"{DCT_C[u][x]}*p{8 * x + y}" for x in range(8))
         + f" AS g{u}_{y}"
@@ -3560,6 +3553,32 @@ def _sql_phash_dct(jit_sql: str = "(doc_id % 4) * 74") -> str:
     bits = " + ".join(
         f"CASE WHEN acl[{k + 1}] > med THEN {1 << k} ELSE 0 END"
         for k in range(len(PHASH_AC_ORDER)))
+    return f"""g AS (
+  SELECT doc_id,
+         {gs}
+  FROM pix
+), ac AS (
+  SELECT doc_id, [{acs}] AS acl FROM g
+), acm AS (
+  SELECT doc_id, acl, list_sort(acl)[30] AS med FROM ac
+), h AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM acm
+)"""
+
+
+def _sql_phash_dct(jit_sql: str = "(doc_id % 4) * 74") -> str:
+    """Digest-chain pixel CTEs (the PGM authoring path) + the shared
+    pHash chain. ``jit_sql`` is the pixel-0 jitter expression ('0'
+    for the real-decode query, which feeds unjittered digest
+    bytes)."""
+    digs = ",\n         ".join(
+        f"md5(_h || ':{j}') AS _d{j}" for j in range(4))
+    pix = ",\n         ".join(
+        (f"least(greatest(CAST(('0x' || substr(_d0, 1, 2)) AS BIGINT)"
+         " + _jit, 0), 255) AS p0" if k == 0 else
+         f"CAST(('0x' || substr(_d{k // 16}, {(k % 16) * 2 + 1}, 2)) "
+         f"AS BIGINT) AS p{k}")
+        for k in range(64))
     return f"""ph0 AS (
   SELECT doc_id, md5('img-' || (doc_id // 23)) AS _h,
          {jit_sql} AS _jit
@@ -3572,17 +3591,7 @@ def _sql_phash_dct(jit_sql: str = "(doc_id % 4) * 74") -> str:
   SELECT doc_id,
          {pix}
   FROM dg
-), g AS (
-  SELECT doc_id,
-         {gs}
-  FROM pix
-), ac AS (
-  SELECT doc_id, [{acs}] AS acl FROM g
-), acm AS (
-  SELECT doc_id, acl, list_sort(acl)[30] AS med FROM ac
-), h AS (
-  SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM acm
-)"""
+), {_sql_phash_chain()}"""
 
 
 SQL_PHASH_PAIRS = f"""
@@ -3624,6 +3633,102 @@ def q_phash_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PHASH_IMAGE_DECODE = f"""
 WITH {_SQL_DOCS_AMP_COPY}, {_sql_phash_dct(jit_sql="0")}
+SELECT doc_id, fp AS phash FROM h
+"""
+
+
+def _jpeg_dc_header() -> bytes:
+    """Fixed header of the oracle-authored DC-only baseline JPEGs:
+    16x16 single-component SOF0, quant table q0=8 (rest 1), and
+    DEGENERATE all-8-bit-code Huffman tables — DC categories 0-11 at
+    length 8 (canonical code for category c = byte c) and a
+    single-symbol AC table (EOB = byte 0), so every scan block is
+    EXACTLY the 3 hand-predictable bytes [0x08, diff, 0x00] and the
+    whole scan stays byte-aligned. With q0=8 a DC-only block decodes
+    to the flat value clamp(cumulative_DC + 128) exactly (integer
+    IDCT identity, pinned by test_dc_only_blocks_are_exactly_flat)."""
+    import struct as st
+    quant = bytes([8] + [1] * 63)
+    dc_counts = bytes([0] * 7 + [12] + [0] * 8)
+    dc_syms = bytes(range(12))
+    ac_counts = bytes([0] * 7 + [1] + [0] * 8)
+    ac_syms = bytes([0])
+    return (b"\xff\xd8"
+            + b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + quant
+            + b"\xff\xc0" + st.pack(">HBHHB", 11, 8, 16, 16, 1)
+            + bytes([1, 0x11, 0])
+            + b"\xff\xc4" + st.pack(">H", 19 + 12) + b"\x00"
+            + dc_counts + dc_syms
+            + b"\xff\xc4" + st.pack(">H", 19 + 1) + b"\x10"
+            + ac_counts + ac_syms
+            + b"\xff\xda" + st.pack(">H", 8)
+            + bytes([1, 1, 0x00, 0, 63, 0]))
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL baseline-JPEG decoder under the value oracle: DC-only
+    16x16 JPEGs are authored JVM-side (fixed header + 4 blocks of
+    [cat8-code, diff-byte, EOB] where the diff bytes come straight
+    from an md5 digest — 0xff remapped to 0xfe so no byte-stuffing
+    arises), then phash_image runs the full Huffman → dequant →
+    integer-IDCT pipeline on them. Each 8x8 block decodes to a flat
+    quadrant clamp(cumDC+128); the box resize preserves the quadrants
+    and the shared DCT chain hashes them. The oracle re-derives the
+    quadrant values from the same digest arithmetic — one wrong bit
+    anywhere in the entropy decode, predictor, dequant or IDCT and
+    the 60-bit hashes diverge."""
+    from goose_parser_spark.ops.multimodal import phash_image
+    docs = _documents_amplified(spark, sf_dir)
+    pg = F.floor(F.col("doc_id") / 23).cast("long")
+    h = F.md5(F.encode(
+        F.concat(F.lit("jpg-"), pg.cast("string")), "utf-8"))
+    blocks = []
+    for j in range(4):
+        pair = F.substring(h, j * 2 + 1, 2)
+        pair = F.when(pair == "ff", F.lit("fe")).otherwise(pair)
+        blocks.append(F.concat(F.lit("08"), pair, F.lit("00")))
+    payload = F.unhex(F.concat(F.lit(_jpeg_dc_header().hex()),
+                               *blocks, F.lit("ffd9")))
+    return phash_image(docs.select("doc_id", payload.alias("payload")))
+
+
+def _sql_jpeg_decode() -> str:
+    """Generated DuckDB replay of q_jpeg_decode: diff bytes from the
+    digest hex (ff→fe), category-8 EXTEND (byte≥128 → +byte, else
+    byte−255), cumulative DC per raster block, flat quadrants
+    clamp(cum+128), then the SAME generated pHash chain."""
+    bexprs = []
+    for j in range(4):
+        raw = f"substr(_h, {j * 2 + 1}, 2)"
+        bexprs.append(
+            f"CASE WHEN {raw} = 'ff' THEN 254 "
+            f"ELSE CAST(('0x' || {raw}) AS BIGINT) END AS b{j}")
+    vexprs = [
+        f"CASE WHEN b{j} >= 128 THEN b{j} ELSE b{j} - 255 END AS v{j}"
+        for j in range(4)]
+    qexprs = [
+        "least(greatest(" + " + ".join(f"v{i}" for i in range(j + 1))
+        + " + 128, 0), 255) AS q" + str(j)
+        for j in range(4)]
+    # 8x8 resized image row-major: pixel k sits in quadrant
+    # (row//4)*2 + (col//4) with row = k//8, col = k%8
+    pexprs = [f"q{(k // 32) * 2 + ((k % 8) // 4)} AS p{k}"
+              for k in range(64)]
+    return f"""jp0 AS (
+  SELECT doc_id, md5('jpg-' || (doc_id // 23)) AS _h FROM docs_amp
+), jb AS (
+  SELECT doc_id, {', '.join(bexprs)} FROM jp0
+), jv AS (
+  SELECT doc_id, {', '.join(vexprs)} FROM jb
+), jq AS (
+  SELECT doc_id, {', '.join(qexprs)} FROM jv
+), pix AS (
+  SELECT doc_id, {', '.join(pexprs)} FROM jq
+), {_sql_phash_chain()}"""
+
+
+SQL_JPEG_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, {_sql_jpeg_decode()}
 SELECT doc_id, fp AS phash FROM h
 """
 
@@ -4173,8 +4278,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": q_events_sessionize,
     "cms_topterms": q_cms_topterms,
     "multimodal_features": q_multimodal_features,
-    "simsearch_lsh": q_simsearch_lsh,
+    # -- new in round 6 --
+    "jpeg_decode": q_jpeg_decode,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    "simsearch_lsh": q_simsearch_lsh,
     # all remaining oracled queries: driver-signed in prior rounds
     # (r1-r5 CORRECTNESS files) and re-verified every round by
     # tools/check_oracles.py + pytest
@@ -4314,6 +4421,7 @@ ORACLES: dict[str, str] = {
     "capture_history": SQL_CAPTURE_HISTORY,
     "pdf_extract": SQL_PDF_EXTRACT,
     "phash_image_decode": SQL_PHASH_IMAGE_DECODE,
+    "jpeg_decode": SQL_JPEG_DECODE,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,

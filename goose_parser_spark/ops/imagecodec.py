@@ -1,11 +1,12 @@
 """Pure-stdlib media decoding for the formats that need no codec
 library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
 uncompressed), GIF (LZW, first frame, interlace), binary PPM/PGM,
-and RIFF/WAVE integer PCM audio. This upgrades the multimodal
-pipeline's decode stage from a stand-in to a REAL decoder wherever
-the container's stdlib suffices — JPEG/WebP/AVIF (entropy coders,
-frequency transforms) remain out of scope offline and raise
-ValueError, isolated per document upstream.
+RIFF/WAVE integer PCM audio, and — since round 6 — baseline
+Huffman-coded JPEG (SOF0/SOF1, integer fixed-point IDCT). This
+upgrades the multimodal pipeline's decode stage from a stand-in to a
+REAL decoder wherever pure stdlib suffices — progressive JPEG, WebP
+and AVIF remain out of scope offline and raise ValueError, isolated
+per document upstream.
 
 Everything is integer arithmetic and therefore bit-deterministic
 across machines: grayscale is ITU-R BT.601 in fixed point
@@ -15,6 +16,7 @@ box averaging (sum // count).
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -188,8 +190,10 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
         return _gif_gray(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return _tiff_gray(data)
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_gray(data)
     raise ValueError("unsupported image format (stdlib decoders: "
-                     "PNG, GIF, BMP, TIFF, PPM/PGM)")
+                     "PNG, GIF, BMP, TIFF, PPM/PGM, baseline JPEG)")
 
 
 def resize_gray_box(width: int, height: int, pixels: list[int],
@@ -557,3 +561,339 @@ def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
         return width, height, list(raw[:need])
     return width, height, [_gray(raw[i], raw[i + 1], raw[i + 2])
                            for i in range(0, need, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (SOF0/SOF1, Huffman-coded) — pure-stdlib, integer-only.
+# Public-knowledge sources: ITU-T T.81 (the JPEG standard: marker
+# segments §B, Huffman decode procedure §F.2, DC prediction, zigzag),
+# ITU-R BT.601 (YCbCr: the Y channel IS the BT.601 luma, so the gray
+# output needs no RGB round-trip). Progressive (SOF2) and arithmetic
+# coding stay honestly out of scope (ValueError; probe_media still
+# reports their dimensions). The IDCT is fixed-point integer
+# (precomputed 13-bit scaled cosine tables, separable rows-then-
+# columns) so decoded pixels are bit-deterministic on every machine —
+# the property every other codec in this module guarantees and the
+# driver value oracle depends on.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# CU[u][x] = round(alpha(u) * cos((2x+1) u pi / 16) * 2^13), the
+# orthonormal-scaled 1-D IDCT basis in 13-bit fixed point
+# (alpha(0) = 1/sqrt(2), alpha(u>0) = 1)
+_IDCT_CU = [
+    [round((0.7071067811865476 if u == 0 else 1.0)
+           * math.cos((2 * x + 1) * u * math.pi / 16) * 8192)
+     for x in range(8)]
+    for u in range(8)
+]
+
+
+class _BitReader:
+    """JPEG entropy-coded segment bit reader: MSB-first, 0xFF00 byte
+    stuffing unstuffed, stops (returns None / raises) at any real
+    marker. ``align_restart`` consumes an expected RSTn marker."""
+
+    __slots__ = ("data", "pos", "bits", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2
+            else:
+                return False  # a real marker: scan data ends here
+        else:
+            self.pos = p + 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                raise ValueError("truncated JPEG scan data")
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self, expect: int) -> None:
+        # byte-align, then consume RSTn (n cycles 0-7)
+        self.bits = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + expect:
+            raise ValueError("missing JPEG restart marker")
+        self.pos = p + 2
+
+
+def _huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` magnitude bits to a signed
+    coefficient value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _idct_block(coef: list[int]) -> list[int]:
+    """Separable integer IDCT of one dequantized 8x8 block (natural
+    order) → 64 clamped pixels. Rows through the 13-bit basis, then
+    columns; one rounding shift of the combined 2^26 scale and the /4
+    normalization at the end (floor shift on the offset sum —
+    deterministic everywhere)."""
+    cu = _IDCT_CU
+    tmp = [0] * 64  # tmp[v*8+x] = sum_u coef[v*8+u] * cu[u][x]
+    for v in range(8):
+        row = coef[v * 8:v * 8 + 8]
+        if not any(row):
+            continue
+        base = v * 8
+        for x in range(8):
+            s = 0
+            for u in range(8):
+                c = row[u]
+                if c:
+                    s += c * cu[u][x]
+            tmp[base + x] = s
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            s = 0
+            cy = cu
+            for v in range(8):
+                t = col[v]
+                if t:
+                    s += t * cy[v][y]
+            # scale: 2^13 * 2^13 = 2^26, IDCT norm /4 → >> 28, +128
+            p = ((s + (1 << 27)) >> 28) + 128
+            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+    return out
+
+
+def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
+    """Baseline JPEG → (width, height, BT.601-luma pixels): the Y
+    channel is decoded fully (Huffman → dequant → integer IDCT);
+    chroma coefficients are entropy-decoded to keep bitstream position
+    but skip the IDCT — gray output equals luma by YCbCr definition.
+    Requires the luma component at maximal sampling factors (true of
+    every standard 4:4:4 / 4:2:2 / 4:2:0 encoder output)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (w, h, comps) comps: [(cid, hs, vs, tq)]
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = list(body[i:i + 64]); i += 64
+                else:
+                    vals = list(struct.unpack(">64H", body[i:i + 128]))
+                    i += 128
+                qt[tq] = vals
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1:i + 17]
+                total = sum(counts)
+                syms = body[i + 17:i + 17 + total]
+                huff[(tc, th)] = _huff_table(counts, syms)
+                i += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_ = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported "
+                             "(baseline SOF0/SOF1 only)")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_index, dc_table, ac_table)
+            for s in range(ns):
+                cs, tda = body[1 + 2 * s], body[2 + 2 * s]
+                ci = next(i for i, c in enumerate(frame[2])
+                          if c[0] == cs)
+                scan.append((ci, tda >> 4, tda & 15))
+            return _jpeg_scan(data, pos + 2 + seglen, frame, scan, qt,
+                              huff, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOS scan")
+
+
+def _jpeg_scan(data, start, frame, scan, qt, huff, restart_interval):
+    w, h, comps = frame
+    if w == 0 or h == 0:
+        raise ValueError("empty JPEG frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_ci = scan[0][0] if len(comps) == 1 else next(
+        i for i, c in enumerate(comps) if c[0] == comps[0][0])
+    # the luma (first) component must carry the max sampling factors
+    # so its plane is the full-resolution gray image
+    if comps[luma_ci][1] != hmax or comps[luma_ci][2] != vmax:
+        raise ValueError("unsupported JPEG sampling (luma not maximal)")
+    br = _BitReader(data, start)
+    pred = [0] * len(comps)
+    plane = [0] * (((w + 7) // 8 * 8) * ((h + 7) // 8 * 8))
+    if len(scan) == 1:
+        # non-interleaved single-component scan: MCU = one block
+        ci, tdc, tac = scan[0]
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        stride = bw * 8
+        nblocks = bw * bh
+        for bi in range(nblocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                br.restart((bi // restart_interval - 1) % 8)
+                pred = [0] * len(comps)
+            block = _decode_block(br, huff, tdc, tac, qt[comps[ci][3]],
+                                  pred, ci)
+            _place(plane, stride, (bi % bw) * 8, (bi // bw) * 8, block)
+        return w, h, _crop(plane, stride, w, h)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    stride = mcux * 8 * hmax
+    plane = [0] * (stride * mcuy * 8 * vmax)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                br.restart((mcu_count // restart_interval - 1) % 8)
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, tdc, tac in scan:
+                _, hs, vs, tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        if ci == luma_ci:
+                            block = _decode_block(
+                                br, huff, tdc, tac, qt[tq], pred, ci)
+                            _place(plane, stride,
+                                   (mx * hs + bx) * 8, (my * vs + by) * 8,
+                                   block)
+                        else:
+                            _skip_block(br, huff, tdc, tac, pred, ci)
+    return w, h, _crop(plane, stride, w, h)
+
+
+def _decode_block(br, huff, tdc, tac, q, pred, ci) -> list[int]:
+    coef = [0] * 64
+    s = _huff_decode(br, huff[(0, tdc)])
+    diff = _extend(br.read(s), s) if s else 0
+    pred[ci] += diff
+    coef[0] = pred[ci] * q[0]
+    k = 1
+    ac = huff[(1, tac)]
+    while k < 64:
+        rs = _huff_decode(br, ac)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        coef[_ZIGZAG[k]] = _extend(br.read(size), size) * q[k]
+        k += 1
+    return _idct_block(coef)
+
+
+def _skip_block(br, huff, tdc, tac, pred, ci) -> None:
+    """Entropy-decode one block to advance the bitstream (and keep
+    the DC predictor), skipping dequant + IDCT — the chroma path."""
+    s = _huff_decode(br, huff[(0, tdc)])
+    if s:
+        pred[ci] += _extend(br.read(s), s)
+    k = 1
+    ac = huff[(1, tac)]
+    while k < 64:
+        rs = _huff_decode(br, ac)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r + 1
+        br.read(size)
+
+
+def _place(plane, stride, x0, y0, block) -> None:
+    for y in range(8):
+        row = (y0 + y) * stride + x0
+        plane[row:row + 8] = block[y * 8:y * 8 + 8]
+
+
+def _crop(plane, stride, w, h) -> list[int]:
+    if stride == w:
+        return plane[:w * h]
+    return [plane[y * stride + x] for y in range(h) for x in range(w)]
