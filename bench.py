@@ -397,7 +397,7 @@ def main() -> int:
         "snapshot_diff", "readability", "token_budget",
         "incremental_extract", "capture_history",
         "pdf_extract", "phash_image_decode", "audio_decode",
-        "media_probe", "jpeg_decode",
+        "media_probe", "jpeg_decode", "extract_tables", "feed_parse",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:
@@ -485,6 +485,10 @@ def _write_md(out: dict) -> None:
     sc = out.get("scaling") or {}
     lines = [
         "# BENCH — measured baseline",
+        "",
+        "This file reflects the LAST bench run's window only; the",
+        "cross-round series and attribution studies live in",
+        "BENCH/HISTORY.md (hand-maintained, never overwritten).",
         "",
         f"Input: bench pages corpus N={ext['docs']} (FIXTURES.md generator),",
         f"driver-contract queries at sf dir `{SF_DIR}`; "

@@ -1404,6 +1404,45 @@ FROM docs_amp
 """
 
 
+def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> → relational rows (ops/maincontent.html_tables):
+    the table-to-text feed of a training corpus. Authored pages carry
+    a header table (th row + two td rows with leading/trailing
+    whitespace to exercise cell trimming) and a second single-cell
+    table to pin document-order table numbering; the oracle states
+    all four expected rows per page relationally."""
+    from goose_parser_spark.ops.maincontent import extract_tables
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><table><tr><th>k</th><th>v</th></tr>"
+              "<tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>source</td><td> "), F.col("source"),
+        F.lit(" </td></tr></table><p>between</p><table><tr><td>"), s,
+        F.lit("</td></tr></table></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://tables.test/"), s).alias("url"),
+        html.alias("html"))
+    return extract_tables(pages).select(
+        "url", "table_no", "row_no", "is_header", "n_cols", "cells")
+
+
+SQL_EXTRACT_TABLES = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://tables.test/' || doc_id AS url, t.*
+FROM docs_amp, LATERAL (
+  SELECT 0 AS table_no, 0 AS row_no, TRUE AS is_header, 2 AS n_cols,
+         'k' || chr(9) || 'v' AS cells
+  UNION ALL
+  SELECT 0, 1, FALSE, 2, 'lang' || chr(9) || lang
+  UNION ALL
+  SELECT 0, 2, FALSE, 2, 'source' || chr(9) || source
+  UNION ALL
+  SELECT 1, 0, FALSE, 1, CAST(doc_id AS VARCHAR)
+) t
+"""
+
+
 def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout plumbing: binary payloads → per-page text rows
     (codec stubbed deterministically — ops/layout.py)."""
@@ -1987,6 +2026,61 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes, no shuffle."""
     from goose_parser_spark.ops.crawl import sitemap_urls
     return sitemap_urls(_sitemap_pages(spark, sf_dir))
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (ops/crawl.feed_entries — pure scan-side
+    Catalyst regex projections, the feed leg of crawl discovery).
+    Even docs author a 2-item RSS feed (entity-encoded title, CDATA
+    description kept LITERAL, second item with every optional field
+    absent); odd docs author a 1-entry Atom feed (entity-encoded
+    title, link@href). The oracle states every expected row
+    relationally, including the entity-decode and CDATA-literal
+    semantics."""
+    from goose_parser_spark.ops.crawl import feed_entries
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              '<title>chan</title><item><title>T &amp; '), s,
+        F.lit('</title><link>https://f.test/'), s,
+        F.lit('/a</link><pubDate>Mon, 01 Jan 2024</pubDate><guid>g'), s,
+        F.lit('</guid><description><![CDATA[D &amp; <b>'), F.col("lang"),
+        F.lit(']]></description></item><item><title>U '), s,
+        F.lit('</title></item></channel></rss>'))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              '<title>af</title><entry><title>A &lt;'), s,
+        F.lit('</title><link href="https://f.test/'), s,
+        F.lit('/e"/><updated>2024-01-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit('</updated><id>i'), s, F.lit('</id><summary>S '),
+        F.col("source"), F.lit('</summary></entry></feed>'))
+    xml = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+    pages = docs.select(
+        F.concat(F.lit("https://feeds.test/"), s).alias("url"),
+        xml.alias("html"))
+    return feed_entries(pages)
+
+
+SQL_FEED_PARSE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://feeds.test/' || doc_id AS url, 'rss' AS kind,
+       'T & ' || doc_id AS title,
+       'https://f.test/' || doc_id || '/a' AS link,
+       'Mon, 01 Jan 2024' AS published, 'g' || doc_id AS guid,
+       'D &amp; <b>' || lang AS summary
+FROM docs_amp WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'https://feeds.test/' || doc_id, 'rss', 'U ' || doc_id,
+       NULL, NULL, NULL, NULL
+FROM docs_amp WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'https://feeds.test/' || doc_id, 'atom', 'A <' || doc_id,
+       'https://f.test/' || doc_id || '/e',
+       '2024-01-0' || (doc_id % 9 + 1), 'i' || doc_id, 'S ' || source
+FROM docs_amp WHERE doc_id % 2 = 1
+"""
 
 
 SQL_SITEMAP_PARSE = f"""
@@ -4276,11 +4370,13 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
     "events_sessionize": q_events_sessionize,
-    "cms_topterms": q_cms_topterms,
-    "multimodal_features": q_multimodal_features,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
+    "extract_tables": q_extract_tables,
+    "feed_parse": q_feed_parse,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    "cms_topterms": q_cms_topterms,
+    "multimodal_features": q_multimodal_features,
     "simsearch_lsh": q_simsearch_lsh,
     # all remaining oracled queries: driver-signed in prior rounds
     # (r1-r5 CORRECTNESS files) and re-verified every round by
@@ -4422,6 +4518,8 @@ ORACLES: dict[str, str] = {
     "pdf_extract": SQL_PDF_EXTRACT,
     "phash_image_decode": SQL_PHASH_IMAGE_DECODE,
     "jpeg_decode": SQL_JPEG_DECODE,
+    "extract_tables": SQL_EXTRACT_TABLES,
+    "feed_parse": SQL_FEED_PARSE,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,

@@ -35,6 +35,7 @@ from goose_parser_spark.ops.robots import (
 from goose_parser_spark.ops.linkgraph import anchor_text_stats, pagerank_int
 from goose_parser_spark.ops.crawl import (
     capture_history,
+    feed_entries,
     parse_cdx,
     schedule_frontier,
     sitemap_urls,
@@ -142,7 +143,8 @@ __all__ = [
     "c4_line_filter", "script_profile", "dsir_logratio",
     "bloom_build", "bloom_probe", "pagerank_int", "phash_stub",
     "hamming_pairs", "line_corpus_dedup", "decontaminate_exact", "anchor_text_stats",
-    "parse_cdx", "sitemap_urls", "schedule_frontier", "train_logreg_hashed",
+    "parse_cdx", "feed_entries", "sitemap_urls", "schedule_frontier",
+    "train_logreg_hashed",
     "score_logreg_hashed", "extract_page_metadata",
     "extract_image_text_pairs", "perplexity_buckets", "bm25_topk",
     "split_sentences", "normalize_text_nfc",

@@ -315,6 +315,28 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "jpeg_decode": [
+        ("JPEG decode is the only Python node (authoring is pure "
+         "concat/unhex; DCT stays Catalyst)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
+    "extract_tables": [
+        ("table parse is the only Python node (authoring is pure "
+         "concat)", lambda p: _exec_part(p).count("MapInArrow") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
+    "feed_parse": [
+        ("pure Catalyst: zero Python nodes",
+         lambda p: "MapInArrow" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "phash_image_decode": [
         ("decode is the only Python node (DCT stays Catalyst)",
          lambda p: _exec_part(p).count("MapInPandas") == 1
