@@ -1,12 +1,13 @@
 """Pure-stdlib media decoding for the formats that need no codec
 library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
 uncompressed), GIF (LZW, first frame, interlace), binary PPM/PGM,
-RIFF/WAVE integer PCM audio, and — since round 6 — baseline
-Huffman-coded JPEG (SOF0/SOF1, integer fixed-point IDCT). This
-upgrades the multimodal pipeline's decode stage from a stand-in to a
-REAL decoder wherever pure stdlib suffices — progressive JPEG, WebP
-and AVIF remain out of scope offline and raise ValueError, isolated
-per document upstream.
+RIFF/WAVE integer PCM audio, and — since round 6 — Huffman-coded
+JPEG, both baseline (SOF0/SOF1) and progressive (SOF2, spectral
+selection + successive approximation), through one integer
+fixed-point IDCT. This upgrades the multimodal pipeline's decode
+stage from a stand-in to a REAL decoder wherever pure stdlib
+suffices — WebP, AVIF and arithmetic-coded JPEG remain out of scope
+offline and raise ValueError, isolated per document upstream.
 
 Everything is integer arithmetic and therefore bit-deterministic
 across machines: grayscale is ITU-R BT.601 in fixed point
@@ -177,9 +178,10 @@ def _pnm_gray(data: bytes) -> tuple[int, int, list[int]]:
 
 
 def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode PNG / BMP / binary PPM/PGM bytes to ``(width, height,
+    """Decode PNG / GIF / TIFF / BMP / binary PPM-PGM / JPEG
+    (baseline + progressive) bytes to ``(width, height,
     grayscale_pixels_row_major)`` with pure stdlib. Raises ValueError
-    for other formats (JPEG/WebP/… need codec libraries)."""
+    for other formats (WebP/AVIF/video need codec libraries)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_gray(data)
     if data[:2] == b"BM":
@@ -711,11 +713,30 @@ def _idct_block(coef: list[int]) -> list[int]:
     return out
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """First position at/after ``start`` holding a REAL marker (0xFF
+    followed by anything but 0x00 stuffing or RST0-7) — the end of an
+    entropy-coded segment."""
+    pos = start
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2
+        else:
+            pos += 1
+    return n
+
+
 def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
-    """Baseline JPEG → (width, height, BT.601-luma pixels): the Y
-    channel is decoded fully (Huffman → dequant → integer IDCT);
-    chroma coefficients are entropy-decoded to keep bitstream position
-    but skip the IDCT — gray output equals luma by YCbCr definition.
+    """Baseline (SOF0/SOF1) and progressive (SOF2) JPEG → (width,
+    height, BT.601-luma pixels): the Y channel is decoded fully
+    (Huffman → dequant → integer IDCT); chroma is entropy-decoded
+    only where it shares a scan with luma (baseline interleave /
+    progressive interleaved DC) and chroma-only progressive scans are
+    skipped outright — gray output equals luma by YCbCr definition.
     Requires the luma component at maximal sampling factors (true of
     every standard 4:4:4 / 4:2:2 / 4:2:0 encoder output)."""
     if data[:2] != b"\xff\xd8":
@@ -724,15 +745,21 @@ def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (w, h, comps) comps: [(cid, hs, vs, tq)]
     restart_interval = 0
+    progressive = False
+    scans = []  # progressive: per-SOS decode context
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
         marker = data[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
+            break
         seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -755,7 +782,7 @@ def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
                 syms = body[i + 17:i + 17 + total]
                 huff[(tc, th)] = _huff_table(counts, syms)
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
@@ -764,9 +791,7 @@ def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
                 cid, hv, tq_ = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (w, h, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported "
-                             "(baseline SOF0/SOF1 only)")
+            progressive = marker == 0xC2
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError("unsupported JPEG coding process")
         elif marker == 0xDD:  # DRI
@@ -781,9 +806,18 @@ def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
                 ci = next(i for i, c in enumerate(frame[2])
                           if c[0] == cs)
                 scan.append((ci, tda >> 4, tda & 15))
-            return _jpeg_scan(data, pos + 2 + seglen, frame, scan, qt,
-                              huff, restart_interval)
+            if not progressive:
+                return _jpeg_scan(data, pos + 2 + seglen, frame, scan,
+                                  qt, huff, restart_interval)
+            ss, se, ahl = body[1 + 2 * ns:4 + 2 * ns]
+            entropy_start = pos + 2 + seglen
+            scans.append((scan, ss, se, ahl >> 4, ahl & 15,
+                          entropy_start, dict(huff), restart_interval))
+            pos = _entropy_end(data, entropy_start)
+            continue
         pos += 2 + seglen
+    if progressive and scans:
+        return _jpeg_progressive(data, frame, scans, qt)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -897,3 +931,187 @@ def _crop(plane, stride, w, h) -> list[int]:
     if stride == w:
         return plane[:w * h]
     return [plane[y * stride + x] for y in range(h) for x in range(w)]
+
+
+# ----- progressive JPEG (T.81 Annex G.2: spectral selection + -----
+# ----- successive approximation, Huffman entropy coding)       -----
+
+def _jpeg_progressive(data, frame, scans, qt):
+    """Decode the collected progressive scans into the luma plane.
+    Coefficients accumulate across scans in ZIGZAG order per block;
+    dequant + IDCT run once at the end. Chroma-only scans were never
+    collected (skipped at the byte level upstream); interleaved DC
+    scans decode chroma symbols only to keep bit position."""
+    w, h, comps = frame
+    if w == 0 or h == 0:
+        raise ValueError("empty JPEG frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_ci = 0
+    if comps[luma_ci][1] != hmax or comps[luma_ci][2] != vmax:
+        raise ValueError("unsupported JPEG sampling (luma not maximal)")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hs, vs = comps[luma_ci][1], comps[luma_ci][2]
+    bwp, bhp = mcux * hs, mcuy * vs      # padded luma block grid
+    bw, bh = (w + 7) // 8, (h + 7) // 8  # real luma blocks
+    coefs = [[0] * 64 for _ in range(bwp * bhp)]
+    for scan, ss, se, ah, al, start, huff, ri in scans:
+        if luma_ci not in [c[0] for c in scan]:
+            continue  # chroma-only scan: independent segment, skip
+        br = _BitReader(data, start)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("bad progressive DC scan band")
+            _prog_dc_scan(br, scan, comps, huff, coefs, luma_ci,
+                          mcux, mcuy, bwp, bw, bh, ah, al, ri)
+        else:
+            if len(scan) != 1:
+                raise ValueError("interleaved progressive AC scan")
+            _prog_ac_scan(br, scan[0], huff, coefs, bwp, bw, bh,
+                          ss, se, ah, al, ri)
+    q = qt[comps[luma_ci][3]]
+    stride = bw * 8
+    plane = [0] * (stride * bh * 8)
+    for byi in range(bh):
+        for bxi in range(bw):
+            cz = coefs[byi * bwp + bxi]
+            nat = [0] * 64
+            for k in range(64):
+                c = cz[k]
+                if c:
+                    nat[_ZIGZAG[k]] = c * q[k]
+            _place(plane, stride, bxi * 8, byi * 8, _idct_block(nat))
+    return w, h, _crop(plane, stride, w, h)
+
+
+def _prog_dc_scan(br, scan, comps, huff, coefs, luma_ci,
+                  mcux, mcuy, bwp, bw, bh, ah, al, ri):
+    pred = [0] * len(comps)
+    count = 0
+    if len(scan) == 1:
+        ci, tdc, _ = scan[0]
+        # non-interleaved: the component's own block raster
+        for byi in range(bh):
+            for bxi in range(bw):
+                if ri and count and count % ri == 0:
+                    br.restart((count // ri - 1) % 8)
+                    pred = [0] * len(comps)
+                count += 1
+                blk = coefs[byi * bwp + bxi]
+                if ah == 0:
+                    s = _huff_decode(br, huff[(0, tdc)])
+                    diff = _extend(br.read(s), s) if s else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif br.read(1):
+                    blk[0] |= 1 << al  # two's-complement OR: sign-safe
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and count and count % ri == 0:
+                br.restart((count // ri - 1) % 8)
+                pred = [0] * len(comps)
+            count += 1
+            for ci, tdc, _ in scan:
+                _, chs, cvs, _tq = comps[ci]
+                for by in range(cvs):
+                    for bx in range(chs):
+                        if ah == 0:
+                            s = _huff_decode(br, huff[(0, tdc)])
+                            diff = _extend(br.read(s), s) if s else 0
+                            pred[ci] += diff
+                            if ci == luma_ci:
+                                coefs[(my * cvs + by) * bwp
+                                      + mx * chs + bx][0] = pred[ci] << al
+                        else:
+                            bit = br.read(1)
+                            if ci == luma_ci and bit:
+                                coefs[(my * cvs + by) * bwp
+                                      + mx * chs + bx][0] |= 1 << al
+
+
+def _prog_ac_scan(br, sc, huff, coefs, bwp, bw, bh, ss, se, ah, al, ri):
+    _ci, _tdc, tac = sc
+    table = huff[(1, tac)]
+    eobrun = 0
+    count = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            if ri and count and count % ri == 0:
+                br.restart((count // ri - 1) % 8)
+                eobrun = 0
+            count += 1
+            blk = coefs[byi * bwp + bxi]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = _extend(br.read(s), s) << al
+                    k += 1
+            else:
+                eobrun = _prog_ac_refine_block(
+                    br, table, blk, ss, se, al, eobrun)
+
+
+def _prog_ac_refine_block(br, table, blk, ss, se, al, eobrun):
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.2.2): newly-significant coefficients arrive as ±1<<al;
+    every already-nonzero coefficient IN THE PATH receives one
+    correction bit (appended to its magnitude when the bit at al is
+    still clear). Bitwise ops on Python ints are two's-complement, so
+    the sign-carrying |/& match the spec arithmetic exactly."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, table)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefs
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun

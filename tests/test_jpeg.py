@@ -361,10 +361,20 @@ def test_restart_markers():
     assert worst <= 3, worst
 
 
-def test_progressive_rejected():
+def test_progressive_without_scans_rejected():
+    # SOF2 alone (no SOS) must still error out cleanly
     data = (b"\xff\xd8" + b"\xff\xc2"
+            + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+            + b"\xff\xd9")
+    with pytest.raises(ValueError, match="without SOS"):
+        _jpeg_gray(data)
+
+
+def test_unsupported_coding_process_rejected():
+    # SOF3 (lossless sequential) is out of scope
+    data = (b"\xff\xd8" + b"\xff\xc3"
             + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="coding process"):
         _jpeg_gray(data)
 
 
