@@ -4251,6 +4251,47 @@ FROM docs_amp
 """
 
 
+def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF /Info metadata under the value oracle (ops/layout.py
+    parse_pdf_info): the authored PDFs carry an Info object with an
+    escaped-paren literal title, the doc's lang as author, a
+    producer with an escape sequence, and a trailer /Info reference —
+    plus the same single-page tree as pdf_extract, so the page count
+    rides along. The oracle predicts every parsed field exactly
+    (escape handling included)."""
+    from goose_parser_spark.ops.layout import pdf_metadata
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+              "endobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+              "\nendobj\n"
+              "4 0 obj\n<< /Length 14 >>\nstream\nBT (pg) Tj ET\n"
+              "endstream\nendobj\n"
+              "5 0 obj\n<< /Title (T \\(doc\\) "), s,
+        F.lit(") /Author ("), F.col("lang"),
+        F.lit(") /Producer (goose\\nspark) >>\nendobj\n"
+              "trailer\n<< /Size 6 /Root 1 0 R /Info 5 0 R >>\n%%EOF"))
+    pages = docs.select("doc_id", F.encode(pdf, "utf-8").alias("payload"))
+    return pdf_metadata(pages).select(
+        "doc_id", "n_pages", "title", "author", "subject", "producer",
+        "created")
+
+
+SQL_PDF_METADATA = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id, CAST(1 AS INTEGER) AS n_pages,
+       'T (doc) ' || doc_id AS title, lang AS author,
+       CAST(NULL AS VARCHAR) AS subject,
+       'goose' || chr(10) || 'spark' AS producer,
+       CAST(NULL AS VARCHAR) AS created
+FROM docs_amp
+"""
+
+
 _TOKEN_BUDGET = 300_000
 
 
@@ -4369,12 +4410,13 @@ QUERIES: dict[str, QueryFn] = {
     "domain_quota": q_domain_quota,
     "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
-    "events_sessionize": q_events_sessionize,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
     "feed_parse": q_feed_parse,
+    "pdf_metadata": q_pdf_metadata,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    "events_sessionize": q_events_sessionize,
     "cms_topterms": q_cms_topterms,
     "multimodal_features": q_multimodal_features,
     "simsearch_lsh": q_simsearch_lsh,
@@ -4520,6 +4562,7 @@ ORACLES: dict[str, str] = {
     "jpeg_decode": SQL_JPEG_DECODE,
     "extract_tables": SQL_EXTRACT_TABLES,
     "feed_parse": SQL_FEED_PARSE,
+    "pdf_metadata": SQL_PDF_METADATA,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,

@@ -340,3 +340,157 @@ def extract_pdf_pages(
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PDF document metadata (round 6): the /Info dictionary + page count —
+# what a corpus pipeline indexes before deciding whether to pay for
+# full text extraction.
+# ---------------------------------------------------------------------------
+
+_INFO_REF = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+
+
+def _pdf_string_at(b: bytes, i: int) -> str | None:
+    """Parse one PDF string object starting at ``b[i]`` — literal
+    ``(…)`` with escape sequences and nested parens, or hex ``<…>``.
+    Latin-1 decode (PDFDocEncoding's ASCII-compatible subset; UTF-16
+    metadata is out of scope and surfaces as its BOM bytes)."""
+    while i < len(b) and b[i:i + 1].isspace():
+        i += 1
+    if i >= len(b):
+        return None
+    if b[i] == 0x3C:  # '<' hex string
+        j = b.find(b">", i)
+        if j < 0:
+            return None
+        hexs = re.sub(rb"\s", b"", b[i + 1:j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+    if b[i] != 0x28:  # '('
+        return None
+    out = bytearray()
+    depth = 1
+    i += 1
+    esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+           0x66: b"\f", 0x28: b"(", 0x29: b")", 0x5C: b"\\"}
+    while i < len(b) and depth:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(b):
+                break
+            e = b[i]
+            if 0x30 <= e <= 0x37:  # octal \ddd (1-3 digits)
+                val = 0
+                k = 0
+                while k < 3 and i < len(b) and 0x30 <= b[i] <= 0x37:
+                    val = val * 8 + (b[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+                continue
+            out += esc.get(e, bytes([e]))
+            i += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                break
+        out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+def _pdf_dict_string(d: bytes, key: bytes) -> str | None:
+    m = re.search(rb"/" + key + rb"\b", d)
+    if m is None:
+        return None
+    return _pdf_string_at(d, m.end())
+
+
+def parse_pdf_info(data: bytes) -> dict:
+    """``{n_pages, title, author, subject, producer, created}`` from a
+    PDF: the /Info object referenced by the trailer (LAST reference
+    wins — incremental-update semantics, same rule as
+    :func:`_scan_objects`) and the page-tree count. String fields are
+    None when absent."""
+    if b"/Encrypt" in data:
+        raise ValueError("encrypted PDF not supported")
+    objects = _scan_objects(data)
+    if not objects:
+        raise ValueError("no PDF objects found")
+    n_pages = len(_page_order(objects))
+    info: bytes | None = None
+    refs = _INFO_REF.findall(data)
+    if refs:
+        obj = objects.get(int(refs[-1]))
+        if obj is not None:
+            info = obj[0]
+    fields = {}
+    for out_key, pdf_key in (("title", b"Title"), ("author", b"Author"),
+                             ("subject", b"Subject"),
+                             ("producer", b"Producer"),
+                             ("created", b"CreationDate")):
+        fields[out_key] = (_pdf_dict_string(info, pdf_key)
+                           if info is not None else None)
+    return {"n_pages": n_pages, **fields}
+
+
+def pdf_metadata(
+    df: "DataFrame",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Binary PDF payloads → one metadata row per document:
+    ``(id, n_pages, title, author, subject, producer, created,
+    error)``. Map-only mapInPandas, per-document poison isolation
+    (I4): a failing parse yields n_pages = -1 and the error string."""
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("n_pages", IntegerType(), False),
+        StructField("title", StringType(), True),
+        StructField("author", StringType(), True),
+        StructField("subject", StringType(), True),
+        StructField("producer", StringType(), True),
+        StructField("created", StringType(), True),
+        StructField("error", StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                id_col, "n_pages", "title", "author", "subject",
+                "producer", "created", "error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                rows[id_col].append(doc_id)
+                try:
+                    info = parse_pdf_info(bytes(payload))
+                    rows["n_pages"].append(info["n_pages"])
+                    for k in ("title", "author", "subject", "producer",
+                              "created"):
+                        rows[k].append(info[k])
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — I4 isolation
+                    rows["n_pages"].append(-1)
+                    for k in ("title", "author", "subject", "producer",
+                              "created"):
+                        rows[k].append(None)
+                    rows["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame({
+                id_col: pd.Series(rows[id_col]),
+                "n_pages": pd.Series(rows["n_pages"], dtype="int32"),
+                **{k: pd.Series(rows[k], dtype="object")
+                   for k in ("title", "author", "subject", "producer",
+                             "created", "error")},
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
