@@ -2028,6 +2028,46 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(_sitemap_pages(spark, sf_dir))
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots META directives (ops/robots.robots_meta —
+    pure scan-side Catalyst). Authored pages cycle through: no tag,
+    name-first noindex, content-first nofollow, single-quoted NONE
+    (implies both), and an explicit index,follow; the oracle states
+    each expected row."""
+    from goose_parser_spark.ops.robots import robots_meta
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    tag = (F.when(m == 1, F.lit(
+               '<meta name="robots" content="noindex, follow">'))
+           .when(m == 2, F.lit(
+               '<meta content="nofollow" name=robots>'))
+           .when(m == 3, F.lit("<meta name='robots' content='NONE'>"))
+           .when(m == 4, F.lit(
+               '<meta name="robots" content="index, follow">'))
+           .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), tag,
+                    F.lit("</head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://rm.test/"), s).alias("url"),
+        html.alias("html"))
+    return robots_meta(pages)
+
+
+SQL_ROBOTS_META = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT 'https://rm.test/' || doc_id AS url,
+       CASE doc_id % 5 WHEN 1 THEN 'noindex, follow'
+                       WHEN 2 THEN 'nofollow'
+                       WHEN 3 THEN 'NONE'
+                       WHEN 4 THEN 'index, follow' END AS robots_content,
+       doc_id % 5 IN (1, 3) AS noindex,
+       doc_id % 5 IN (2, 3) AS nofollow
+FROM docs_amp
+"""
+
+
 def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (ops/crawl.feed_entries — pure scan-side
     Catalyst regex projections, the feed leg of crawl discovery).
@@ -4409,13 +4449,14 @@ QUERIES: dict[str, QueryFn] = {
     "sample_by_hash": q_sample_by_hash,
     "domain_quota": q_domain_quota,
     "dsir_sample": q_dsir_sample,
-    "pack_sequences": q_pack_sequences,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
     "feed_parse": q_feed_parse,
     "pdf_metadata": q_pdf_metadata,
+    "robots_meta": q_robots_meta,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    "pack_sequences": q_pack_sequences,
     "events_sessionize": q_events_sessionize,
     "cms_topterms": q_cms_topterms,
     "multimodal_features": q_multimodal_features,
@@ -4563,6 +4604,7 @@ ORACLES: dict[str, str] = {
     "extract_tables": SQL_EXTRACT_TABLES,
     "feed_parse": SQL_FEED_PARSE,
     "pdf_metadata": SQL_PDF_METADATA,
+    "robots_meta": SQL_ROBOTS_META,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,

@@ -231,3 +231,39 @@ def robots_directives(
                 {"host": hosts, "sitemaps": sms, "crawl_delay": delays})
 
     return df.mapInPandas(run, schema=schema)
+
+
+def robots_meta(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page robots META directives — the page-level counterpart of
+    robots.txt (REP §2.3.1 of RFC 9309 covers only the txt file; the
+    meta tag is the de-facto page-level protocol every major engine
+    honors, and a consent-respecting corpus pipeline filters on it).
+
+    Output: ``url, robots_content (raw, NULL when no tag), noindex,
+    nofollow`` (booleans; ``none`` implies both, per the de-facto
+    convention). Both attribute orders (``name`` before or after
+    ``content``) and either quote style are handled. Pure scan-side
+    Catalyst — two regexp_extracts + boolean rlikes, zero Python, no
+    shuffle.
+    """
+    xml = F.col(html_col)
+    pat_nc = ("(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*"
+              "content\\s*=\\s*[\"']([^\"']*)[\"']")
+    pat_cn = ("(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+              "[^>]*name\\s*=\\s*[\"']?robots[\"']?")
+    content = F.coalesce(F.nullif(F.regexp_extract(xml, pat_nc, 1),
+                                  F.lit("")),
+                         F.nullif(F.regexp_extract(xml, pat_cn, 1),
+                                  F.lit("")))
+    noindex = content.rlike("(?i)(^|[\\s,])(noindex|none)([\\s,]|$)")
+    nofollow = content.rlike("(?i)(^|[\\s,])(nofollow|none)([\\s,]|$)")
+    return df.select(
+        F.col(url_col),
+        content.alias("robots_content"),
+        F.coalesce(noindex, F.lit(False)).alias("noindex"),
+        F.coalesce(nofollow, F.lit(False)).alias("nofollow"),
+    )

@@ -344,6 +344,13 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "robots_meta": [
+        ("pure Catalyst: zero Python nodes",
+         lambda p: "MapInArrow" not in p and "MapInPandas" not in p
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "phash_image_decode": [
         ("decode is the only Python node (DCT stays Catalyst)",
          lambda p: _exec_part(p).count("MapInPandas") == 1
