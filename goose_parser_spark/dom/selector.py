@@ -18,9 +18,14 @@ returned deduplicated in document order.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from dataclasses import dataclass, field
 
 from goose_parser_spark.dom.parser import Element
+
+
+def _el_order(el: "Element") -> int:
+    return el.order
 
 
 class SelectorError(ValueError):
@@ -545,7 +550,7 @@ class DocIndex:
     by walking up — no repeated whole-tree traversals (the profile
     showed ``_gather`` re-walking the tree per step as the top cost)."""
 
-    __slots__ = ("root", "all", "by_tag", "by_class", "by_id")
+    __slots__ = ("root", "all", "by_tag", "by_class", "by_id", "_ends")
 
     def __init__(self, root: Element,
                  elements: list[Element] | None = None,
@@ -566,6 +571,7 @@ class DocIndex:
         self.root = root
         self.all = elements if elements is not None \
             else list(root.iter_elements())
+        self._ends: dict[int, int] | None = None
         self.by_tag: dict[str, list[Element]] = {}
         self.by_class: dict[str, list[Element]] = {}
         self.by_id: dict[str, list[Element]] = {}
@@ -606,6 +612,30 @@ class DocIndex:
             el_id = attrs.get("id")
             if el_id is not None:
                 by_id.setdefault(el_id, []).append(el)
+
+    def subtree_ends(self) -> dict[int, int]:
+        """order → max order within that element's subtree. Element
+        orders are assigned at creation, and the tree builders create
+        strictly in pre-order (tbody insertion happens before its rows;
+        nodes are never re-parented), so a subtree is exactly the
+        contiguous order interval (order, end] — descendant checks
+        become two integer comparisons instead of an ancestor walk.
+        Computed lazily (one reverse pass over the pre-order list;
+        children precede parents in reversed pre-order) so documents
+        that never select under a non-root context pay nothing."""
+        ends = self._ends
+        if ends is None:
+            ends = {}
+            for el in reversed(self.all):
+                e = el.order
+                for c in el.children:
+                    if type(c) is not str:
+                        ce = ends[c.order]
+                        if ce > e:
+                            e = ce
+                ends[el.order] = e
+            self._ends = ends
+        return ends
 
     def candidates_simple(self, comp: Compound) -> list[Element] | None:
         """Exact match list for a ``simple`` compound against the whole
@@ -739,16 +769,22 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
                     # cheaper than the per-element match loop this
                     # path replaces.
                     return list(fast)
+                # descendant-of-context via the pre-order interval:
+                # two integer comparisons per candidate instead of an
+                # ancestor walk per candidate — grid rules select once
+                # per row, so the walk made grids O(rows × pool ×
+                # depth). Pools are doc-ordered, so on large pools the
+                # interval is a bisect + slice (O(log pool + matches)),
+                # which keeps row-wise grid selection near-linear in
+                # the document instead of quadratic.
                 ctx = roots[0]
-                out = []
-                for el in fast:
-                    p = el.parent
-                    while p is not None:
-                        if p is ctx:
-                            out.append(el)
-                            break
-                        p = p.parent
-                return out
+                lo = ctx.order
+                hi = index.subtree_ends().get(lo, lo)
+                if len(fast) > 64:
+                    i = bisect_right(fast, lo, key=_el_order)
+                    j = bisect_right(fast, hi, lo=i, key=_el_order)
+                    return fast[i:j]
+                return [el for el in fast if lo < el.order <= hi]
 
     ctx_orders = {e.order for e in roots}
     seen: set[int] = set()
