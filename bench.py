@@ -398,7 +398,7 @@ def main() -> int:
         "incremental_extract", "capture_history",
         "pdf_extract", "phash_image_decode", "audio_decode",
         "media_probe", "jpeg_decode", "extract_tables", "feed_parse",
-        "pdf_metadata", "robots_meta",
+        "pdf_metadata", "robots_meta", "charset_decode",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -2028,6 +2028,54 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(_sitemap_pages(spark, sf_dir))
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + decode under the value oracle
+    (ops/charset.decode_html_bytes — the WHATWG-ish ladder raw crawl
+    bodies need since read_warc strips the HTTP headers). Authored
+    payloads cycle: UTF-8 with BOM + a multi-byte char, plain UTF-8,
+    Latin-1 bytes behind a meta declaration (strict-UTF-8 attempt must
+    FAIL on the trailing 0xE9 before the meta rung fires), and
+    UTF-16LE with BOM. The oracle states every decoded string and
+    charset label."""
+    from goose_parser_spark.ops.charset import decode_html_bytes
+    docs = _documents_amplified(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(
+            F.unhex(F.lit("EFBBBF")),
+            F.encode(F.concat(F.lit("U "), s, F.lit(" é")), "UTF-8")))
+        .when(m == 1, F.encode(F.concat(F.lit("A "), s), "UTF-8"))
+        .when(m == 2, F.concat(
+            F.encode(F.concat(
+                F.lit('<meta charset="iso-8859-1">B '), s, F.lit(" ")),
+                "ISO-8859-1"),
+            F.unhex(F.lit("E9"))))
+        .otherwise(F.concat(
+            F.unhex(F.lit("FFFE")),
+            F.encode(F.concat(F.lit("C "), s), "UTF-16LE"))))
+    pages = docs.select("doc_id", payload.alias("payload"))
+    return decode_html_bytes(pages)
+
+
+SQL_CHARSET_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'U ' || doc_id || ' é'
+         WHEN 1 THEN 'A ' || doc_id
+         WHEN 2 THEN '<meta charset="iso-8859-1">B ' || doc_id || ' é'
+         ELSE 'C ' || doc_id END AS text,
+       CASE doc_id % 4
+         WHEN 0 THEN 'utf-8-bom'
+         WHEN 1 THEN 'utf-8'
+         WHEN 2 THEN 'iso-8859-1'
+         ELSE 'utf-16-le' END AS charset,
+       CAST(0 AS INTEGER) AS n_replaced
+FROM docs_amp
+"""
+
+
 def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots META directives (ops/robots.robots_meta —
     pure scan-side Catalyst). Authored pages cycle through: no tag,
@@ -4448,14 +4496,15 @@ QUERIES: dict[str, QueryFn] = {
     "anchor_text": q_anchor_text,
     "sample_by_hash": q_sample_by_hash,
     "domain_quota": q_domain_quota,
-    "dsir_sample": q_dsir_sample,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
     "feed_parse": q_feed_parse,
     "pdf_metadata": q_pdf_metadata,
     "robots_meta": q_robots_meta,
+    "charset_decode": q_charset_decode,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
     "events_sessionize": q_events_sessionize,
     "cms_topterms": q_cms_topterms,
@@ -4605,6 +4654,7 @@ ORACLES: dict[str, str] = {
     "feed_parse": SQL_FEED_PARSE,
     "pdf_metadata": SQL_PDF_METADATA,
     "robots_meta": SQL_ROBOTS_META,
+    "charset_decode": SQL_CHARSET_DECODE,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,

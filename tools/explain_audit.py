@@ -351,6 +351,13 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "charset_decode": [
+        ("decode is the only Python node (authoring is pure "
+         "encode/concat)", lambda p: _exec_part(p).count("MapInArrow")
+         == 1 and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "phash_image_decode": [
         ("decode is the only Python node (DCT stays Catalyst)",
          lambda p: _exec_part(p).count("MapInPandas") == 1
