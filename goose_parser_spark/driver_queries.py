@@ -3717,13 +3717,14 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(fp, "phash", max_hamming=3, bits=60)
 
 
-def _sql_phash_chain() -> str:
+def _sql_phash_chain(keys: str = "doc_id") -> str:
     """The g/ac/acm/h CTE tail computing the fixed-point-DCT pHash in
-    DuckDB from an upstream ``pix`` CTE exposing ``doc_id, p0..p63``
-    (the 8x8 image row-major). Generated from the SAME integer basis
-    table (ops/multimodal.DCT_C) the Spark op uses — never
-    hand-copied, so the two cannot drift. Shared by the PGM-decode,
-    phash-pairs and JPEG-decode oracles."""
+    DuckDB from an upstream ``pix`` CTE exposing ``{keys}, p0..p63``
+    (the 8x8 image row-major; ``keys`` may be a composite like
+    ``doc_id, frame_no`` for the video oracle). Generated from the
+    SAME integer basis table (ops/multimodal.DCT_C) the Spark op
+    uses — never hand-copied, so the two cannot drift. Shared by the
+    PGM-decode, phash-pairs, JPEG-decode and video-frame oracles."""
     from goose_parser_spark.ops.multimodal import DCT_C, PHASH_AC_ORDER
     gs = ",\n         ".join(
         " + ".join(f"{DCT_C[u][x]}*p{8 * x + y}" for x in range(8))
@@ -3736,15 +3737,15 @@ def _sql_phash_chain() -> str:
         f"CASE WHEN acl[{k + 1}] > med THEN {1 << k} ELSE 0 END"
         for k in range(len(PHASH_AC_ORDER)))
     return f"""g AS (
-  SELECT doc_id,
+  SELECT {keys},
          {gs}
   FROM pix
 ), ac AS (
-  SELECT doc_id, [{acs}] AS acl FROM g
+  SELECT {keys}, [{acs}] AS acl FROM g
 ), acm AS (
-  SELECT doc_id, acl, list_sort(acl)[30] AS med FROM ac
+  SELECT {keys}, acl, list_sort(acl)[30] AS med FROM ac
 ), h AS (
-  SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM acm
+  SELECT {keys}, CAST({bits} AS BIGINT) AS fp FROM acm
 )"""
 
 
@@ -3874,11 +3875,15 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_image(docs.select("doc_id", payload.alias("payload")))
 
 
-def _sql_jpeg_decode() -> str:
-    """Generated DuckDB replay of q_jpeg_decode: diff bytes from the
-    digest hex (ff→fe), category-8 EXTEND (byte≥128 → +byte, else
-    byte−255), cumulative DC per raster block, flat quadrants
-    clamp(cum+128), then the SAME generated pHash chain."""
+def _sql_dc_jpeg_pix(keys: str = "doc_id") -> str:
+    """jb→jv→jq→pix CTE tail decoding the oracle-authored DC-only
+    16x16 JPEG arithmetically: an upstream CTE ``jp0`` exposes
+    ``{keys}, _h`` (the digest whose first 4 hex pairs are the diff
+    bytes, ff→fe remapped); output CTE ``pix`` exposes ``{keys},
+    p0..p63``. Diff bytes are category-8 EXTEND-ed (byte≥128 →
+    +byte, else byte−255), DC accumulates per raster block, each
+    block is the flat quadrant clamp(cum+128). Shared by the
+    still-JPEG and AVI/MJPEG video oracles."""
     bexprs = []
     for j in range(4):
         raw = f"substr(_h, {j * 2 + 1}, 2)"
@@ -3896,17 +3901,23 @@ def _sql_jpeg_decode() -> str:
     # (row//4)*2 + (col//4) with row = k//8, col = k%8
     pexprs = [f"q{(k // 32) * 2 + ((k % 8) // 4)} AS p{k}"
               for k in range(64)]
+    return f"""jb AS (
+  SELECT {keys}, {', '.join(bexprs)} FROM jp0
+), jv AS (
+  SELECT {keys}, {', '.join(vexprs)} FROM jb
+), jq AS (
+  SELECT {keys}, {', '.join(qexprs)} FROM jv
+), pix AS (
+  SELECT {keys}, {', '.join(pexprs)} FROM jq
+)"""
+
+
+def _sql_jpeg_decode() -> str:
+    """Generated DuckDB replay of q_jpeg_decode: the shared DC-only
+    quadrant decode + the SAME generated pHash chain."""
     return f"""jp0 AS (
   SELECT doc_id, md5('jpg-' || (doc_id // 23)) AS _h FROM docs_amp
-), jb AS (
-  SELECT doc_id, {', '.join(bexprs)} FROM jp0
-), jv AS (
-  SELECT doc_id, {', '.join(vexprs)} FROM jb
-), jq AS (
-  SELECT doc_id, {', '.join(qexprs)} FROM jv
-), pix AS (
-  SELECT doc_id, {', '.join(pexprs)} FROM jq
-), {_sql_phash_chain()}"""
+), {_sql_dc_jpeg_pix()}, {_sql_phash_chain()}"""
 
 
 SQL_JPEG_DECODE = f"""
@@ -3979,6 +3990,152 @@ def _sql_audio_decode() -> str:
 
 SQL_AUDIO_DECODE = (
     f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_audio_decode())
+
+
+def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The G.711 companded-audio decoder under the value oracle:
+    8-bit mu-law (even docs) / A-law (odd docs) WAV files — 32 codes
+    from an md5 digest chain — are authored JVM-side and expanded by
+    the pure-stdlib codec to 13/14-bit linear, then framed to one
+    (energy, zero_crossings) row. The oracle replays the public G.711
+    segment expansion arithmetically per byte: one wrong complement,
+    bias, shift or sign convention and the integer features diverge
+    for every document of that law."""
+    import struct as _struct
+    from goose_parser_spark.ops.multimodal import audio_features
+    docs = _documents_amplified(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("g711-"), F.col("doc_id").cast("string")))
+    parts = [F.unhex(F.md5(F.concat(h, F.lit(f":{j}"))))
+             for j in range(2)]
+
+    def hdr(tag: int) -> bytes:
+        fmt = _struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        return (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 32)
+                + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", 32))
+
+    header = F.when(F.col("doc_id") % 2 == 0,
+                    F.lit(hdr(7))).otherwise(F.lit(hdr(6)))
+    payload = F.concat(header, *parts)
+    wav = docs.select("doc_id", payload.alias("payload"))
+    return audio_features(wav, frame=32)
+
+
+def _sql_g711_decode() -> str:
+    """Generated DuckDB replay of q_g711_decode: per-byte G.711
+    expansion (mu-law: complement, +132 bias, segment shift; A-law:
+    XOR 0x55, chord table, sign-bit-positive), then the same integer
+    frame features as the PCM oracle."""
+    bexprs = []
+    for k in range(32):
+        d, off = k // 16, k % 16
+        bexprs.append(
+            f"CAST(('0x' || substr(_d{d}, {off * 2 + 1}, 2)) "
+            f"AS BIGINT) AS b{k}")
+    xexprs = [
+        f"CASE WHEN _mu THEN 255 - b{k} ELSE xor(b{k}, 85) END AS x{k}"
+        for k in range(32)]
+    sexprs = []
+    for k in range(32):
+        mu_t = f"(((x{k} % 16) * 8 + 132) << ((x{k} // 16) % 8))"
+        mu = (f"CASE WHEN x{k} >= 128 THEN 132 - {mu_t} "
+              f"ELSE {mu_t} - 132 END")
+        a_t = (f"CASE WHEN (x{k} // 16) % 8 = 0 THEN (x{k} % 16) * 16 + 8 "
+               f"WHEN (x{k} // 16) % 8 = 1 THEN (x{k} % 16) * 16 + 264 "
+               f"ELSE ((x{k} % 16) * 16 + 264) << ((x{k} // 16) % 8 - 1) "
+               f"END")
+        al = f"CASE WHEN x{k} >= 128 THEN {a_t} ELSE -({a_t}) END"
+        sexprs.append(f"CASE WHEN _mu THEN {mu} ELSE {al} END AS s{k}")
+    abs_sum = " + ".join(f"abs(s{k})" for k in range(32))
+    zc = " + ".join(
+        f"CASE WHEN (s{k - 1} < 0) <> (s{k} < 0) THEN 1 ELSE 0 END"
+        for k in range(1, 32))
+    return (
+        "u0 AS (\n"
+        "  SELECT doc_id, md5('g711-' || doc_id) AS _h,\n"
+        "         doc_id % 2 = 0 AS _mu FROM docs_amp\n"
+        "), ud AS (\n"
+        "  SELECT doc_id, _mu, md5(_h || ':0') AS _d0,\n"
+        "         md5(_h || ':1') AS _d1 FROM u0\n"
+        "), ub AS (\n"
+        f"  SELECT doc_id, _mu,\n         {', '.join(bexprs)} FROM ud\n"
+        "), ux AS (\n"
+        f"  SELECT doc_id, _mu,\n         {', '.join(xexprs)} FROM ub\n"
+        "), us AS (\n"
+        f"  SELECT doc_id,\n         {', '.join(sexprs)} FROM ux\n"
+        ")\n"
+        "SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,\n"
+        "       CAST(1 AS INTEGER) AS n_channels,\n"
+        "       CAST(0 AS INTEGER) AS frame_no,\n"
+        f"       CAST(({abs_sum}) // 32 AS BIGINT) AS energy,\n"
+        f"       CAST({zc} AS INTEGER) AS zero_crossings\n"
+        "FROM us")
+
+
+SQL_G711_DECODE = (
+    f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_g711_decode())
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video path under the value oracle: a 4-frame
+    AVI/MJPEG file per document is authored JVM-side — RIFF/hdrl/movi
+    envelope around four DC-only 16x16 JPEGs whose diff bytes come
+    from per-frame md5 digests (ff→fe remapped, same trick as
+    q_jpeg_decode) — then ops/multimodal.video_frames walks the
+    container, samples every 2nd frame, runs the FULL JPEG decode on
+    each sampled frame and fingerprints it with the Catalyst pHash
+    chain. The oracle replays container-independent per-frame quadrant
+    arithmetic keyed by (doc_id, frame_no): one wrong byte in the RIFF
+    walk (padding, LIST recursion, size bound) or anywhere in the
+    JPEG/DCT pipeline and the hashes diverge."""
+    import struct as _struct
+    from goose_parser_spark.ops.multimodal import video_frames
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    jhdr = _jpeg_dc_header()
+    jlen = len(jhdr) + 4 * 3 + 2
+    chunk_hdr = b"00dc" + _struct.pack("<I", jlen)
+    pad = b"\x00" if jlen & 1 else b""
+    frame_bytes = 8 + jlen + len(pad)
+    avih = _struct.pack("<IIIIII", 40000, 0, 0, 0, 4, 0)
+    hdrl = (b"LIST" + _struct.pack("<I", 4 + 8 + len(avih))
+            + b"hdrl" + b"avih" + _struct.pack("<I", len(avih)) + avih)
+    movi = (b"LIST" + _struct.pack("<I", 4 + 4 * frame_bytes) + b"movi")
+    riff_body_len = 4 + len(hdrl) + 8 + 4 + 4 * frame_bytes
+    head = (b"RIFF" + _struct.pack("<I", riff_body_len) + b"AVI "
+            + hdrl + movi)
+
+    def frame_blocks(f: int):
+        hf = F.md5(F.concat(F.lit("avi-"), d.cast("string"),
+                            F.lit(f":{f}")))
+        parts = []
+        for j in range(4):
+            pair = F.substring(hf, j * 2 + 1, 2)
+            pair = F.when(pair == "ff", F.lit("fe")).otherwise(pair)
+            parts.append(F.concat(F.lit("08"), pair, F.lit("00")))
+        return F.unhex(F.concat(*parts))
+
+    segs = [F.lit(head)]
+    for f in range(4):
+        segs.append(F.lit(chunk_hdr + jhdr))
+        segs.append(frame_blocks(f))
+        segs.append(F.lit(b"\xff\xd9" + pad))
+    payload = F.concat(*segs)
+    avi = docs.select("doc_id", payload.alias("payload"))
+    return video_frames(avi, every=2)
+
+
+SQL_VIDEO_FRAMES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, jp0 AS (
+  SELECT doc_id, CAST(f.range * 2 AS INTEGER) AS frame_no,
+         md5('avi-' || doc_id || ':' || (f.range * 2)) AS _h
+  FROM docs_amp CROSS JOIN range(2) f
+), {_sql_dc_jpeg_pix(keys="doc_id, frame_no")},
+{_sql_phash_chain(keys="doc_id, frame_no")}
+SELECT doc_id, frame_no, CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height, fp AS phash
+FROM h
+"""
 
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4494,8 +4651,6 @@ QUERIES: dict[str, QueryFn] = {
     "sitemap_parse": q_sitemap_parse,
     "cdx_parse": q_cdx_parse,
     "anchor_text": q_anchor_text,
-    "sample_by_hash": q_sample_by_hash,
-    "domain_quota": q_domain_quota,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
@@ -4503,7 +4658,13 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_metadata": q_pdf_metadata,
     "robots_meta": q_robots_meta,
     "charset_decode": q_charset_decode,
+    "g711_decode": q_g711_decode,
+    "video_frames": q_video_frames,
     # ---- 50-entry window boundary (driver hashes up to here) ----
+    # sample_by_hash / domain_quota rotated below the boundary to
+    # make room for the two newest ops (both driver-signed r1-r5)
+    "sample_by_hash": q_sample_by_hash,
+    "domain_quota": q_domain_quota,
     "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
     "events_sessionize": q_events_sessionize,
@@ -4655,6 +4816,8 @@ ORACLES: dict[str, str] = {
     "pdf_metadata": SQL_PDF_METADATA,
     "robots_meta": SQL_ROBOTS_META,
     "charset_decode": SQL_CHARSET_DECODE,
+    "g711_decode": SQL_G711_DECODE,
+    "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,
     "incremental_extract": SQL_INCREMENTAL_EXTRACT,

@@ -1,7 +1,8 @@
 """Pure-stdlib media decoding for the formats that need no codec
 library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
 uncompressed), GIF (LZW, first frame, interlace), binary PPM/PGM,
-RIFF/WAVE integer PCM audio, and — since round 6 — Huffman-coded
+RIFF/WAVE audio (integer PCM plus the G.711 μ-law/A-law companded
+telephony codecs), and — since round 6 — Huffman-coded
 JPEG, both baseline (SOF0/SOF1) and progressive (SOF2, spectral
 selection + successive approximation), through one integer
 fixed-point IDCT. This upgrades the multimodal pipeline's decode
@@ -219,14 +220,43 @@ def resize_gray_box(width: int, height: int, pixels: list[int],
     return out
 
 
+def _ulaw_to_linear(b: int) -> int:
+    """ITU-T G.711 μ-law byte → 14-bit linear sample. The segment
+    expansion formula is public knowledge (G.711 / the classic
+    public-domain Sun g711.c): complement, bias-132 mantissa shifted
+    by the 3-bit segment, sign from bit 7 of the complemented byte."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_to_linear(b: int) -> int:
+    """ITU-T G.711 A-law byte → 13-bit linear sample (same public
+    formula family: XOR 0x55, segment 0 linear / segments 1..7
+    chord-exponential, sign bit SET means positive)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
 def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode a RIFF/WAVE file with integer PCM samples (format tag 1,
-    8 or 16-bit — the uncompressed shape) to ``(sample_rate,
-    n_channels, mono_samples)`` with pure stdlib. Multi-channel audio
-    is downmixed by exact integer mean (sum // n_channels); 8-bit
-    unsigned samples are re-centered to signed (-128..127) so both
-    depths share the zero line. Raises ValueError for compressed
-    codecs (MP3/AAC/Vorbis need codec libraries) and malformed files."""
+    """Decode a RIFF/WAVE file to ``(sample_rate, n_channels,
+    mono_samples)`` with pure stdlib. Supported format tags: 1
+    (integer PCM, 8 or 16-bit), 6 (G.711 A-law) and 7 (G.711 μ-law)
+    — the companded telephony codecs expand to 13/14-bit linear via
+    the public G.711 segment formulas, upgrading "lossy audio" from
+    stub to real for the G.711 family. Multi-channel audio is
+    downmixed by exact integer mean (sum // n_channels); 8-bit
+    unsigned PCM is re-centered to signed (-128..127) so both depths
+    share the zero line. Raises ValueError for perceptual codecs
+    (MP3/AAC/Vorbis need codec libraries) and malformed files."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -245,13 +275,20 @@ def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, _, _, bits = fmt
-    if tag != 1 or bits not in (8, 16) or channels < 1:
-        raise ValueError("unsupported WAV (need integer PCM 8/16-bit)")
-    if bits == 16:
+    if channels < 1:
+        raise ValueError("bad channel count")
+    if tag == 1 and bits == 16:
         count = len(pcm) // 2
         samples = list(struct.unpack("<%dh" % count, pcm[:count * 2]))
-    else:
+    elif tag == 1 and bits == 8:
         samples = [b - 128 for b in pcm]
+    elif tag == 7 and bits == 8:
+        samples = [_ulaw_to_linear(b) for b in pcm]
+    elif tag == 6 and bits == 8:
+        samples = [_alaw_to_linear(b) for b in pcm]
+    else:
+        raise ValueError(
+            "unsupported WAV (need PCM 8/16-bit or G.711 a/u-law)")
     if channels > 1:
         usable = (len(samples) // channels) * channels
         samples = [sum(samples[i:i + channels]) // channels
@@ -274,6 +311,43 @@ def audio_frame_features(samples: list[int],
                  if (w[i - 1] < 0) != (w[i] < 0))
         out.append((energy, zc))
     return out
+
+
+def avi_video_chunks(data: bytes) -> tuple[int | None, list[bytes]]:
+    """Parse a RIFF/AVI container and return ``(micro_sec_per_frame,
+    video-stream chunk payloads in file order)`` — pure container
+    walking, no codec work. Video chunks are the ``##dc``/``##db``
+    (compressed/uncompressed DIB) ids inside the ``movi`` LIST; the
+    ``avih`` main header contributes the frame period when present.
+    The bytes INSIDE each chunk are whatever the stream's codec
+    emits — MJPEG chunks decode via :func:`decode_image_gray`
+    downstream; other codecs are poison-isolated per frame upstream.
+    Raises ValueError when the RIFF/AVI envelope is absent."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    uspf: int | None = None
+    frames: list[bytes] = []
+    hexdig = frozenset(b"0123456789ABCDEFabcdef")
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal uspf
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            body = pos + 8
+            bend = min(body + size, end)
+            if cid == b"LIST":
+                walk(body + 4, bend)
+            elif cid == b"avih" and size >= 4 and uspf is None:
+                uspf = struct.unpack("<I", data[body:body + 4])[0]
+            elif (cid[2:4] in (b"dc", b"db")
+                  and cid[0] in hexdig and cid[1] in hexdig):
+                frames.append(data[body:bend])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    # the RIFF size field counts from offset 8 (it includes 'AVI ')
+    walk(12, min(8 + struct.unpack("<I", data[4:8])[0], len(data)))
+    return uspf, frames
 
 
 def probe_media(data: bytes) -> tuple[str, int | None, int | None,

@@ -5,16 +5,20 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross the JVM↔Python
 boundary once per batch.
 
-Codec status: PNG / GIF / BMP / binary PPM-PGM image decode and RIFF/WAVE
-integer-PCM audio decode are REAL (pure-stdlib decoders in
-ops/imagecodec.py; :func:`phash_image` hashes genuinely decoded
-pixels, :func:`audio_features` frames genuinely decoded samples).
-:func:`media_probe` additionally reads format/dimensions/duration
-from HEADERS alone (JPEG SOF, PNG, GIF, BMP, WebP, WAV, MP4 moov) —
-the pre-decode size/length filter, real even for codec-bound formats.
-PIXEL/SAMPLE decode for formats that require codec libraries offline
-— JPEG/WebP/AVIF, MP3/AAC/Vorbis, all video — remains STUBBED:
-:func:`decode_stub`
+Codec status: PNG / GIF / TIFF / BMP / binary PPM-PGM / JPEG
+(baseline + progressive) image decode, RIFF/WAVE audio decode
+(integer PCM + G.711 mu-law/A-law), and AVI/MJPEG video frame
+sampling are REAL (pure-stdlib decoders in ops/imagecodec.py;
+:func:`phash_image` hashes genuinely decoded pixels,
+:func:`audio_features` frames genuinely decoded samples,
+:func:`video_frames` walks real RIFF containers and JPEG-decodes the
+sampled frames). :func:`media_probe` additionally reads
+format/dimensions/duration from HEADERS alone (JPEG SOF, PNG, GIF,
+BMP, WebP, WAV, MP4 moov) — the pre-decode size/length filter, real
+even for codec-bound formats. PIXEL/SAMPLE decode for formats that
+require codec libraries offline — WebP/AVIF pixels, perceptual audio
+(MP3/AAC/Vorbis), inter-frame video codecs (H.26x/VPx/AV1) — remains
+STUBBED: :func:`decode_stub`
 raises ``NotImplementedError`` unless ``fake=True``, which emits a
 deterministic fake feature vector so the Spark-side plumbing (schema,
 batch shape, partitioning, UDF signature) stays real and tested;
@@ -216,16 +220,20 @@ def phash_dct(
 
 
 def _phash_from_pixel_cols(base: DataFrame, id_col: str, out_col: str,
-                           valid_col: str | None = None) -> DataFrame:
+                           valid_col: str | None = None,
+                           extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Shared pHash back half: ``_p0.._p63`` grayscale columns →
     60-bit hash. Separable fixed-point 8x8 DCT, lower-median
     threshold, banked bit assembly — all Catalyst, all codegen-sized
     stages (see phash_dct's docstring for the staging rationale).
     ``valid_col`` (boolean) threads decode success through the stages:
     invalid rows emit a NULL hash (NULL pixels alone would collapse to
-    hash 0 — IF(NULL, x, 0) takes the else branch)."""
+    hash 0 — IF(NULL, x, 0) takes the else branch). ``extra_cols``
+    ride along unchanged into the output (e.g. a video frame_no +
+    dimensions)."""
     iq = f"`{id_col}`"
-    keep = [iq] + ([valid_col] if valid_col else [])
+    extras = [f"`{c}`" for c in extra_cols]
+    keep = [iq] + extras + ([valid_col] if valid_col else [])
     # separable DCT: G[u][y] = sum_x C[u][x] * p[x][y]
     g_exprs = [
         " + ".join(f"_p{8 * x + y}*{DCT_C[u][x]}L" for x in range(8))
@@ -254,7 +262,7 @@ def _phash_from_pixel_cols(base: DataFrame, id_col: str, out_col: str,
     bits = "_b0 + _b1 + _b2 + _b3"
     if valid_col:
         bits = f"IF({valid_col}, {bits}, CAST(NULL AS BIGINT))"
-    return banks.selectExpr(iq, f"{bits} AS `{out_col}`")
+    return banks.selectExpr(iq, *extras, f"{bits} AS `{out_col}`")
 
 
 def phash_image(
@@ -310,6 +318,95 @@ def phash_image(
     base = df.select(id_col, payload_col).mapInPandas(
         decode, schema=grid_schema)
     return _phash_from_pixel_cols(base, id_col, out_col, valid_col="_ok")
+
+
+def video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 1,
+    out_col: str = "phash",
+) -> DataFrame:
+    """Video frame sampling over REAL container + codec decode: AVI
+    payloads are walked with the pure-stdlib RIFF parser
+    (ops/imagecodec.avi_video_chunks), every ``every``-th video chunk
+    is decoded as an image (MJPEG — the motion-JPEG shape — rides the
+    round-6 JPEG decoder; ``00db`` raw-DIB chunks decode as BMP
+    content would), box-resized to the 8x8 grid, and fingerprinted by
+    the SAME Catalyst DCT pHash chain the image path uses — so video
+    frames, images and animation stills all land in one
+    Hamming-joinable fingerprint space (near-dup detection across
+    modalities for free).
+
+    One row per SAMPLED frame: ``id_col, frame_no, width, height,
+    out_col``. Frame decode failures yield that frame's row with NULL
+    hash/dims; container-level failures (not an AVI, truncated RIFF)
+    yield a single ``frame_no = -1`` poison row (I4) — per-document
+    isolation either way. The only Python is the per-document
+    container walk + pixel decode inside one Arrow-batched
+    mapInPandas (map-only, no shuffle); everything after the 64
+    grayscale columns is whole-stage-codegen Catalyst.
+
+    100-TB shape: payload bytes never shuffle — the mapInPandas runs
+    on the scan partitioning and emits 64 ints + dims per sampled
+    frame (~300 bytes), so downstream joins move fingerprints, not
+    video."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import BooleanType, IntegerType
+
+    grid_schema = StructType(
+        [df.schema[id_col],
+         StructField("frame_no", IntegerType(), False),
+         StructField("width", IntegerType(), True),
+         StructField("height", IntegerType(), True),
+         StructField("_ok", BooleanType(), False)]
+        + [StructField(f"_p{k}", IntegerType(), True) for k in range(64)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.imagecodec import (
+            avi_video_chunks, decode_image_gray, resize_gray_box)
+        for pdf in batches:
+            cols: dict[str, list] = {
+                id_col: [], "frame_no": [], "width": [], "height": [],
+                "_ok": []}
+            for k in range(64):
+                cols[f"_p{k}"] = []
+
+            def emit(doc_id, fno, w, h, ok, grid):
+                cols[id_col].append(doc_id)
+                cols["frame_no"].append(fno)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["_ok"].append(ok)
+                for k in range(64):
+                    cols[f"_p{k}"].append(grid[k])
+
+            zeros = [0] * 64
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    _, chunks = avi_video_chunks(bytes(payload))
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    emit(doc_id, -1, None, None, False, zeros)
+                    continue
+                for fno in range(0, len(chunks), every):
+                    try:
+                        w, h, px = decode_image_gray(chunks[fno])
+                        emit(doc_id, fno, w, h, True,
+                             resize_gray_box(w, h, px))
+                    except Exception:  # noqa: BLE001 — per-frame I4
+                        emit(doc_id, fno, None, None, False, zeros)
+            yield pd.DataFrame(cols)
+
+    base = df.select(id_col, payload_col).mapInPandas(
+        decode, schema=grid_schema)
+    return _phash_from_pixel_cols(
+        base, id_col, out_col, valid_col="_ok",
+        extra_cols=("frame_no", "width", "height"))
 
 
 def audio_features(

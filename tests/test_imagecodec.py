@@ -215,6 +215,62 @@ def test_wav_decode_16_and_8_bit_and_downmix():
     assert out8 == eight
 
 
+def _write_wav_g711(law_bytes: bytes, tag: int, rate=8000):
+    """RIFF/WAVE wrapper around raw G.711 bytes (tag 6=A-law 7=mu)."""
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(law_bytes)) + law_bytes)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_g711_known_table_values():
+    """Pin the expansion against values from the public G.711 tables:
+    zero codes, max-magnitude codes, segment-0 least step."""
+    from goose_parser_spark.ops.imagecodec import (
+        _alaw_to_linear, _ulaw_to_linear)
+    # mu-law: 0xFF and 0x7F both encode silence; 0x00/-32124, 0x80/+32124
+    assert _ulaw_to_linear(0xFF) == 0 and _ulaw_to_linear(0x7F) == 0
+    assert _ulaw_to_linear(0x00) == -32124
+    assert _ulaw_to_linear(0x80) == 32124
+    # A-law: 0x55/-8 and 0xD5/+8 are the least-magnitude codes;
+    # 0x2A/-32256, 0xAA/+32256 the extremes
+    assert _alaw_to_linear(0x55) == -8 and _alaw_to_linear(0xD5) == 8
+    assert _alaw_to_linear(0x2A) == -32256
+    assert _alaw_to_linear(0xAA) == 32256
+
+
+def test_g711_expansion_structure():
+    """Structural properties over all 256 codes: odd outputs never
+    appear in A-law (step ≥ 2 everywhere... actually min step is 8/16)
+    — instead pin sign partitioning and per-segment monotonicity."""
+    from goose_parser_spark.ops.imagecodec import (
+        _alaw_to_linear, _ulaw_to_linear)
+    for fn, zero_pos in ((_ulaw_to_linear, 0x80), (_alaw_to_linear, 0xD5)):
+        vals = [fn(b) for b in range(256)]
+        # every magnitude appears once positive and once negative
+        pos = sorted(v for v in vals if v > 0)
+        neg = sorted(-v for v in vals if v < 0)
+        assert pos == neg
+    # mu-law: positive codes are raw 0x80..0xFF, magnitude DECREASING
+    # as the byte grows (0x80 = +32124 ... 0xFF = 0)
+    mu_pos = [_ulaw_to_linear(b) for b in range(0xFF, 0x7F, -1)]
+    assert mu_pos == sorted(mu_pos) and mu_pos[0] == 0
+    a_pos = sorted(_alaw_to_linear(b) for b in range(256)
+                   if _alaw_to_linear(b) > 0)
+    assert len(set(a_pos)) == 128
+
+
+def test_wav_g711_decode_paths():
+    from goose_parser_spark.ops.imagecodec import (
+        _alaw_to_linear, _ulaw_to_linear, decode_audio_pcm)
+    raw = bytes(range(0, 256, 8))  # 32 codes
+    rate, ch, mu = decode_audio_pcm(_write_wav_g711(raw, 7))
+    assert (rate, ch) == (8000, 1)
+    assert mu == [_ulaw_to_linear(b) for b in raw]
+    _, _, al = decode_audio_pcm(_write_wav_g711(raw, 6))
+    assert al == [_alaw_to_linear(b) for b in raw]
+
+
 def test_wav_rejects_compressed_and_malformed():
     from goose_parser_spark.ops.imagecodec import decode_audio_pcm
     with pytest.raises(ValueError):

@@ -365,6 +365,23 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "g711_decode": [
+        ("G.711 expansion is the only Python node (authoring is "
+         "pure concat/unhex)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
+    "video_frames": [
+        ("container walk + frame decode is the only Python node "
+         "(pHash DCT stays Catalyst)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle — fingerprints, not frames, reach "
+         "downstream joins", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
 }
 
 # Queries whose CONSTRUCTION is allowed a bounded number of driver
