@@ -4076,6 +4076,144 @@ SQL_G711_DECODE = (
     f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_g711_decode())
 
 
+def _vp8l_fixture_layout() -> tuple[int, int, dict[str, tuple[int, int]]]:
+    """Bit layout of the oracle-authored 8x8 VP8L stream (after the
+    0x2f signature byte): fixed header + no transforms/cache/meta +
+    five prefix codes — green = simple 2-symbol {0, 255} (1 bit per
+    pixel), red/blue = simple 1-symbol variables, alpha/distance =
+    constant 1-symbol — then 64 pixel bits. Returns (const_bits,
+    n_bytes, {field: (bit_offset, width)}); variable fields are 'r',
+    'b' and the eight pixel-bit bytes 'px0'..'px7'. One generator
+    feeds both the Spark authoring expressions and the test suite, so
+    layout and replay cannot drift."""
+    parts: list[tuple[int | None, int, str | None]] = []
+
+    def c(v: int, n: int) -> None:
+        parts.append((v, n, None))
+
+    def var(name: str, n: int) -> None:
+        parts.append((None, n, name))
+
+    c(7, 14)           # width - 1
+    c(7, 14)           # height - 1
+    c(0, 1)            # alpha hint
+    c(0, 3)            # version
+    c(0, 1)            # no transforms
+    c(0, 1)            # no color cache
+    c(0, 1)            # no meta prefix
+    c(1, 1); c(1, 1); c(1, 1); c(0, 8); c(255, 8)   # green simple2(0,255)
+    c(1, 1); c(0, 1); c(1, 1); var("r", 8)          # red simple1(var)
+    c(1, 1); c(0, 1); c(1, 1); var("b", 8)          # blue simple1(var)
+    c(1, 1); c(0, 1); c(1, 1); c(255, 8)            # alpha simple1(255)
+    c(1, 1); c(0, 1); c(1, 1); c(0, 8)              # distance simple1(0)
+    for k in range(8):                              # 64 pixel bits
+        var(f"px{k}", 8)
+    const = 0
+    off = 0
+    fields: dict[str, tuple[int, int]] = {}
+    for v, n, name in parts:
+        if name is None:
+            const |= (v & ((1 << n) - 1)) << off
+        else:
+            fields[name] = (off, n)
+        off += n
+    return const, (off + 7) // 8, fields
+
+
+def _vp8l_byte_exprs(ref, div: str = "div") -> list[str]:
+    """Integer SQL expression per stream byte: constant bits OR'd
+    (via +, lanes disjoint) with the in-byte slices of each variable
+    field. ``ref(name)`` supplies the field sub-expression; ``div``
+    is the integer-division operator spelling ('div' Spark, '//'
+    DuckDB). Only +, *, %, div — portable arithmetic."""
+    const, n_bytes, fields = _vp8l_fixture_layout()
+    exprs = []
+    for k in range(n_bytes):
+        terms = [str((const >> (8 * k)) & 255)]
+        for name, (off, width) in fields.items():
+            lo, hi = max(off, 8 * k), min(off + width, 8 * k + 8)
+            if lo >= hi:
+                continue
+            src, nb, dst = lo - off, hi - lo, lo - 8 * k
+            t = f"(({ref(name)}) % {1 << (src + nb)}) {div} {1 << src}"
+            if dst:
+                t = f"({t}) * {1 << dst}"
+            terms.append(t)
+        exprs.append(" + ".join(terms))
+    return exprs
+
+
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL VP8L (lossless WebP) decoder under the value oracle:
+    a complete RIFF/WEBP/VP8L file per document is authored JVM-side
+    from the generated bit layout — 2-symbol simple green code gives
+    ONE stream bit per pixel, taken straight from an md5 digest;
+    red/blue are doc-derived constants riding 1-symbol codes — then
+    phash_image runs the full LSB bit-reading → canonical prefix
+    decode → ARGB assembly → BT.601 gray → Catalyst DCT pipeline. The
+    oracle replays gray pixels from the same digest bits: one wrong
+    bit anywhere in the prefix-code machinery and every hash
+    diverges."""
+    from goose_parser_spark.ops.multimodal import phash_image
+    docs = _documents_amplified(spark, sf_dir)
+    base = docs.selectExpr(
+        "doc_id",
+        "doc_id % 200 AS _r",
+        "(doc_id * 7) % 256 AS _b",
+        "md5(concat('webp-', CAST(doc_id AS STRING))) AS _h")
+    px = [f"CAST(conv(substring(_h, {2 * k + 1}, 2), 16, 10) AS BIGINT)"
+          f" AS _x{k}" for k in range(8)]
+    base = base.selectExpr("doc_id", "_r", "_b", *px)
+
+    def ref(name: str) -> str:
+        return {"r": "_r", "b": "_b"}.get(name,
+                                          "_" + name.replace("px", "x"))
+
+    _, n_bytes, _ = _vp8l_fixture_layout()
+    head = (b"RIFF" + _pack_le32(4 + 8 + 1 + n_bytes) + b"WEBP"
+            + b"VP8L" + _pack_le32(1 + n_bytes) + b"\x2f")
+    hexcat = ", ".join(f"lpad(hex({e}), 2, '0')"
+                       for e in _vp8l_byte_exprs(ref, div="div"))
+    img = base.selectExpr(
+        "doc_id",
+        f"concat(X'{head.hex()}', unhex(concat({hexcat}))) AS payload")
+    return phash_image(img)
+
+
+def _pack_le32(v: int) -> bytes:
+    import struct as _struct
+    return _struct.pack("<I", v)
+
+
+def _sql_webp_decode() -> str:
+    """Generated DuckDB replay of q_webp_decode: pixel k's green is
+    255 iff bit (k mod 8) of digest byte (k // 8) is set; gray is the
+    same BT.601 fixed-point formula the codec uses; then the shared
+    pHash chain."""
+    pix = []
+    for k in range(64):
+        byte = (f"CAST(('0x' || substr(_h, {(k // 8) * 2 + 1}, 2)) "
+                f"AS BIGINT)")
+        bit = f"(({byte}) // {1 << (k % 8)}) % 2"
+        pix.append(f"(299 * _r + 587 * (({bit}) * 255) + 114 * _b"
+                   f" + 500) // 1000 AS p{k}")
+    return f"""wp0 AS (
+  SELECT doc_id, doc_id % 200 AS _r, (doc_id * 7) % 256 AS _b,
+         md5('webp-' || doc_id) AS _h
+  FROM docs_amp
+), pix AS (
+  SELECT doc_id,
+         {', '.join(pix)}
+  FROM wp0
+), {_sql_phash_chain()}"""
+
+
+SQL_WEBP_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, {_sql_webp_decode()}
+SELECT doc_id, fp AS phash FROM h
+"""
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL video path under the value oracle: a 4-frame
     AVI/MJPEG file per document is authored JVM-side — RIFF/hdrl/movi
@@ -4650,7 +4788,6 @@ QUERIES: dict[str, QueryFn] = {
     "url_ops": q_url_ops,
     "sitemap_parse": q_sitemap_parse,
     "cdx_parse": q_cdx_parse,
-    "anchor_text": q_anchor_text,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
@@ -4660,11 +4797,14 @@ QUERIES: dict[str, QueryFn] = {
     "charset_decode": q_charset_decode,
     "g711_decode": q_g711_decode,
     "video_frames": q_video_frames,
+    "webp_decode": q_webp_decode,
     # ---- 50-entry window boundary (driver hashes up to here) ----
-    # sample_by_hash / domain_quota rotated below the boundary to
-    # make room for the two newest ops (both driver-signed r1-r5)
+    # sample_by_hash / domain_quota / anchor_text rotated below the
+    # boundary to make room for the three newest ops (all three
+    # rotated queries were driver-signed in r1-r5)
     "sample_by_hash": q_sample_by_hash,
     "domain_quota": q_domain_quota,
+    "anchor_text": q_anchor_text,
     "dsir_sample": q_dsir_sample,
     "pack_sequences": q_pack_sequences,
     "events_sessionize": q_events_sessionize,
@@ -4817,6 +4957,7 @@ ORACLES: dict[str, str] = {
     "robots_meta": SQL_ROBOTS_META,
     "charset_decode": SQL_CHARSET_DECODE,
     "g711_decode": SQL_G711_DECODE,
+    "webp_decode": SQL_WEBP_DECODE,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

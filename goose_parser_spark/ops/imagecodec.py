@@ -5,10 +5,13 @@ RIFF/WAVE audio (integer PCM plus the G.711 μ-law/A-law companded
 telephony codecs), and — since round 6 — Huffman-coded
 JPEG, both baseline (SOF0/SOF1) and progressive (SOF2, spectral
 selection + successive approximation), through one integer
-fixed-point IDCT. This upgrades the multimodal pipeline's decode
-stage from a stand-in to a REAL decoder wherever pure stdlib
-suffices — WebP, AVIF and arithmetic-coded JPEG remain out of scope
-offline and raise ValueError, isolated per document upstream.
+fixed-point IDCT, plus lossless WebP (VP8L: LSB bitstream, canonical
+prefix codes, LZ77 + color cache, all four inverse transforms) and
+AVI container walking for MJPEG frame sampling. This upgrades the
+multimodal pipeline's decode stage from a stand-in to a REAL decoder
+wherever pure stdlib suffices — lossy VP8, AVIF and arithmetic-coded
+JPEG remain out of scope offline and raise ValueError, isolated per
+document upstream.
 
 Everything is integer arithmetic and therefore bit-deterministic
 across machines: grayscale is ITU-R BT.601 in fixed point
@@ -180,9 +183,10 @@ def _pnm_gray(data: bytes) -> tuple[int, int, list[int]]:
 
 def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
     """Decode PNG / GIF / TIFF / BMP / binary PPM-PGM / JPEG
-    (baseline + progressive) bytes to ``(width, height,
-    grayscale_pixels_row_major)`` with pure stdlib. Raises ValueError
-    for other formats (WebP/AVIF/video need codec libraries)."""
+    (baseline + progressive) / lossless WebP (VP8L) bytes to
+    ``(width, height, grayscale_pixels_row_major)`` with pure stdlib.
+    Raises ValueError for other formats (lossy VP8, AVIF and video
+    codecs need codec libraries)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_gray(data)
     if data[:2] == b"BM":
@@ -195,8 +199,10 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
         return _tiff_gray(data)
     if data[:2] == b"\xff\xd8":
         return _jpeg_gray(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return _webp_gray(data)
     raise ValueError("unsupported image format (stdlib decoders: "
-                     "PNG, GIF, BMP, TIFF, PPM/PGM, baseline JPEG)")
+                     "PNG, GIF, BMP, TIFF, PPM/PGM, JPEG, VP8L WebP)")
 
 
 def resize_gray_box(width: int, height: int, pixels: list[int],
@@ -1189,3 +1195,499 @@ def _prog_ac_refine_block(br, table, blk, ss, se, al, eobrun):
             k += 1
         eobrun -= 1
     return eobrun
+
+
+# ------------------------------------------------------------------
+# VP8L — lossless WebP (public spec: "WebP Lossless Bitstream
+# Specification"). Pure stdlib: LSB-first bit reading, deflate-style
+# canonical prefix codes, LZ77 backward references with the 2D
+# distance neighborhood, color cache, and all four inverse transforms
+# (predictor, color, subtract-green, color-indexing) plus the meta
+# prefix (entropy image). Lossy VP8 still needs a real codec library
+# and stays honestly rejected.
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16,
+                  6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_dist_table() -> list[tuple[int, int]]:
+    """The 120-entry LZ77 distance neighborhood (dy=0: dx 1..8;
+    dy 1..7: dx -8..7), ordered by ascending squared Euclidean
+    distance, then |dx|, then positive dx first — the rule reproduces
+    the spec's published table prefix exactly (pinned by test)."""
+    cand = [(dx, 0) for dx in range(1, 9)]
+    cand += [(dx, dy) for dy in range(1, 8) for dx in range(-8, 8)]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1],
+                             abs(p[0]), p[0] < 0))
+    return cand
+
+
+_VP8L_DIST = _vp8l_dist_table()
+
+
+class _LsbReader:
+    """LSB-first bit reader (deflate packing convention): bit 0 of
+    byte 0 is the first bit of the stream. Up to 64 bits of implicit
+    zero padding past the end are tolerated (encoders do not flush
+    trailing zero bits); anything further raises."""
+
+    __slots__ = ("data", "bitpos", "limit")
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.bitpos = byte_pos * 8
+        self.limit = len(data) * 8
+
+    def read(self, n: int) -> int:
+        p = self.bitpos
+        self.bitpos = p + n
+        if self.bitpos > self.limit + 64:
+            raise ValueError("VP8L bitstream overrun")
+        b0 = p >> 3
+        shift = p & 7
+        span = (shift + n + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b0 + span], "little")
+        return (chunk >> shift) & ((1 << n) - 1)
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """Canonical prefix decode table {(nbits, code): symbol} from
+    per-symbol code lengths (deflate convention: codes assigned in
+    (length, symbol) order, first stream bit = MSB of the code). A
+    single used symbol yields the 0-bit sentinel (VP8L decodes such
+    trees without consuming bits)."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        raise ValueError("empty prefix code")
+    if len(nz) == 1:
+        return {"single": nz[0][1]}
+    table: dict = {}
+    code = 0
+    prev = 0
+    for ln, sym in sorted(nz):
+        if ln > 15:
+            raise ValueError("prefix code length > 15")
+        code <<= ln - prev
+        table[(ln, code)] = sym
+        code += 1
+        prev = ln
+    if code != (1 << prev):
+        raise ValueError("prefix code not complete")
+    return table
+
+
+def _vp8l_sym(br: _LsbReader, table) -> int:
+    if "single" in table:
+        return table["single"]
+    code = 0
+    n = 0
+    while n <= 15:
+        code = (code << 1) | br.read(1)
+        n += 1
+        sym = table.get((n, code))
+        if sym is not None:
+            return sym
+    raise ValueError("prefix code walk exceeded 15 bits")
+
+
+def _vp8l_read_prefix(br: _LsbReader, alphabet: int):
+    """One prefix code: 'simple' (1-2 literal symbols) or 'normal'
+    (code lengths themselves prefix-coded with 16/17/18 repeats)."""
+    if br.read(1):  # simple
+        n_sym = br.read(1) + 1
+        sym0 = br.read(8) if br.read(1) else br.read(1)
+        if n_sym == 1:
+            return {"single": sym0}
+        sym1 = br.read(8)
+        # the spec builds the canonical code from code_lengths, so
+        # the numerically SMALLER symbol gets code 0 (not read order)
+        lo, hi = sorted((sym0, sym1))
+        return {(1, 0): lo, (1, 1): hi}
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_table = _vp8l_canonical(cl_lengths)
+    if br.read(1):  # explicit number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        cl = _vp8l_sym(br, cl_table)
+        if cl < 16:
+            lengths[i] = cl
+            i += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            for _ in range(min(rep, alphabet - i)):
+                lengths[i] = prev
+                i += 1
+        elif cl == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    if i > alphabet:
+        raise ValueError("code length repeat overflow")
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_extra(br: _LsbReader, sym: int) -> int:
+    """Length/distance prefix value: symbols 0-3 literal, above that
+    (2 + lsb) << extra_bits + extra + 1."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_distance(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _VP8L_DIST[code - 1]
+    return max(1, dy * xsize + dx)
+
+
+def _px_add(a: int, b: int) -> int:
+    """Per-channel mod-256 addition of two ARGB words."""
+    return ((((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+            | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF))
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel (a + b) // 2 (SWAR floor average)."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _chans(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 255, (p >> 16) & 255, (p >> 8) & 255, p & 255
+
+
+def _vp8l_select(left: int, top: int, tl: int) -> int:
+    la, lr, lg, lb = _chans(left)
+    ta, tr_, tg, tb = _chans(top)
+    ca, cr, cg, cb = _chans(tl)
+    pa, pr = la + ta - ca, lr + tr_ - cr
+    pg, pb = lg + tg - cg, lb + tb - cb
+    p_left = (abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb))
+    p_top = (abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb))
+    return left if p_left < p_top else top
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _vp8l_cas_full(left: int, top: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = _clamp255(((left >> sh) & 255) + ((top >> sh) & 255)
+                      - ((tl >> sh) & 255))
+        out |= c << sh
+    return out
+
+
+def _vp8l_cas_half(left: int, top: int, tl: int) -> int:
+    ave = _avg2(left, top)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 255
+        d = a - ((tl >> sh) & 255)
+        half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc division
+        out |= _clamp255(a + half) << sh
+    return out
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int,
+                  tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:
+        return _vp8l_select(left, top, tl)
+    if mode == 12:
+        return _vp8l_cas_full(left, top, tl)
+    if mode == 13:
+        return _vp8l_cas_half(left, top, tl)
+    raise ValueError("bad predictor mode")
+
+
+def _int8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ctd(m: int, c: int) -> int:
+    """ColorTransformDelta: (int8)m * (int8)c >> 5 (arithmetic)."""
+    return (_int8(m) * _int8(c)) >> 5
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _vp8l_decode_stream(br: _LsbReader, w: int, h: int,
+                        is_level0: bool) -> list[int]:
+    """Decode one VP8L image stream to ARGB words. ``is_level0``
+    enables transforms + the meta prefix (entropy image); subimages
+    (transform data, entropy image, palette) recurse with False."""
+    transforms: list[tuple] = []
+    xsize = w
+    if is_level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract green
+                transforms.append((2, xsize, None))
+            elif ttype in (0, 1):  # predictor / cross-color
+                size_bits = br.read(3) + 2
+                tw = _ceil_div(xsize, 1 << size_bits)
+                th = _ceil_div(h, 1 << size_bits)
+                tiles = _vp8l_decode_stream(br, tw, th, False)
+                transforms.append((ttype, xsize, (size_bits, tw, tiles)))
+            elif ttype == 3:  # color indexing
+                n_colors = br.read(8) + 1
+                pal = _vp8l_decode_stream(br, n_colors, 1, False)
+                for i in range(1, n_colors):
+                    pal[i] = _px_add(pal[i], pal[i - 1])
+                width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                              else 1 if n_colors <= 16 else 0)
+                transforms.append((3, xsize, (width_bits, pal)))
+                if width_bits:
+                    xsize = _ceil_div(xsize, 1 << width_bits)
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color cache size")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
+    if is_level0 and br.read(1):
+        meta_bits = br.read(3) + 2
+        meta_w = _ceil_div(xsize, 1 << meta_bits)
+        meta_h = _ceil_div(h, 1 << meta_bits)
+        meta = _vp8l_decode_stream(br, meta_w, meta_h, False)
+        n_groups = max((p >> 8) & 0xFFFF for p in meta) + 1
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((_vp8l_read_prefix(br, green_alpha),
+                       _vp8l_read_prefix(br, 256),
+                       _vp8l_read_prefix(br, 256),
+                       _vp8l_read_prefix(br, 256),
+                       _vp8l_read_prefix(br, 40)))
+    npix = xsize * h
+    out = [0] * npix
+    pos = 0
+    cg, cr, cb, ca, cd = groups[0]
+    while pos < npix:
+        if meta is not None:
+            x, y = pos % xsize, pos // xsize
+            mp = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            cg, cr, cb, ca, cd = groups[(mp >> 8) & 0xFFFF]
+        s = _vp8l_sym(br, cg)
+        if s < 256:
+            r = _vp8l_sym(br, cr)
+            b = _vp8l_sym(br, cb)
+            a = _vp8l_sym(br, ca)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = px
+        elif s < 280:
+            length = _vp8l_extra(br, s - 256)
+            dist = _vp8l_distance(_vp8l_extra(br, _vp8l_sym(br, cd)),
+                                  xsize)
+            if dist > pos or pos + length > npix:
+                raise ValueError("LZ77 reference out of range")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    # inverse transforms, reverse reading order; each was recorded
+    # with the xsize current when it was READ, so the buffer width
+    # always matches the transform's own geometry
+    width = xsize
+    for ttype, wr, arg in reversed(transforms):
+        if ttype == 3:
+            width_bits, pal = arg
+            if width_bits:
+                packed_w = width
+                unpacked = [0] * (wr * h)
+                ppb = 1 << width_bits          # pixels per packed byte
+                ibits = 8 >> width_bits        # bits per index
+                imask = (1 << ibits) - 1
+                for y in range(h):
+                    row = y * packed_w
+                    orow = y * wr
+                    for x in range(wr):
+                        g = (out[row + (x >> width_bits)] >> 8) & 255
+                        idx = (g >> ((x & (ppb - 1)) * ibits)) & imask
+                        unpacked[orow + x] = (pal[idx]
+                                              if idx < len(pal) else 0)
+                out = unpacked
+            else:
+                for i in range(len(out)):
+                    idx = (out[i] >> 8) & 255
+                    out[i] = pal[idx] if idx < len(pal) else 0
+            width = wr
+        elif ttype == 2:
+            for i in range(len(out)):
+                p = out[i]
+                g = (p >> 8) & 255
+                r = ((p >> 16) + g) & 255
+                b = (p + g) & 255
+                out[i] = (p & 0xFF00FF00) | (r << 16) | b
+        elif ttype == 0:  # predictor
+            size_bits, tw, tiles = arg
+            for y in range(h):
+                row = y * width
+                for x in range(width):
+                    i = row + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = out[i - 1]
+                    elif x == 0:
+                        pred = out[i - width]
+                    else:
+                        mode = (tiles[(y >> size_bits) * tw
+                                      + (x >> size_bits)] >> 8) & 255
+                        # contiguous-buffer TR: for the last column
+                        # this wraps to the current row's first pixel
+                        pred = _vp8l_predict(
+                            mode, out[i - 1], out[i - width],
+                            out[i - width - 1], out[i - width + 1])
+                    out[i] = _px_add(out[i], pred)
+        else:  # ttype == 1, cross-color
+            size_bits, tw, tiles = arg
+            for y in range(h):
+                row = y * width
+                for x in range(width):
+                    i = row + x
+                    cte = tiles[(y >> size_bits) * tw + (x >> size_bits)]
+                    g2r = cte & 255          # stored in blue channel
+                    g2b = (cte >> 8) & 255   # stored in green channel
+                    r2b = (cte >> 16) & 255  # stored in red channel
+                    p = out[i]
+                    g = (p >> 8) & 255
+                    r = (((p >> 16) & 255) + _ctd(g2r, g)) & 255
+                    b = ((p & 255) + _ctd(g2b, g) + _ctd(r2b, r)) & 255
+                    out[i] = (p & 0xFF00FF00) | (r << 16) | b
+    return out
+
+
+def _webp_gray(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a lossless (VP8L) WebP file to grayscale — directly or
+    inside a VP8X extended container. Lossy VP8 streams still need a
+    real codec library and raise ValueError."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            break
+        if tag == b"VP8 ":
+            raise ValueError("lossy VP8 needs a codec library")
+        pos += 8 + size + (size & 1)
+    if payload is None or payload[:1] != b"\x2f":
+        raise ValueError("no VP8L chunk")
+    br = _LsbReader(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    pix = _vp8l_decode_stream(br, w, h, True)
+    gray = [_gray((p >> 16) & 255, (p >> 8) & 255, p & 255)
+            for p in pix]
+    return w, h, gray
+
+
+def decode_alpha_plane(chunk: bytes, w: int, h: int) -> list[int]:
+    """Decode a WebP ALPH chunk (the alpha plane of a lossy VP8X
+    file): method 0 = raw, method 1 = a VP8L-coded image whose green
+    channel carries alpha, then one of 4 inverse prediction filters.
+    Useful on its own (transparency statistics without a VP8 codec)
+    and as the real-world-bitstream exercise of the VP8L entropy
+    layer."""
+    if not chunk:
+        raise ValueError("empty ALPH chunk")
+    head = chunk[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    if method == 0:
+        plane = list(chunk[1:1 + w * h])
+        if len(plane) != w * h:
+            raise ValueError("short raw alpha plane")
+    elif method == 1:
+        br = _LsbReader(chunk, 1)
+        pix = _vp8l_decode_stream(br, w, h, True)
+        plane = [(p >> 8) & 255 for p in pix]
+    else:
+        raise ValueError("reserved alpha compression method")
+    if filt:
+        for y in range(h):
+            row = y * w
+            for x in range(w):
+                i = row + x
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = plane[i - 1]
+                elif x == 0:
+                    pred = plane[i - w]
+                elif filt == 1:    # horizontal
+                    pred = plane[i - 1]
+                elif filt == 2:    # vertical
+                    pred = plane[i - w]
+                else:              # gradient
+                    pred = _clamp255(plane[i - 1] + plane[i - w]
+                                     - plane[i - w - 1])
+                plane[i] = (plane[i] + pred) & 255
+    return plane

@@ -6,19 +6,19 @@ Arrow-batched ``mapInPandas`` so payload bytes cross the JVM↔Python
 boundary once per batch.
 
 Codec status: PNG / GIF / TIFF / BMP / binary PPM-PGM / JPEG
-(baseline + progressive) image decode, RIFF/WAVE audio decode
-(integer PCM + G.711 mu-law/A-law), and AVI/MJPEG video frame
-sampling are REAL (pure-stdlib decoders in ops/imagecodec.py;
-:func:`phash_image` hashes genuinely decoded pixels,
-:func:`audio_features` frames genuinely decoded samples,
+(baseline + progressive) / lossless WebP (VP8L) image decode,
+RIFF/WAVE audio decode (integer PCM + G.711 mu-law/A-law), and
+AVI/MJPEG video frame sampling are REAL (pure-stdlib decoders in
+ops/imagecodec.py; :func:`phash_image` hashes genuinely decoded
+pixels, :func:`audio_features` frames genuinely decoded samples,
 :func:`video_frames` walks real RIFF containers and JPEG-decodes the
 sampled frames). :func:`media_probe` additionally reads
 format/dimensions/duration from HEADERS alone (JPEG SOF, PNG, GIF,
 BMP, WebP, WAV, MP4 moov) — the pre-decode size/length filter, real
 even for codec-bound formats. PIXEL/SAMPLE decode for formats that
-require codec libraries offline — WebP/AVIF pixels, perceptual audio
-(MP3/AAC/Vorbis), inter-frame video codecs (H.26x/VPx/AV1) — remains
-STUBBED: :func:`decode_stub`
+require codec libraries offline — lossy VP8/AVIF pixels, perceptual
+audio (MP3/AAC/Vorbis), inter-frame video codecs (H.26x/VPx/AV1) —
+remains STUBBED: :func:`decode_stub`
 raises ``NotImplementedError`` unless ``fake=True``, which emits a
 deterministic fake feature vector so the Spark-side plumbing (schema,
 batch shape, partitioning, UDF signature) stays real and tested;
