@@ -399,6 +399,7 @@ def main() -> int:
         "pdf_extract", "phash_image_decode", "audio_decode",
         "media_probe", "jpeg_decode", "extract_tables", "feed_parse",
         "pdf_metadata", "robots_meta", "charset_decode",
+        "g711_decode", "video_frames", "webp_decode", "exif_parse",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -4076,6 +4076,122 @@ SQL_G711_DECODE = (
     f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_g711_decode())
 
 
+def _exif_author_hex(gps: bool) -> str:
+    """SQL hex-string expression authoring a complete EXIF JPEG
+    (APP1 + little-endian TIFF: IFD0 with Make/Model/Orientation,
+    Exif sub-IFD with DateTimeOriginal + pixel dims, optional GPS
+    IFD). TIFF is byte-structured, so every offset is a Python-side
+    constant and only the doc-derived values (two-digit make/model
+    ids, orientation, capture month/day, dims) are SQL fragments."""
+    import struct as st
+
+    mk, md = "(doc_id % 100)", "((doc_id * 3) % 100)"
+    ori = "(doc_id % 8 + 1)"
+    mon, day = "(doc_id % 12 + 1)", "(doc_id % 28 + 1)"
+    wd, ht = "(640 + doc_id % 1280)", "(480 + doc_id % 720)"
+
+    def dig2(n: str) -> list[str]:
+        return [f"lpad(hex(48 + ({n}) div 10), 2, '0')",
+                f"lpad(hex(48 + ({n}) % 10), 2, '0')"]
+
+    def u16(n: str) -> list[str]:
+        return [f"lpad(hex(({n}) % 256), 2, '0')",
+                f"lpad(hex(({n}) div 256), 2, '0')"]
+
+    def u32(n: str) -> list[str]:
+        return [f"lpad(hex(({n}) % 256), 2, '0')",
+                f"lpad(hex((({n}) div 256) % 256), 2, '0')",
+                f"lpad(hex((({n}) div 65536) % 256), 2, '0')",
+                f"lpad(hex((({n}) div 16777216) % 256), 2, '0')"]
+
+    p16 = lambda v: st.pack("<H", v)  # noqa: E731
+    p32 = lambda v: st.pack("<I", v)  # noqa: E731
+    frags: list[str] = []
+
+    def c(b: bytes) -> None:
+        frags.append(f"'{b.hex()}'")
+
+    def v(sub: list[str]) -> None:
+        frags.extend(sub)
+
+    n0 = 5 if gps else 4
+    ifd0_end = 8 + 2 + 12 * n0 + 4
+    make_off = ifd0_end
+    model_off = make_off + 6
+    exif_off = model_off + 6
+    dto_off = exif_off + 2 + 12 * 3 + 4
+    gps_off = dto_off + 20
+    tiff_len = (gps_off + 18) if gps else (dto_off + 20)
+    c(b"\xff\xd8\xff\xe1" + st.pack(">H", 2 + 6 + tiff_len)
+      + b"Exif\x00\x00")
+    c(b"II*\x00" + p32(8) + p16(n0))
+    c(p16(0x010F) + p16(2) + p32(6) + p32(make_off))
+    c(p16(0x0110) + p16(2) + p32(6) + p32(model_off))
+    c(p16(0x0112) + p16(3) + p32(1))
+    v(u16(ori))
+    c(b"\x00\x00")
+    c(p16(0x8769) + p16(4) + p32(1) + p32(exif_off))
+    if gps:
+        c(p16(0x8825) + p16(4) + p32(1) + p32(gps_off))
+    c(p32(0))
+    c(b"CAM")
+    v(dig2(mk))
+    c(b"\x00MDL")
+    v(dig2(md))
+    c(b"\x00")
+    c(p16(3))
+    c(p16(0x9003) + p16(2) + p32(20) + p32(dto_off))
+    c(p16(0xA002) + p16(4) + p32(1))
+    v(u32(wd))
+    c(p16(0xA003) + p16(4) + p32(1))
+    v(u32(ht))
+    c(p32(0))
+    c(b"2024:")
+    v(dig2(mon))
+    c(b":")
+    v(dig2(day))
+    c(b" 10:00:00\x00")
+    if gps:
+        c(p16(1) + p16(0x0000) + p16(1) + p32(4)
+          + b"\x02\x02\x00\x00" + p32(0))
+    c(b"\xff\xd9")
+    return "concat(" + ", ".join(frags) + ")"
+
+
+def q_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXIF parser under the value oracle: complete APP1/TIFF
+    JPEGs are authored JVM-side (every IFD offset a byte-aligned
+    Python constant, doc-derived values spliced in as hex fragments;
+    even docs carry a GPS IFD) and parsed by
+    ops/multimodal.exif_metadata. The oracle states each field
+    arithmetically — one wrong offset, endian read or string
+    termination in the IFD walk and the columns diverge."""
+    from goose_parser_spark.ops.multimodal import exif_metadata
+    docs = _documents_amplified(spark, sf_dir)
+    payload = (f"unhex(CASE WHEN doc_id % 2 = 0 "
+               f"THEN {_exif_author_hex(True)} "
+               f"ELSE {_exif_author_hex(False)} END) AS payload")
+    img = docs.selectExpr("doc_id", payload)
+    return exif_metadata(img)
+
+
+SQL_EXIF_PARSE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       'CAM' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS make,
+       'MDL' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')
+         AS model,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       '2024:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || ' 10:00:00' AS datetime_original,
+       CAST(640 + doc_id % 1280 AS INTEGER) AS exif_width,
+       CAST(480 + doc_id % 720 AS INTEGER) AS exif_height,
+       doc_id % 2 = 0 AS has_gps
+FROM docs_amp
+"""
+
+
 def _vp8l_fixture_layout() -> tuple[int, int, dict[str, tuple[int, int]]]:
     """Bit layout of the oracle-authored 8x8 VP8L stream (after the
     0x2f signature byte): fixed header + no transforms/cache/meta +
@@ -4787,7 +4903,6 @@ QUERIES: dict[str, QueryFn] = {
     "redact_pii": q_redact_pii,
     "url_ops": q_url_ops,
     "sitemap_parse": q_sitemap_parse,
-    "cdx_parse": q_cdx_parse,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
@@ -4798,11 +4913,13 @@ QUERIES: dict[str, QueryFn] = {
     "g711_decode": q_g711_decode,
     "video_frames": q_video_frames,
     "webp_decode": q_webp_decode,
+    "exif_parse": q_exif_parse,
     # ---- 50-entry window boundary (driver hashes up to here) ----
-    # sample_by_hash / domain_quota / anchor_text rotated below the
-    # boundary to make room for the three newest ops (all three
-    # rotated queries were driver-signed in r1-r5)
+    # sample_by_hash / domain_quota / anchor_text / cdx_parse rotated
+    # below the boundary to make room for the four newest ops (all
+    # four rotated queries were driver-signed in r1-r5)
     "sample_by_hash": q_sample_by_hash,
+    "cdx_parse": q_cdx_parse,
     "domain_quota": q_domain_quota,
     "anchor_text": q_anchor_text,
     "dsir_sample": q_dsir_sample,
@@ -4958,6 +5075,7 @@ ORACLES: dict[str, str] = {
     "charset_decode": SQL_CHARSET_DECODE,
     "g711_decode": SQL_G711_DECODE,
     "webp_decode": SQL_WEBP_DECODE,
+    "exif_parse": SQL_EXIF_PARSE,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

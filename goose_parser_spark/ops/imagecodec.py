@@ -1691,3 +1691,108 @@ def decode_alpha_plane(chunk: bytes, w: int, h: int) -> list[int]:
                                      - plane[i - w - 1])
                 plane[i] = (plane[i] + pred) & 255
     return plane
+
+
+# ------------------------------------------------------------------
+# EXIF — camera metadata from a JPEG's APP1 segment (public specs:
+# CIPA DC-008 / EXIF 2.3, TIFF 6.0 IFD structure). Pure struct
+# parsing, both byte orders; the corpus-curation signals only
+# (provenance, orientation for decode, capture time, true pixel
+# dims, GPS presence as a privacy flag) — thumbnails, MakerNotes and
+# rational GPS coordinates are deliberately not materialized.
+
+_EXIF_ASCII = 2
+_EXIF_SHORT = 3
+_EXIF_LONG = 4
+
+
+def _exif_ifd(exif: bytes, off: int, e: str) -> dict[int, tuple]:
+    """One IFD: {tag: (type, count, value_bytes)} with offset-stored
+    values resolved. Bounds-guarded; malformed entries are skipped
+    (the caller treats missing tags as absent)."""
+    out: dict[int, tuple] = {}
+    if off + 2 > len(exif):
+        return out
+    n = struct.unpack(e + "H", exif[off:off + 2])[0]
+    for i in range(n):
+        ent = off + 2 + 12 * i
+        if ent + 12 > len(exif):
+            break
+        tag, typ, count = struct.unpack(e + "HHI", exif[ent:ent + 8])
+        size = count * {1: 1, _EXIF_ASCII: 1, _EXIF_SHORT: 2,
+                        _EXIF_LONG: 4}.get(typ, 0)
+        if size == 0:
+            continue
+        if size <= 4:
+            val = exif[ent + 8:ent + 8 + size]
+        else:
+            voff = struct.unpack(e + "I", exif[ent + 8:ent + 12])[0]
+            if voff + size > len(exif):
+                continue
+            val = exif[voff:voff + size]
+        out[tag] = (typ, count, val)
+    return out
+
+
+def _exif_str(entry: tuple | None) -> str | None:
+    if entry is None or entry[0] != _EXIF_ASCII:
+        return None
+    return entry[2].split(b"\x00", 1)[0].decode("ascii", "replace")
+
+
+def _exif_int(entry: tuple | None, e: str) -> int | None:
+    if entry is None:
+        return None
+    typ, _, val = entry
+    if typ == _EXIF_SHORT and len(val) >= 2:
+        return struct.unpack(e + "H", val[:2])[0]
+    if typ == _EXIF_LONG and len(val) >= 4:
+        return struct.unpack(e + "I", val[:4])[0]
+    return None
+
+
+def parse_exif(data: bytes) -> dict:
+    """Extract camera metadata from a JPEG's EXIF APP1 segment:
+    ``make, model, orientation, datetime_original, exif_width,
+    exif_height, has_gps``. Absent tags come back None; raises
+    ValueError when the file is not a JPEG or carries no EXIF
+    (callers poison-isolate per document)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    exif = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        size = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+            exif = data[pos + 10:pos + 2 + size]
+            break
+        pos += 2 + size
+    if exif is None:
+        raise ValueError("no EXIF APP1 segment")
+    if exif[:4] == b"II*\x00":
+        e = "<"
+    elif exif[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF header in EXIF")
+    ifd0_off = struct.unpack(e + "I", exif[4:8])[0]
+    ifd0 = _exif_ifd(exif, ifd0_off, e)
+    sub = {}
+    exif_ptr = _exif_int(ifd0.get(0x8769), e)
+    if exif_ptr is not None:
+        sub = _exif_ifd(exif, exif_ptr, e)
+    return {
+        "make": _exif_str(ifd0.get(0x010F)),
+        "model": _exif_str(ifd0.get(0x0110)),
+        "orientation": _exif_int(ifd0.get(0x0112), e),
+        "datetime_original": (_exif_str(sub.get(0x9003))
+                              or _exif_str(ifd0.get(0x0132))),
+        "exif_width": _exif_int(sub.get(0xA002), e),
+        "exif_height": _exif_int(sub.get(0xA003), e),
+        "has_gps": 0x8825 in ifd0,
+    }

@@ -479,6 +479,62 @@ def audio_features(
         run, schema=out_schema)
 
 
+def exif_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Camera metadata at corpus scale (ops/imagecodec.parse_exif:
+    APP1/TIFF IFD walk, both byte orders): provenance (make/model),
+    orientation (needed before any pixel use), capture timestamp
+    (temporal dedup/recency), true pixel dimensions, and a GPS-IFD
+    presence flag (the privacy filter — strip or drop geotagged
+    images BEFORE training). One row per document: ``id_col, make,
+    model, orientation, datetime_original, exif_width, exif_height,
+    has_gps``; non-JPEG / EXIF-less payloads yield an all-NULL row
+    (I4). Map-only Arrow-batched scan — a few hundred header bytes
+    per doc, no decode, no shuffle."""
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import BooleanType, IntegerType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("orientation", IntegerType(), True),
+        StructField("datetime_original", StringType(), True),
+        StructField("exif_width", IntegerType(), True),
+        StructField("exif_height", IntegerType(), True),
+        StructField("has_gps", BooleanType(), True),
+    ])
+    names = ["make", "model", "orientation", "datetime_original",
+             "exif_width", "exif_height", "has_gps"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.imagecodec import parse_exif
+        for pdf in batches:
+            cols: dict[str, list] = {"_id": []}
+            for k in names:
+                cols[k] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    meta = parse_exif(bytes(payload))
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    meta = dict.fromkeys(names)
+                cols["_id"].append(doc_id)
+                for k in names:
+                    cols[k].append(meta.get(k))
+            out = pd.DataFrame(cols)
+            out.columns = [id_col] + list(out.columns[1:])
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=out_schema)
+
+
 def media_probe(
     df: DataFrame,
     payload_col: str = "payload",

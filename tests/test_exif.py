@@ -1,0 +1,138 @@
+"""EXIF APP1 parsing: hand-built TIFF IFD structures in both byte
+orders, inline vs offset-stored values, the Exif sub-IFD, GPS
+presence, and poison isolation through the Spark wrapper."""
+
+import struct
+
+import pytest
+
+from goose_parser_spark.ops.imagecodec import parse_exif
+
+
+def build_exif(e: str = "<", make: bytes = b"CamCo\x00",
+               orientation: int = 6, dto: bytes | None = None,
+               dims: tuple[int, int] | None = (640, 480),
+               gps: bool = False, model: bytes = b"X100\x00\x00") -> bytes:
+    """Minimal EXIF APP1 JPEG: IFD0 with Make/Model (offset-stored),
+    Orientation (inline SHORT), optional Exif sub-IFD with
+    DateTimeOriginal + pixel dims, optional GPS pointer."""
+    def u16(v):
+        return struct.pack(e + "H", v)
+
+    def u32(v):
+        return struct.pack(e + "I", v)
+
+    entries0 = []
+    tail = b""
+    # compute layout: IFD0 at 8; entries 12 bytes + count(2) + next(4)
+    n0 = 3 + (1 if dims or dto else 0) + (1 if gps else 0)
+    ifd0_end = 8 + 2 + 12 * n0 + 4
+    make_off = ifd0_end
+    model_off = make_off + len(make)
+    cur = model_off + len(model)
+    entries0.append((0x010F, 2, len(make), u32(make_off)))
+    entries0.append((0x0110, 2, len(model), u32(model_off)))
+    entries0.append((0x0112, 3, 1, u16(orientation) + b"\x00\x00"))
+    tail += make + model
+    if dims or dto:
+        exif_off = cur
+        nsub = (1 if dto else 0) + (2 if dims else 0)
+        sub_end = exif_off + 2 + 12 * nsub + 4
+        sub_entries = []
+        sub_tail = b""
+        if dto:
+            sub_entries.append((0x9003, 2, len(dto), u32(sub_end)))
+            sub_tail += dto
+        if dims:
+            sub_entries.append((0xA002, 4, 1, u32(dims[0])))
+            sub_entries.append((0xA003, 4, 1, u32(dims[1])))
+        entries0.append((0x8769, 4, 1, u32(exif_off)))
+        sub = u16(nsub)
+        for tag, typ, cnt, val in sub_entries:
+            sub += u16(tag) + u16(typ) + u32(cnt) + val
+        sub += u32(0) + sub_tail
+        tail += sub
+        cur = sub_end + len(sub_tail)
+    if gps:
+        gps_off = cur
+        gps_ifd = (u16(1) + u16(0x0000) + u16(1) + u32(4)
+                   + b"\x02\x02\x00\x00" + u32(0))
+        entries0.append((0x8825, 4, 1, u32(gps_off)))
+        tail += gps_ifd
+    entries0.sort()
+    header = (b"II*\x00" if e == "<" else b"MM\x00*") + u32(8)
+    ifd0 = u16(n0)
+    for tag, typ, cnt, val in entries0:
+        ifd0 += u16(tag) + u16(typ) + u32(cnt) + val
+    ifd0 += u32(0)
+    exif = header + ifd0 + tail
+    app1 = b"Exif\x00\x00" + exif
+    return (b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2)
+            + app1 + b"\xff\xd9")
+
+
+def test_exif_little_endian_full():
+    data = build_exif(dto=b"2021:05:06 07:08:09\x00", gps=True)
+    m = parse_exif(data)
+    assert m == {"make": "CamCo", "model": "X100", "orientation": 6,
+                 "datetime_original": "2021:05:06 07:08:09",
+                 "exif_width": 640, "exif_height": 480,
+                 "has_gps": True}
+
+
+def test_exif_big_endian_and_no_gps():
+    m = parse_exif(build_exif(e=">", orientation=1,
+                              dims=(4032, 3024), gps=False))
+    assert m["orientation"] == 1
+    assert (m["exif_width"], m["exif_height"]) == (4032, 3024)
+    assert m["has_gps"] is False
+    assert m["make"] == "CamCo"
+
+
+def test_exif_missing_sub_ifd_and_strings_stop_at_nul():
+    m = parse_exif(build_exif(make=b"A\x00junk--", dims=None, dto=None))
+    assert m["make"] == "A"
+    assert m["datetime_original"] is None
+    assert m["exif_width"] is None
+
+
+def test_exif_rejects_non_jpeg_and_exifless():
+    with pytest.raises(ValueError):
+        parse_exif(b"\x89PNG....")
+    # a JPEG with only a quant table, no APP1
+    bare = b"\xff\xd8\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00\xff\xd9"
+    with pytest.raises(ValueError):
+        parse_exif(bare)
+    # APP1 present but not EXIF (XMP)
+    xmp = (b"\xff\xd8\xff\xe1" + struct.pack(">H", 12)
+           + b"http://ns.." + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        parse_exif(xmp)
+
+
+def test_exif_truncated_offsets_are_skipped_not_fatal():
+    data = bytearray(build_exif(gps=False))
+    # corrupt the Make value offset to point far past the end
+    idx = data.find(b"CamCo")
+    # find the IFD0 entry for 0x010F and break its offset
+    app1 = data.find(b"II*\x00")
+    m_entry = data.find(struct.pack("<H", 0x010F), app1)
+    data[m_entry + 8:m_entry + 12] = struct.pack("<I", 999999)
+    m = parse_exif(bytes(data))
+    assert m["make"] is None          # skipped, not crashed
+    assert m["orientation"] == 6      # inline values still parse
+    assert idx > 0
+
+
+def test_exif_metadata_dataframe_and_poison(spark):
+    from goose_parser_spark.ops.multimodal import exif_metadata
+    rows = [(1, bytearray(build_exif(dto=b"2020:01:02 03:04:05\x00",
+                                     gps=True))),
+            (2, bytearray(b"not an image at all")),
+            (3, bytearray(build_exif(e=">", orientation=8, gps=False)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in exif_metadata(df).collect()}
+    assert got[1]["datetime_original"] == "2020:01:02 03:04:05"
+    assert got[1]["has_gps"] is True
+    assert got[2]["make"] is None and got[2]["has_gps"] is None
+    assert got[3]["orientation"] == 8 and got[3]["has_gps"] is False
