@@ -4396,10 +4396,12 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only media probing under the value oracle
     (ops/multimodal.media_probe): minimal JPEG prefixes are authored
     JVM-side with doc-derived SOF0 dimensions (big-endian u16 via
-    unhex(lpad(hex(..)))); every 97th payload is garbage and must
-    yield the NULL-format poison row. The oracle predicts format and
-    dimensions arithmetically — a byte-order or offset bug in the SOF
-    scan diverges immediately."""
+    unhex(lpad(hex(..)))); every 5th doc is instead an MPEG1 Layer
+    III stream with a doc-derived bitrate index and filler length
+    (the CBR duration estimate must replay exactly); every 97th
+    payload is garbage and must yield the NULL-format poison row. The
+    oracle predicts format, dimensions and duration arithmetically —
+    a byte-order, offset or bitrate-table bug diverges immediately."""
     from goose_parser_spark.ops.multimodal import media_probe
     docs = _documents_amplified(spark, sf_dir)
     d = F.col("doc_id")
@@ -4407,24 +4409,43 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     def be16(col: Column) -> Column:
         return F.unhex(F.lpad(F.hex(col), 4, "0"))
 
-    payload = F.concat(
+    jpeg = F.concat(
         F.lit(b"\xff\xd8\xff\xc0\x00\x0b\x08"),
         be16((d % 1080) + 32), be16((d % 1920) + 32),
         F.lit(b"\x01\x11\x00"))
-    payload = F.when(d % 97 == 13,
-                     F.lit(b"no header here")).otherwise(payload)
+    # MPEG1 L3 header: FF FB (bitrate_idx<<4) 00 — idx in 1..14,
+    # filler 2000 + doc%997 bytes (content irrelevant to the probe)
+    mp3 = F.concat(
+        F.lit(b"\xff\xfb"),
+        F.unhex(F.lpad(F.hex((d % 14 + 1) * 16), 2, "0")),
+        F.lit(b"\x00"),
+        F.expr("encode(repeat(' ', 2000 + doc_id % 997), 'utf-8')"))
+    payload = (F.when(d % 97 == 13, F.lit(b"no header here"))
+               .when(d % 5 == 2, mp3).otherwise(jpeg))
     return media_probe(docs.select("doc_id", payload.alias("payload")))
+
+
+def _sql_mp3_kbps(idx: str) -> str:
+    """CASE over the shared MPEG1 Layer III bitrate table."""
+    from goose_parser_spark.ops.imagecodec import _MP3_BITRATE_V1
+    arms = " ".join(f"WHEN {i} THEN {_MP3_BITRATE_V1[i]}"
+                    for i in range(1, 15))
+    return f"CASE {idx} {arms} END"
 
 
 SQL_MEDIA_PROBE = f"""
 WITH {_SQL_DOCS_AMP_COPY}
 SELECT doc_id,
-       CASE WHEN doc_id % 97 = 13 THEN NULL ELSE 'jpeg' END AS format,
        CASE WHEN doc_id % 97 = 13 THEN NULL
+            WHEN doc_id % 5 = 2 THEN 'mp3' ELSE 'jpeg' END AS format,
+       CASE WHEN doc_id % 97 = 13 OR doc_id % 5 = 2 THEN NULL
             ELSE CAST(doc_id % 1920 + 32 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 97 = 13 THEN NULL
+       CASE WHEN doc_id % 97 = 13 OR doc_id % 5 = 2 THEN NULL
             ELSE CAST(doc_id % 1080 + 32 AS INTEGER) END AS height,
-       CAST(NULL AS BIGINT) AS duration_ms
+       CASE WHEN doc_id % 97 <> 13 AND doc_id % 5 = 2
+            THEN CAST((2004 + doc_id % 997) * 8
+                      // ({_sql_mp3_kbps("doc_id % 14 + 1")}) AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS duration_ms
 FROM docs_amp
 """
 

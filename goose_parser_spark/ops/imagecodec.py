@@ -364,10 +364,11 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
     (LAION-style min-resolution rules, clip-length caps). Pure struct
     parsing, so it covers formats whose PIXEL decode needs codec
     libraries: JPEG (SOF scan), PNG (IHDR), GIF (logical screen),
-    BMP, WebP (VP8/VP8L/VP8X), WAV (duration from fmt+data sizes) and
-    MP4/ISO-BMFF (mvhd duration + tkhd track dimensions). Returns
-    NULLs for fields a format does not carry; raises ValueError for
-    unrecognized bytes."""
+    BMP, WebP (VP8/VP8L/VP8X), WAV (duration from fmt+data sizes),
+    MP4/ISO-BMFF (mvhd duration + tkhd track dimensions) and MP3
+    (frame-header bitrate behind an optional ID3v2 tag, CBR duration
+    estimate). Returns NULLs for fields a format does not carry;
+    raises ValueError for unrecognized bytes."""
     n = len(data)
     if data[:3] == b"\xff\xd8\xff":  # JPEG: scan markers for SOFn
         pos = 2
@@ -488,7 +489,53 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
         if dur_ms is None and width is None:
             raise ValueError("MP4 without moov metadata")
         return ("mp4", width, height, dur_ms)
+    mp3 = _probe_mp3(data)
+    if mp3 is not None:
+        return mp3
     raise ValueError("unrecognized media container")
+
+
+# MPEG audio frame-header tables (public: ISO/IEC 11172-3): Layer III
+# bitrates (kbps; index 0 = "free", 15 = invalid) and sample rates by
+# version (MPEG1 / MPEG2 / MPEG2.5), index 3 invalid.
+_MP3_BITRATE_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                   128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                   80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),    # MPEG1
+              2: (22050, 24000, 16000),    # MPEG2
+              0: (11025, 12000, 8000)}     # MPEG2.5
+
+
+def _probe_mp3(data: bytes) -> tuple[str, None, None, int | None] | None:
+    """Recognize an MPEG Layer III stream (optionally behind an ID3v2
+    tag) from its first frame header and estimate duration from the
+    CBR bitrate — the clip-length filter for the web's most common
+    audio format, no decode. Returns None when the bytes are not an
+    MP3 (the caller falls through to 'unrecognized')."""
+    pos = 0
+    n = len(data)
+    if data[:3] == b"ID3" and n >= 10:
+        # ID3v2 size: 4 synchsafe bytes (7 bits each) after flags
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size
+    if pos + 4 > n or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2 = data[pos + 1], data[pos + 2]
+    version = (b1 >> 3) & 0x03          # 3=MPEG1 2=MPEG2 0=MPEG2.5
+    layer = (b1 >> 1) & 0x03            # 1 = Layer III
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if version == 1 or layer != 1 or br_idx == 15 or sr_idx == 3:
+        return None
+    table = _MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2
+    kbps = table[br_idx]
+    # duration: audio bytes at the first frame's (CBR-assumed)
+    # bitrate; VBR streams get the same first-frame estimate every
+    # CBR-unaware tool gives. Free-format (index 0) -> unknown.
+    dur = ((n - pos) * 8 // kbps) if kbps else None
+    return ("mp3", None, None, dur)
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:

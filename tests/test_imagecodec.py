@@ -599,3 +599,30 @@ def test_probe_media_tiff_and_gif_header_only():
     assert probe_media(t) == ("tiff", 7, 6, None)
     t_be = _write_tiff(7, 6, [0] * 42, big_endian=True)
     assert probe_media(t_be) == ("tiff", 7, 6, None)
+
+
+def test_probe_media_mp3():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), no CRC:
+    # 0xFF 0xFB 0x90 0x00
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 15996
+    fmt, w, h, dur = probe_media(frame)
+    assert (fmt, w, h) == ("mp3", None, None)
+    assert dur == 16000 * 8 // 128  # = 1000 ms at 128 kbps
+    # behind an ID3v2 tag (synchsafe size 0x00 0x00 0x02 0x01 = 257)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x02\x01" + b"\x00" * 257
+    fmt2, _, _, dur2 = probe_media(id3 + frame)
+    assert fmt2 == "mp3" and dur2 == dur
+    # MPEG2.5 uses the low-rate table: idx 9 = 80 kbps
+    v25 = bytes([0xFF, 0xE3, 0x90, 0x00]) + b"\x00" * 9996
+    assert probe_media(v25)[3] == 10000 * 8 // 80
+    # free-format (idx 0) recognized, duration unknown
+    free = bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 100
+    assert probe_media(free) == ("mp3", None, None, None)
+    # invalid bitrate idx 15 / reserved version / Layer I are NOT mp3
+    import pytest as _pytest
+    for bad in (bytes([0xFF, 0xFB, 0xF0, 0x00]),   # bitrate 15
+                bytes([0xFF, 0xEB, 0x90, 0x00]),   # reserved version
+                bytes([0xFF, 0xFF, 0x90, 0x00])):  # Layer I
+        with _pytest.raises(ValueError):
+            probe_media(bad + b"\x00" * 64)
