@@ -1,6 +1,9 @@
 """Pure-stdlib media decoding for the formats that need no codec
-library: PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit
-uncompressed), GIF (LZW, first frame, interlace), binary PPM/PGM,
+library: PNG (zlib inflate + per-scanline unfilter, all legal bit
+depths 1/2/4/8/16, Adam7 interlace), BMP (24/32-bit uncompressed),
+GIF (LZW, first frame, interlace), TIFF (uncompressed, LZW with the
+early-change quirk, Deflate, PackBits, horizontal-differencing
+predictor), binary PPM/PGM,
 RIFF/WAVE audio (integer PCM plus the G.711 μ-law/A-law companded
 telephony codecs), and — since round 6 — Huffman-coded
 JPEG, both baseline (SOF0/SOF1) and progressive (SOF2, spectral
@@ -33,6 +36,70 @@ def _gray(r: int, g: int, b: int) -> int:
     return (299 * r + 587 * g + 114 * b + 500) // 1000
 
 
+def _png_unfilter(raw: bytes, pos: int, ph: int, bpl: int,
+                  bpp: int) -> bytearray:
+    """Undo per-scanline filters 0-4 (None/Sub/Up/Average/Paeth) for
+    one (sub-)image of ``ph`` rows x ``bpl`` filtered bytes; ``bpp``
+    is the filter byte-distance (max(1, channels*depth//8))."""
+    out = bytearray(ph * bpl)
+    for y in range(ph):
+        f = raw[pos]
+        pos += 1
+        off = y * bpl
+        line = raw[pos:pos + bpl]
+        pos += bpl
+        if f == 0:
+            out[off:off + bpl] = line
+        elif f == 1:  # Sub
+            for x in range(bpl):
+                a = out[off + x - bpp] if x >= bpp else 0
+                out[off + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(bpl):
+                b = out[off - bpl + x] if y else 0
+                out[off + x] = (line[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(bpl):
+                a = out[off + x - bpp] if x >= bpp else 0
+                b = out[off - bpl + x] if y else 0
+                out[off + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(bpl):
+                a = out[off + x - bpp] if x >= bpp else 0
+                b = out[off - bpl + x] if y else 0
+                c = out[off - bpl + x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    b if pb <= pc else c
+                out[off + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out
+
+
+def _png_samples(row: bytes, count: int, depth: int) -> list[int]:
+    """Unpack ``count`` samples from one unfiltered scanline: sub-byte
+    depths are MSB-first packed; 16-bit keeps the high byte (the
+    standard 16-to-8 reduction)."""
+    if depth == 8:
+        return list(row[:count])
+    if depth == 16:
+        return list(row[0:2 * count:2])
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for i in range(count):
+        byte = row[i // per]
+        shift = 8 - depth * (i % per + 1)
+        out.append((byte >> shift) & mask)
+    return out
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def _png_gray(data: bytes) -> tuple[int, int, list[int]]:
     pos = 8  # signature already checked
     width = height = None
@@ -56,69 +123,56 @@ def _png_gray(data: bytes) -> tuple[int, int, list[int]]:
             break
     if width is None or not idat:
         raise ValueError("malformed PNG")
-    if bit_depth != 8 or interlace != 0:
-        raise ValueError("unsupported PNG (need 8-bit non-interlaced)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError("unsupported PNG color type")
+    # spec-legal depths per color type (sub-byte only for gray and
+    # palette; palette never 16-bit)
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16))
+    if bit_depth not in legal or interlace not in (0, 1):
+        raise ValueError("unsupported PNG depth/interlace combination")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    # unfilter (filters 0-4: None, Sub, Up, Average, Paeth)
-    out = bytearray(height * stride)
-    prev_off = -stride
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    bpp = max(1, channels * bit_depth // 8)
+    img = [0] * (width * height * channels)
     pos = 0
-    for y in range(height):
-        f = raw[pos]
-        pos += 1
-        line_off = y * stride
-        line = raw[pos:pos + stride]
-        pos += stride
-        if f == 0:
-            out[line_off:line_off + stride] = line
-        elif f == 1:  # Sub
-            for x in range(stride):
-                a = out[line_off + x - channels] if x >= channels else 0
-                out[line_off + x] = (line[x] + a) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                b = out[prev_off + line_off + x] if y else 0
-                out[line_off + x] = (line[x] + b) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = out[line_off + x - channels] if x >= channels else 0
-                b = out[prev_off + line_off + x] if y else 0
-                out[line_off + x] = (line[x] + (a + b) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = out[line_off + x - channels] if x >= channels else 0
-                b = out[prev_off + line_off + x] if y else 0
-                c = (out[prev_off + line_off + x - channels]
-                     if (y and x >= channels) else 0)
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else \
-                    b if pb <= pc else c
-                out[line_off + x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-    gray: list[int] = []
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        bpl = (pw * channels * bit_depth + 7) // 8
+        if len(raw) < pos + ph * (1 + bpl):
+            raise ValueError("truncated PNG pixel data")
+        sub = _png_unfilter(raw, pos, ph, bpl, bpp)
+        pos += ph * (1 + bpl)
+        for j in range(ph):
+            samps = _png_samples(sub[j * bpl:(j + 1) * bpl],
+                                 pw * channels, bit_depth)
+            base = (y0 + j * dy) * width
+            for i in range(pw):
+                at = (base + x0 + i * dx) * channels
+                for c in range(channels):
+                    img[at + c] = samps[i * channels + c]
+    if color_type != 3 and bit_depth < 8:
+        scale = 255 // ((1 << bit_depth) - 1)
+        img = [v * scale for v in img]
+    gray: list[int]
     if color_type == 0:
-        gray = list(out)
+        gray = img
     elif color_type == 4:  # gray+alpha
-        gray = list(out[0::2])
-    elif color_type == 3:  # palette
+        gray = img[0::2]
+    elif color_type == 3:  # palette (indices, never scaled)
         if palette is None:
             raise ValueError("palette PNG without PLTE")
         lut = [_gray(palette[3 * i], palette[3 * i + 1],
                      palette[3 * i + 2])
                for i in range(len(palette) // 3)]
-        gray = [lut[v] for v in out]
+        gray = [lut[v] for v in img]
     else:  # RGB / RGBA
-        step = channels
-        for i in range(0, len(out), step):
-            gray.append(_gray(out[i], out[i + 1], out[i + 2]))
+        gray = [_gray(img[i], img[i + 1], img[i + 2])
+                for i in range(0, len(img), channels)]
     return width, height, gray
 
 
@@ -676,20 +730,104 @@ def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
         offsets, counts = tags[273], tags[279]
     except KeyError:
         raise ValueError("TIFF missing required tags") from None
-    if tags.get(259, [1])[0] != 1:
-        raise ValueError("unsupported TIFF compression")
+    comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
     if any(b != 8 for b in bps) or spp not in (1, 3):
         raise ValueError("unsupported TIFF (need 8-bit gray or RGB)")
-    raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
+    rows_per_strip = tags.get(278, [height])[0] or height
+    strips = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        raw = data[o:o + c]
+        if comp == 1:
+            strips.append(raw)
+        elif comp == 5:
+            n_rows = min(rows_per_strip, height - si * rows_per_strip)
+            strips.append(_tiff_lzw(raw, width * spp * n_rows))
+        elif comp in (8, 32946):  # Deflate (Adobe & legacy tags)
+            strips.append(zlib.decompress(raw))
+        elif comp == 32773:
+            strips.append(_packbits(raw))
+        else:
+            raise ValueError("unsupported TIFF compression")
+    raw = b"".join(bytes(s) for s in strips)
     need = width * height * spp
     if len(raw) < need:
         raise ValueError("truncated TIFF pixel data")
+    if tags.get(317, [1])[0] == 2:  # horizontal differencing
+        raw = bytearray(raw[:need])
+        stride = width * spp
+        for y in range(height):
+            row = y * stride
+            for x in range(spp, stride):
+                raw[row + x] = (raw[row + x] + raw[row + x - spp]) & 255
     if spp == 1:
         return width, height, list(raw[:need])
     return width, height, [_gray(raw[i], raw[i + 1], raw[i + 2])
                            for i in range(0, need, 3)]
+
+
+def _tiff_lzw(data: bytes, n_expected: int) -> bytearray:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    256=Clear / 257=EOI, table entries from 258, and the early-change
+    quirk — the code width grows when the table reaches 2^width - 1
+    (one code earlier than GIF's variant)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change, adjusted for the decoder's one-entry lag
+            # behind the encoder: the encoder grows its width when
+            # ITS count reaches 2^width - 1; the decoder's table is
+            # one entry behind at the matching read position
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+            if len(out) >= n_expected:
+                return out
+    return out
+
+
+def _packbits(data: bytes) -> bytearray:
+    """TIFF PackBits (Apple RLE): n in 0..127 = copy n+1 literals;
+    n in -127..-1 = repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+    return out
 
 
 # ---------------------------------------------------------------------------

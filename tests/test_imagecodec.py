@@ -626,3 +626,278 @@ def test_probe_media_mp3():
                 bytes([0xFF, 0xFF, 0x90, 0x00])):  # Layer I
         with _pytest.raises(ValueError):
             probe_media(bad + b"\x00" * 64)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent test-side TIFF-LZW encoder (TIFF 6.0 §13, early
+    change): MSB-first packing, Clear/EOI, width bumps when the NEXT
+    code to assign would be 2^width - 1."""
+    bits = []
+    width = 9
+
+    def emit(code):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for byte in data:
+        c = w + bytes([byte])
+        if c in table:
+            w = c
+            continue
+        emit(table[w])
+        table[c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([byte])
+        if next_code >= 4094:  # table nearly full: restart
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if w:
+        emit(table[w])
+    emit(257)
+    out = bytearray((len(bits) + 7) // 8)
+    for i, bit in enumerate(bits):
+        out[i >> 3] |= bit << (7 - (i & 7))
+    return bytes(out)
+
+
+def _packbits_encode_runs(data: bytes) -> bytes:
+    """Simple run-collapsing PackBits encoder (test-side)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (j < len(data) and j - i < 128
+                   and not (j + 1 < len(data)
+                            and data[j] == data[j + 1])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _compress_tiff(data: bytes, w, h, pixels, comp, predictor=1,
+                   rgb=False, rows_per_strip=None):
+    """Re-author a _write_tiff file with compressed strips: rewrites
+    strip bytes, compression tag (259) and optionally predictor
+    (317). Easier: rebuild from scratch using the same layout."""
+    import zlib as _z
+    e = "<"
+    spp = 3 if rgb else 1
+    flat = bytearray()
+    for px in pixels:
+        flat += bytes(px if isinstance(px, tuple) else (px,))
+    if predictor == 2:
+        stride = w * spp
+        diff = bytearray(flat)
+        for y in range(h):
+            row = y * stride
+            for x in range(stride - 1, spp - 1, -1):
+                diff[row + x] = (flat[row + x] - flat[row + x - spp]) & 255
+        flat = diff
+    rps = rows_per_strip or h
+    raw_strips = [bytes(flat[y * w * spp:(y + rps) * w * spp])
+                  for y in range(0, h, rps)]
+    fn = {5: _tiff_lzw_encode, 8: _z.compress,
+          32773: _packbits_encode_runs}[comp]
+    strips = [fn(s) for s in raw_strips]
+    data_off = 8
+    offsets, pos = [], data_off
+    for sdat in strips:
+        offsets.append(pos)
+        pos += len(sdat)
+    ifd_off = pos
+    n_strips = len(strips)
+    u16 = lambda *v: struct.pack(e + "H" * len(v), *v)  # noqa: E731
+    u32 = lambda *v: struct.pack(e + "I" * len(v), *v)  # noqa: E731
+    tag_list = [
+        (256, 3, 1, u16(w)), (257, 3, 1, u16(h)),
+        (258, 3, spp, u16(*([8] * spp))),
+        (259, 3, 1, u16(comp)),
+        (262, 3, 1, u16(1 if not rgb else 2)),
+        (273, 4, n_strips, u32(*offsets)),
+        (277, 3, 1, u16(spp)),
+        (278, 3, 1, u16(rps)),
+        (279, 4, n_strips, u32(*[len(s) for s in strips])),
+    ]
+    if predictor == 2:
+        tag_list.append((317, 3, 1, u16(2)))
+    tag_list.sort()
+    n_entries = len(tag_list)
+    extra_off = ifd_off + 2 + 12 * n_entries + 4
+    entries, extras = [], []
+    for tag, typ, cnt, vb in tag_list:
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size <= 4:
+            entries.append(struct.pack(e + "HHI", tag, typ, cnt)
+                           + vb.ljust(4, b"\x00"))
+            extras.append(b"")
+        else:
+            entries.append(struct.pack(e + "HHII", tag, typ, cnt,
+                                       extra_off))
+            extras.append(vb)
+            extra_off += size
+    head = b"II*\x00" + u32(ifd_off)
+    ifd = u16(n_entries) + b"".join(entries) + u32(0)
+    return head + b"".join(strips) + ifd + b"".join(extras)
+
+
+@pytest.mark.parametrize("comp", [5, 8, 32773])
+def test_tiff_compressed_strips(comp):
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 37, 11  # enough data to force LZW width growth
+    gray = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    for rps in (None, 3):
+        got = decode_image_gray(
+            _compress_tiff(None, w, h, gray, comp, rows_per_strip=rps))
+        assert got == (w, h, gray), (comp, rps)
+
+
+def test_tiff_lzw_width_growth_roundtrip():
+    from goose_parser_spark.ops.imagecodec import _tiff_lzw
+    import random
+    rng = random.Random(42)
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    assert bytes(_tiff_lzw(_tiff_lzw_encode(data), len(data))) == data
+    rle = bytes([7]) * 4000  # long run exercises prev+prev[:1] codes
+    assert bytes(_tiff_lzw(_tiff_lzw_encode(rle), len(rle))) == rle
+
+
+def test_tiff_horizontal_predictor():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 9, 4
+    gray = [(x * 31 + y * 5) % 256 for y in range(h) for x in range(w)]
+    got = decode_image_gray(
+        _compress_tiff(None, w, h, gray, 8, predictor=2))
+    assert got == (w, h, gray)
+    rgb = [((x * 3) % 256, (y * 7) % 256, (x + y) % 256)
+           for y in range(h) for x in range(w)]
+    from goose_parser_spark.ops.imagecodec import _gray
+    got2 = decode_image_gray(
+        _compress_tiff(None, w, h, rgb, 5, predictor=2, rgb=True))
+    assert got2 == (w, h, [_gray(*p) for p in rgb])
+
+
+def _write_png2(w, h, samples, depth=8, color_type=0, palette=None,
+                interlace=0):
+    """Generic test-side PNG writer: any legal depth, optional
+    palette, optional Adam7 interlace; filter 0 scanlines. `samples`
+    is the flat per-pixel channel list (16-bit samples as 0..65535).
+    """
+    from goose_parser_spark.ops.imagecodec import _ADAM7
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def pack_row(vals):
+        if depth == 8:
+            return bytes(vals)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        per = 8 // depth
+        out = bytearray((len(vals) * depth + 7) // 8)
+        for i, v in enumerate(vals):
+            out[i // per] |= v << (8 - depth * (i % per + 1))
+        return bytes(out)
+
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * dy
+            vals = []
+            for i in range(pw):
+                x = x0 + i * dx
+                vals.extend(samples[(y * w + x) * ch:(y * w + x) * ch + ch])
+            raw.append(0)
+            raw += pack_row(vals)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _chunk(b"IEND", b"")
+
+
+def test_png_sub_byte_depths():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 10, 4
+    bits = [(x + y) % 2 for y in range(h) for x in range(w)]
+    assert decode_image_gray(_write_png2(w, h, bits, depth=1)) == \
+        (w, h, [b * 255 for b in bits])
+    quads = [(x * 3 + y) % 4 for y in range(h) for x in range(w)]
+    assert decode_image_gray(_write_png2(w, h, quads, depth=2)) == \
+        (w, h, [v * 85 for v in quads])
+    nibbles = [(x + 2 * y) % 16 for y in range(h) for x in range(w)]
+    assert decode_image_gray(_write_png2(w, h, nibbles, depth=4)) == \
+        (w, h, [v * 17 for v in nibbles])
+
+
+def test_png_16bit_keeps_high_byte():
+    from goose_parser_spark.ops.imagecodec import _gray, decode_image_gray
+    w, h = 5, 3
+    rgb16 = []
+    for y in range(h):
+        for x in range(w):
+            rgb16 += [(x * 37) % 256 * 257, (y * 91) % 256 * 257,
+                      ((x + y) * 17) % 256 * 257]
+    exp = [_gray(rgb16[i] >> 8, rgb16[i + 1] >> 8, rgb16[i + 2] >> 8)
+           for i in range(0, len(rgb16), 3)]
+    got = decode_image_gray(_write_png2(w, h, rgb16, depth=16,
+                                        color_type=2))
+    assert got == (w, h, exp)
+
+
+def test_png_adam7_matches_progressive_free():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 9, 9  # odd dims exercise empty/ragged Adam7 passes
+    gray = [(x * 29 + y * 53) % 256 for y in range(h) for x in range(w)]
+    plain = decode_image_gray(_write_png2(w, h, gray))
+    inter = decode_image_gray(_write_png2(w, h, gray, interlace=1))
+    assert plain == inter == (w, h, gray)
+    # RGBA interlaced
+    rgba = []
+    for y in range(h):
+        for x in range(w):
+            rgba += [(x * 5) % 256, (y * 9) % 256, (x ^ y) % 256, 255]
+    a = decode_image_gray(_write_png2(w, h, rgba, color_type=6))
+    b = decode_image_gray(_write_png2(w, h, rgba, color_type=6,
+                                      interlace=1))
+    assert a == b
+
+
+def test_png_palette_2bit_interlaced():
+    from goose_parser_spark.ops.imagecodec import _gray, decode_image_gray
+    pal = [(250, 10, 10), (10, 250, 10), (10, 10, 250), (128, 128, 0)]
+    w, h = 11, 6
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    exp = [_gray(*pal[i]) for i in idx]
+    for il in (0, 1):
+        got = decode_image_gray(_write_png2(
+            w, h, idx, depth=2, color_type=3, palette=pal, interlace=il))
+        assert got == (w, h, exp), il
+
+
+def test_png_tiny_interlaced_single_pixel():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    # 1x1 interlaced: only pass 1 has content, all others empty
+    assert decode_image_gray(_write_png2(1, 1, [77], interlace=1)) == \
+        (1, 1, [77])
