@@ -4076,6 +4076,68 @@ SQL_G711_DECODE = (
     f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_g711_decode())
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling under the value oracle: a 4-frame
+    8x8 GIF per document is authored JVM-side using the byte-aligned
+    LZW trick — with min-code-size 7 every code is 8 bits wide (the
+    table only reaches 193 < 256 entries per frame, so the width
+    never grows) and each pixel's literal code IS one payload byte,
+    taken from an md5 digest mod 128. The global palette is the exact
+    gray ramp (2i, 2i, 2i), so composed-canvas gray = 2 x index and
+    the oracle replays every pixel arithmetically through the shared
+    pHash chain keyed by (doc_id, frame_no). One wrong byte in the
+    LZW decode, block walk, palette mapping or composition and the
+    hashes diverge."""
+    from goose_parser_spark.ops.multimodal import video_frames
+    docs = _documents_amplified(spark, sf_dir)
+    ramp = b"".join(bytes((2 * i,) * 3) for i in range(128))
+    import struct as _struct
+    head = (b"GIF89a" + _struct.pack("<HHBBB", 8, 8, 0x80 | 6, 0, 0)
+            + ramp)
+    desc = (b"\x2c" + _struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+            + b"\x07"          # min code size 7
+            + b"\x42\x80")     # sub-block of 66: CLEAR + 64 + EOI
+    digs = [f"md5(concat('gifa-', CAST(doc_id AS STRING), ':{f}:{j}'))"
+            f" AS _h{f}_{j}" for f in range(4) for j in range(4)]
+    base = docs.selectExpr("doc_id", *digs)
+    segs = [f"'{head.hex()}'"]
+    for f in range(4):
+        segs.append(f"'{desc.hex()}'")
+        for k in range(64):
+            d, off = k // 16, (k % 16) * 2 + 1
+            segs.append(
+                f"lpad(hex(CAST(conv(substring(_h{f}_{d}, {off}, 2), "
+                f"16, 10) AS BIGINT) % 128), 2, '0')")
+        segs.append("'8100'")  # EOI + block terminator
+    segs.append("'3b'")
+    img = base.selectExpr(
+        "doc_id", f"unhex(concat({', '.join(segs)})) AS payload")
+    return video_frames(img, every=2)
+
+
+SQL_GIF_FRAMES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, ga0 AS (
+  SELECT doc_id, CAST(f.range * 2 AS INTEGER) AS frame_no
+  FROM docs_amp CROSS JOIN range(2) f
+), gad AS (
+  SELECT doc_id, frame_no,
+         {', '.join(f"md5('gifa-' || doc_id || ':' || frame_no"
+                    f" || ':{j}') AS _d{j}" for j in range(4))}
+  FROM ga0
+), pix AS (
+  SELECT doc_id, frame_no,
+         {', '.join(
+             f"2 * (CAST(('0x' || substr(_d{k // 16}, "
+             f"{(k % 16) * 2 + 1}, 2)) AS BIGINT) % 128) AS p{k}"
+             for k in range(64))}
+  FROM gad
+), {_sql_phash_chain(keys="doc_id, frame_no")}
+SELECT doc_id, frame_no, CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height, fp AS phash
+FROM h
+"""
+
+
 def _exif_author_hex(gps: bool) -> str:
     """SQL hex-string expression authoring a complete EXIF JPEG
     (APP1 + little-endian TIFF: IFD0 with Make/Model/Orientation,
@@ -4923,7 +4985,6 @@ QUERIES: dict[str, QueryFn] = {
     "script_stats": q_script_stats,
     "redact_pii": q_redact_pii,
     "url_ops": q_url_ops,
-    "sitemap_parse": q_sitemap_parse,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
@@ -4935,10 +4996,12 @@ QUERIES: dict[str, QueryFn] = {
     "video_frames": q_video_frames,
     "webp_decode": q_webp_decode,
     "exif_parse": q_exif_parse,
+    "gif_frames": q_gif_frames,
     # ---- 50-entry window boundary (driver hashes up to here) ----
-    # sample_by_hash / domain_quota / anchor_text / cdx_parse rotated
-    # below the boundary to make room for the four newest ops (all
-    # four rotated queries were driver-signed in r1-r5)
+    # sample_by_hash / domain_quota / anchor_text / cdx_parse /
+    # sitemap_parse rotated below the boundary to make room for the
+    # five newest ops (all five rotated queries driver-signed r1-r5)
+    "sitemap_parse": q_sitemap_parse,
     "sample_by_hash": q_sample_by_hash,
     "cdx_parse": q_cdx_parse,
     "domain_quota": q_domain_quota,
@@ -5097,6 +5160,7 @@ ORACLES: dict[str, str] = {
     "g711_decode": SQL_G711_DECODE,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
+    "gif_frames": SQL_GIF_FRAMES,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

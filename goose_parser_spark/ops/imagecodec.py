@@ -697,6 +697,113 @@ def _gif_gray(data: bytes) -> tuple[int, int, list[int]]:
     raise ValueError("GIF without an image frame")
 
 
+def gif_frames_gray(data: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode an animated GIF into COMPOSED grayscale canvases, one
+    per frame: sub-rectangle frames are painted onto the logical
+    screen honoring the Graphic Control Extension — transparency
+    (transparent-index pixels leave the canvas untouched) and
+    disposal methods 0/1 (leave), 2 (restore rect to background) and
+    3 (restore the pre-frame canvas). Local palettes and per-frame
+    interlace supported. Returns ``(screen_w, screen_h, frames)``
+    where each frame is the full composed canvas — what a viewer
+    shows at that point of the animation, which is what frame
+    sampling should fingerprint."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx = struct.unpack("<HHBB", data[6:12])
+    pos = 13
+    global_pal: bytes | None = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        global_pal = data[pos:pos + size]
+        pos += size
+    if global_pal is not None and 3 * bg_idx + 2 < len(global_pal):
+        bg_gray = _gray(global_pal[3 * bg_idx],
+                        global_pal[3 * bg_idx + 1],
+                        global_pal[3 * bg_idx + 2])
+    else:
+        bg_gray = 0
+    canvas = [bg_gray] * (sw * sh)
+    frames: list[list[int]] = []
+    disposal = 0
+    transparent = -1
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x21:  # extension
+            label = data[pos + 1] if pos + 1 < n else 0
+            pos += 2
+            if label == 0xF9 and pos < n and data[pos] >= 4:
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 7
+                transparent = data[pos + 4] if gflags & 1 else -1
+            while pos < n and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            fx, fy, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10])
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                size = 3 * (2 << (iflags & 7))
+                pal = data[pos:pos + size]
+                pos += size
+            if pal is None:
+                raise ValueError("GIF frame without color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n and data[pos]:
+                cnt = data[pos]
+                lzw += data[pos + 1:pos + 1 + cnt]
+                pos += 1 + cnt
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(lzw), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF frame data")
+            if iflags & 0x40:  # interlaced rows
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                rows = [idx[i * w:(i + 1) * w] for i in range(h)]
+                remap: list = [None] * h
+                for src, dst in enumerate(order):
+                    remap[dst] = rows[src]
+                idx = [v for row in remap for v in row]
+            lut = [_gray(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])
+                   if 3 * i + 2 < len(pal) else 0
+                   for i in range(256)]
+            saved = list(canvas) if disposal == 3 else None
+            for j in range(h):
+                if fy + j >= sh:
+                    break
+                row = (fy + j) * sw
+                src = j * w
+                for i in range(min(w, sw - fx)):
+                    v = idx[src + i]
+                    if v != transparent:
+                        canvas[row + fx + i] = lut[v]
+            frames.append(list(canvas))
+            if disposal == 2:
+                for j in range(h):
+                    if fy + j >= sh:
+                        break
+                    row = (fy + j) * sw
+                    for i in range(min(w, sw - fx)):
+                        canvas[row + fx + i] = bg_gray
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            disposal = 0
+            transparent = -1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError("corrupt GIF block stream")
+    if not frames:
+        raise ValueError("GIF without an image frame")
+    return sw, sh, frames
+
+
 def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
     if data[:4] == b"II*\x00":
         e = "<"

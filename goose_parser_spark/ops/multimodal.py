@@ -327,14 +327,16 @@ def video_frames(
     every: int = 1,
     out_col: str = "phash",
 ) -> DataFrame:
-    """Video frame sampling over REAL container + codec decode: AVI
-    payloads are walked with the pure-stdlib RIFF parser
-    (ops/imagecodec.avi_video_chunks), every ``every``-th video chunk
-    is decoded as an image (MJPEG — the motion-JPEG shape — rides the
-    round-6 JPEG decoder; ``00db`` raw-DIB chunks decode as BMP
-    content would), box-resized to the 8x8 grid, and fingerprinted by
+    """Video/animation frame sampling over REAL container + codec
+    decode: AVI payloads are walked with the pure-stdlib RIFF parser
+    (ops/imagecodec.avi_video_chunks) and every ``every``-th video
+    chunk is decoded as an image (MJPEG rides the round-6 JPEG
+    decoder); animated GIF payloads are COMPOSED frame by frame
+    (ops/imagecodec.gif_frames_gray: sub-rect painting, transparency,
+    disposal methods) and every ``every``-th canvas is sampled. Each
+    sampled frame is box-resized to the 8x8 grid and fingerprinted by
     the SAME Catalyst DCT pHash chain the image path uses — so video
-    frames, images and animation stills all land in one
+    frames, animation frames and still images all land in one
     Hamming-joinable fingerprint space (near-dup detection across
     modalities for free).
 
@@ -367,7 +369,8 @@ def video_frames(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from goose_parser_spark.ops.imagecodec import (
-            avi_video_chunks, decode_image_gray, resize_gray_box)
+            avi_video_chunks, decode_image_gray, gif_frames_gray,
+            resize_gray_box)
         for pdf in batches:
             cols: dict[str, list] = {
                 id_col: [], "frame_no": [], "width": [], "height": [],
@@ -388,8 +391,23 @@ def video_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
+                raw = bytes(payload)
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: sample the COMPOSED canvases
+                    try:
+                        w, h, frames = gif_frames_gray(raw)
+                    except Exception:  # noqa: BLE001 — I4 isolation
+                        emit(doc_id, -1, None, None, False, zeros)
+                        continue
+                    for fno in range(0, len(frames), every):
+                        try:
+                            emit(doc_id, fno, w, h, True,
+                                 resize_gray_box(w, h, frames[fno]))
+                        except Exception:  # noqa: BLE001 — per-frame
+                            emit(doc_id, fno, None, None, False, zeros)
+                    continue
                 try:
-                    _, chunks = avi_video_chunks(bytes(payload))
+                    _, chunks = avi_video_chunks(raw)
                 except Exception:  # noqa: BLE001 — I4 poison isolation
                     emit(doc_id, -1, None, None, False, zeros)
                     continue
