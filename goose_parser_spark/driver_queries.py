@@ -4392,6 +4392,92 @@ SELECT doc_id, fp AS phash FROM h
 """
 
 
+def q_webp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP frame sampling under the value oracle: a 4-frame
+    VP8X/ANIM/ANMF container per document, each ANMF carrying the
+    same 22-byte VP8L fixture layout as q_webp_decode with PER-FRAME
+    digests/colors — so the oracle replays every sampled canvas
+    arithmetically, keyed by (doc_id, frame_no). One wrong byte in
+    the ANMF walk, the 2x offset coding, or anywhere in the VP8L
+    decode and the hashes diverge."""
+    import struct as _struct
+    from goose_parser_spark.ops.multimodal import video_frames
+    docs = _documents_amplified(spark, sf_dir)
+    _, n_bytes, _ = _vp8l_fixture_layout()
+
+    def u24(v: int) -> bytes:
+        return _struct.pack("<I", v)[:3]
+
+    vp8x = bytes((0x02, 0, 0, 0)) + u24(7) + u24(7)
+    anim = bytes((0, 0, 0, 255)) + _struct.pack("<H", 0)
+    anmf_head = (u24(0) + u24(0) + u24(7) + u24(7) + u24(40)
+                 + b"\x00")
+    vp8l_size = 1 + n_bytes
+    anmf_body_len = 16 + 8 + vp8l_size
+    frame_const = (b"ANMF" + _struct.pack("<I", anmf_body_len)
+                   + anmf_head + b"VP8L"
+                   + _struct.pack("<I", vp8l_size) + b"\x2f")
+    riff_len = (4 + 8 + len(vp8x) + 8 + len(anim)
+                + 4 * (8 + anmf_body_len + (anmf_body_len & 1)))
+    head = (b"RIFF" + _struct.pack("<I", riff_len) + b"WEBP"
+            + b"VP8X" + _struct.pack("<I", len(vp8x)) + vp8x
+            + b"ANIM" + _struct.pack("<I", len(anim)) + anim)
+    stage1 = ["doc_id"]
+    for f in range(4):
+        stage1 += [
+            f"(doc_id + {3 * f}) % 200 AS _r{f}",
+            f"(doc_id * 7 + {f}) % 256 AS _b{f}",
+            f"md5(concat('webpa-', CAST(doc_id AS STRING), ':{f}'))"
+            f" AS _hh{f}"]
+    base = docs.selectExpr(*stage1)
+    stage2 = ["doc_id"] + [f"_r{f}" for f in range(4)] \
+        + [f"_b{f}" for f in range(4)]
+    for f in range(4):
+        stage2 += [
+            f"CAST(conv(substring(_hh{f}, {2 * k + 1}, 2), 16, 10)"
+            f" AS BIGINT) AS _x{f}_{k}" for k in range(8)]
+    base = base.selectExpr(*stage2)
+    segs = [f"'{head.hex()}'"]
+    pad = "" if anmf_body_len % 2 == 0 else "00"
+    for f in range(4):
+        def ref(name: str, _f=f) -> str:
+            if name == "r":
+                return f"_r{_f}"
+            if name == "b":
+                return f"_b{_f}"
+            return f"_x{_f}_{name[2:]}"
+        segs.append(f"'{frame_const.hex()}'")
+        segs += [f"lpad(hex({e}), 2, '0')"
+                 for e in _vp8l_byte_exprs(ref, div="div")]
+        if pad:
+            segs.append(f"'{pad}'")
+    img = base.selectExpr(
+        "doc_id", f"unhex(concat({', '.join(segs)})) AS payload")
+    return video_frames(img, every=2)
+
+
+SQL_WEBP_FRAMES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, wa0 AS (
+  SELECT doc_id, CAST(f.range * 2 AS INTEGER) AS frame_no,
+         (doc_id + 3 * (f.range * 2)) % 200 AS _r,
+         (doc_id * 7 + (f.range * 2)) % 256 AS _b,
+         md5('webpa-' || doc_id || ':' || (f.range * 2)) AS _h
+  FROM docs_amp CROSS JOIN range(2) f
+), pix AS (
+  SELECT doc_id, frame_no,
+         {', '.join(
+             "(299 * _r + 587 * (((CAST(('0x' || substr(_h, "
+             f"{(k // 8) * 2 + 1}, 2)) AS BIGINT)) // {1 << (k % 8)})"
+             f" % 2 * 255) + 114 * _b + 500) // 1000 AS p{k}"
+             for k in range(64))}
+  FROM wa0
+), {_sql_phash_chain(keys="doc_id, frame_no")}
+SELECT doc_id, frame_no, CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height, fp AS phash
+FROM h
+"""
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL video path under the value oracle: a 4-frame
     AVI/MJPEG file per document is authored JVM-side — RIFF/hdrl/movi
@@ -4983,7 +5069,6 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_percentiles": q_corpus_percentiles,
     "script_stats": q_script_stats,
-    "redact_pii": q_redact_pii,
     "url_ops": q_url_ops,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
@@ -4997,11 +5082,13 @@ QUERIES: dict[str, QueryFn] = {
     "webp_decode": q_webp_decode,
     "exif_parse": q_exif_parse,
     "gif_frames": q_gif_frames,
+    "webp_frames": q_webp_frames,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # sample_by_hash / domain_quota / anchor_text / cdx_parse /
     # sitemap_parse rotated below the boundary to make room for the
     # five newest ops (all five rotated queries driver-signed r1-r5)
     "sitemap_parse": q_sitemap_parse,
+    "redact_pii": q_redact_pii,
     "sample_by_hash": q_sample_by_hash,
     "cdx_parse": q_cdx_parse,
     "domain_quota": q_domain_quota,
@@ -5161,6 +5248,7 @@ ORACLES: dict[str, str] = {
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,
+    "webp_frames": SQL_WEBP_FRAMES,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

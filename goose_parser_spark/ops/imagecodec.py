@@ -1941,6 +1941,98 @@ def _webp_gray(data: bytes) -> tuple[int, int, list[int]]:
     return w, h, gray
 
 
+def webp_frames_gray(
+        data: bytes) -> tuple[int, int, list[list[int] | None]]:
+    """Decode an ANIMATED WebP (VP8X + ANIM/ANMF, container spec) into
+    composed grayscale canvases, one per frame: each ANMF sub-frame's
+    VP8L payload is decoded and painted at its (2x-coded) offset;
+    disposal bit 1 restores the rect to the ANIM background color
+    after the frame. Lossy (VP8) sub-frames cannot be decoded offline
+    and yield ``None`` at that index (the sampler emits a per-frame
+    poison row) — partial honesty beats failing the document. A plain
+    VP8L file decodes as a single frame. Alpha blending is not
+    applied (the gray pipeline carries no alpha); frames composite as
+    opaque rects, documented behavior."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    n = len(data)
+    canvas_w = canvas_h = None
+    bg_gray = 0
+    frames: list[list[int] | None] = []
+    canvas: list[int] | None = None
+    while pos + 8 <= n:
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if tag == b"VP8X":
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANIM" and len(body) >= 6:
+            b_, g_, r_ = body[0], body[1], body[2]  # BGRA order
+            bg_gray = _gray(r_, g_, b_)
+        elif tag == b"ANMF" and len(body) >= 16:
+            if canvas_w is None:
+                raise ValueError("ANMF before VP8X")
+            if canvas is None:
+                canvas = [bg_gray] * (canvas_w * canvas_h)
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dispose = body[15] & 1
+            # frame data: sub-chunks (ALPH? then VP8/VP8L)
+            sub = 16
+            frame_px = None
+            while sub + 8 <= len(body):
+                stag = body[sub:sub + 8][:4]
+                ssize = struct.unpack("<I", body[sub + 4:sub + 8])[0]
+                sbody = body[sub + 8:sub + 8 + ssize]
+                sub += 8 + ssize + (ssize & 1)
+                if stag == b"VP8L" and sbody[:1] == b"\x2f":
+                    br = _LsbReader(sbody, 1)
+                    w = br.read(14) + 1
+                    h = br.read(14) + 1
+                    br.read(1)
+                    if br.read(3) != 0:
+                        raise ValueError("unknown VP8L version")
+                    if (w, h) != (fw, fh):
+                        raise ValueError("ANMF/VP8L dimension mismatch")
+                    pix = _vp8l_decode_stream(br, w, h, True)
+                    frame_px = [_gray((p >> 16) & 255, (p >> 8) & 255,
+                                      p & 255) for p in pix]
+                    break
+                if stag == b"VP8 ":
+                    break  # lossy sub-frame: poison below
+            if frame_px is None:
+                frames.append(None)
+                continue
+            for j in range(fh):
+                if fy + j >= canvas_h:
+                    break
+                row = (fy + j) * canvas_w
+                src = j * fw
+                for i in range(min(fw, canvas_w - fx)):
+                    canvas[row + fx + i] = frame_px[src + i]
+            frames.append(list(canvas))
+            if dispose:
+                for j in range(fh):
+                    if fy + j >= canvas_h:
+                        break
+                    row = (fy + j) * canvas_w
+                    for i in range(min(fw, canvas_w - fx)):
+                        canvas[row + fx + i] = bg_gray
+        elif tag == b"VP8L" and not frames:
+            w, h, px = _webp_gray(data)
+            return w, h, [px]
+        elif tag == b"VP8 " and not frames:
+            raise ValueError("lossy VP8 needs a codec library")
+    if not frames or canvas_w is None:
+        raise ValueError("WebP without animation frames")
+    return canvas_w, canvas_h, frames
+
+
 def decode_alpha_plane(chunk: bytes, w: int, h: int) -> list[int]:
     """Decode a WebP ALPH chunk (the alpha plane of a lossy VP8X
     file): method 0 = raw, method 1 = a VP8L-coded image whose green

@@ -331,9 +331,12 @@ def video_frames(
     decode: AVI payloads are walked with the pure-stdlib RIFF parser
     (ops/imagecodec.avi_video_chunks) and every ``every``-th video
     chunk is decoded as an image (MJPEG rides the round-6 JPEG
-    decoder); animated GIF payloads are COMPOSED frame by frame
-    (ops/imagecodec.gif_frames_gray: sub-rect painting, transparency,
-    disposal methods) and every ``every``-th canvas is sampled. Each
+    decoder); animated GIF and animated WebP (VP8X/ANMF with VP8L
+    sub-frames) payloads are COMPOSED frame by frame
+    (ops/imagecodec.gif_frames_gray / webp_frames_gray: sub-rect
+    painting, transparency/disposal) and every ``every``-th canvas is
+    sampled; an ANMF frame whose payload is lossy VP8 yields that
+    frame's poison row, not a dead document. Each
     sampled frame is box-resized to the 8x8 grid and fingerprinted by
     the SAME Catalyst DCT pHash chain the image path uses — so video
     frames, animation frames and still images all land in one
@@ -370,7 +373,7 @@ def video_frames(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from goose_parser_spark.ops.imagecodec import (
             avi_video_chunks, decode_image_gray, gif_frames_gray,
-            resize_gray_box)
+            resize_gray_box, webp_frames_gray)
         for pdf in batches:
             cols: dict[str, list] = {
                 id_col: [], "frame_no": [], "width": [], "height": [],
@@ -392,15 +395,22 @@ def video_frames(
                 if payload is None:
                     continue
                 raw = bytes(payload)
+                composer = None
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
-                    # animated GIF: sample the COMPOSED canvases
+                    composer = gif_frames_gray
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                    composer = webp_frames_gray
+                if composer is not None:
+                    # animation: sample the COMPOSED canvases
                     try:
-                        w, h, frames = gif_frames_gray(raw)
+                        w, h, frames = composer(raw)
                     except Exception:  # noqa: BLE001 — I4 isolation
                         emit(doc_id, -1, None, None, False, zeros)
                         continue
                     for fno in range(0, len(frames), every):
                         try:
+                            if frames[fno] is None:  # lossy sub-frame
+                                raise ValueError("undecodable frame")
                             emit(doc_id, fno, w, h, True,
                                  resize_gray_box(w, h, frames[fno]))
                         except Exception:  # noqa: BLE001 — per-frame
