@@ -4254,6 +4254,58 @@ FROM docs_amp
 """
 
 
+def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ID3v2 parser under the value oracle: v2.3 tags with three
+    latin-1 text frames (TIT2/TPE1/TALB) are authored JVM-side —
+    every offset is a byte-aligned constant, the doc-derived two-digit
+    ids are spliced in as ASCII hex fragments — followed by an MPEG
+    frame header for realism. The oracle states the three strings
+    arithmetically; a synchsafe-size, frame-walk or encoding bug
+    diverges every row."""
+    from goose_parser_spark.ops.multimodal import id3_metadata
+    docs = _documents_amplified(spark, sf_dir)
+    import struct as _struct
+
+    def frame_const(fid: bytes, prefix: bytes) -> bytes:
+        # body = encoding byte 0 + prefix + 2 variable digit bytes
+        body_len = 1 + len(prefix) + 2
+        return (fid + _struct.pack(">I", body_len) + b"\x00\x00"
+                + b"\x00" + prefix)
+
+    tag_body_len = 3 * (10 + 1 + 3 + 2)
+    ss = bytes(((tag_body_len >> 21) & 0x7F, (tag_body_len >> 14) & 0x7F,
+                (tag_body_len >> 7) & 0x7F, tag_body_len & 0x7F))
+    head = b"ID3\x03\x00\x00" + ss
+
+    def dig2(n: str) -> list[str]:
+        return [f"lpad(hex(48 + ({n}) div 10), 2, '0')",
+                f"lpad(hex(48 + ({n}) % 10), 2, '0')"]
+
+    frags = [f"'{head.hex()}'"]
+    for fid, prefix, expr in (
+            (b"TIT2", b"TRK", "doc_id % 100"),
+            (b"TPE1", b"ART", "(doc_id * 3) % 100"),
+            (b"TALB", b"ALB", "(doc_id * 7) % 100")):
+        frags.append(f"'{frame_const(fid, prefix).hex()}'")
+        frags.extend(dig2(expr))
+    frags.append(f"'{(bytes([0xFF, 0xFB, 0x90, 0x00])).hex()}'")
+    img = docs.selectExpr(
+        "doc_id", f"unhex(concat({', '.join(frags)})) AS payload")
+    return id3_metadata(img)
+
+
+SQL_ID3_TAGS = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+SELECT doc_id,
+       'TRK' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS title,
+       'ART' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')
+         AS artist,
+       'ALB' || lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0')
+         AS album
+FROM docs_amp
+"""
+
+
 def _vp8l_fixture_layout() -> tuple[int, int, dict[str, tuple[int, int]]]:
     """Bit layout of the oracle-authored 8x8 VP8L stream (after the
     0x2f signature byte): fixed header + no transforms/cache/meta +
@@ -5060,7 +5112,6 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
-    "hll_cardinality": q_hll_cardinality,
     "contamination": q_contamination,
     "text_repetition": q_text_repetition,
     "text_stats": q_text_stats,
@@ -5083,11 +5134,13 @@ QUERIES: dict[str, QueryFn] = {
     "exif_parse": q_exif_parse,
     "gif_frames": q_gif_frames,
     "webp_frames": q_webp_frames,
+    "id3_tags": q_id3_tags,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # sample_by_hash / domain_quota / anchor_text / cdx_parse /
     # sitemap_parse rotated below the boundary to make room for the
     # five newest ops (all five rotated queries driver-signed r1-r5)
     "sitemap_parse": q_sitemap_parse,
+    "hll_cardinality": q_hll_cardinality,
     "redact_pii": q_redact_pii,
     "sample_by_hash": q_sample_by_hash,
     "cdx_parse": q_cdx_parse,
@@ -5249,6 +5302,7 @@ ORACLES: dict[str, str] = {
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,
     "webp_frames": SQL_WEBP_FRAMES,
+    "id3_tags": SQL_ID3_TAGS,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

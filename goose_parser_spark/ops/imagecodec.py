@@ -2180,3 +2180,52 @@ def parse_exif(data: bytes) -> dict:
         "exif_height": _exif_int(sub.get(0xA003), e),
         "has_gps": 0x8825 in ifd0,
     }
+
+
+def _synchsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14
+            | (b[2] & 0x7F) << 7 | (b[3] & 0x7F))
+
+
+def parse_id3(data: bytes) -> dict:
+    """Extract the provenance text frames from an ID3v2.3/2.4 tag
+    (public spec: id3.org): TIT2 title, TPE1 artist, TALB album,
+    with the four declared text encodings (latin-1, UTF-16 w/BOM,
+    UTF-16BE, UTF-8). v2.4 frame sizes are synchsafe, v2.3 plain
+    big-endian. Absent frames come back None; raises ValueError when
+    no ID3v2 tag leads the payload (callers poison-isolate).
+    Unsynchronised tags (rare with v2.3+) are not rewritten —
+    documented boundary."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        raise ValueError("no ID3v2 tag")
+    ver = data[3]
+    size = _synchsafe(data[6:10])
+    pos = 10
+    end = min(10 + size, len(data))
+    mapping = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    out: dict = dict.fromkeys(mapping.values())
+    while pos + 10 <= end:
+        fid = data[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        raw = data[pos + 4:pos + 8]
+        fsize = _synchsafe(raw) if ver >= 4 else \
+            struct.unpack(">I", raw)[0]
+        body = data[pos + 10:pos + 10 + fsize]
+        pos += 10 + fsize
+        key = mapping.get(fid)
+        if key is None or not body:
+            continue
+        enc, txt = body[0], body[1:]
+        if enc == 0:
+            val = txt.decode("latin-1", "replace")
+        elif enc == 1:
+            val = txt.decode("utf-16", "replace")
+        elif enc == 2:
+            val = txt.decode("utf-16-be", "replace")
+        elif enc == 3:
+            val = txt.decode("utf-8", "replace")
+        else:
+            continue
+        out[key] = val.split("\x00", 1)[0]
+    return out

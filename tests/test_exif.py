@@ -136,3 +136,50 @@ def test_exif_metadata_dataframe_and_poison(spark):
     assert got[1]["has_gps"] is True
     assert got[2]["make"] is None and got[2]["has_gps"] is None
     assert got[3]["orientation"] == 8 and got[3]["has_gps"] is False
+
+
+def _id3(frames: dict[bytes, tuple[int, bytes]], ver=3) -> bytes:
+    """frames: {frame_id: (encoding, payload_bytes)}."""
+    body = bytearray()
+    for fid, (enc, txt) in frames.items():
+        fb = bytes((enc,)) + txt
+        if ver >= 4:
+            sz = bytes(((len(fb) >> 21) & 0x7F, (len(fb) >> 14) & 0x7F,
+                        (len(fb) >> 7) & 0x7F, len(fb) & 0x7F))
+        else:
+            sz = struct.pack(">I", len(fb))
+        body += fid + sz + b"\x00\x00" + fb
+    sz = len(body)
+    ss = bytes(((sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F))
+    return b"ID3" + bytes((ver, 0, 0)) + ss + bytes(body)
+
+
+def test_id3_v23_and_v24_all_encodings():
+    from goose_parser_spark.ops.imagecodec import parse_id3
+    tag = _id3({b"TIT2": (0, b"Hello\x00"),
+                b"TPE1": (1, "Ärtist".encode("utf-16")),
+                b"TALB": (3, "Albüm".encode("utf-8"))}, ver=3)
+    m = parse_id3(tag + b"\xff\xfb\x90\x00" + b"\x00" * 32)
+    assert m == {"title": "Hello", "artist": "Ärtist", "album": "Albüm"}
+    tag4 = _id3({b"TIT2": (2, "T24".encode("utf-16-be"))}, ver=4)
+    m4 = parse_id3(tag4)
+    assert m4["title"] == "T24" and m4["artist"] is None
+
+
+def test_id3_rejects_untagged():
+    from goose_parser_spark.ops.imagecodec import parse_id3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_id3(b"\xff\xfb\x90\x00 raw mp3, no tag")
+
+
+def test_id3_metadata_dataframe(spark):
+    from goose_parser_spark.ops.multimodal import id3_metadata
+    tag = _id3({b"TIT2": (0, b"Song"), b"TPE1": (0, b"Band")})
+    rows = [(1, bytearray(tag)), (2, bytearray(b"no tag here"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in id3_metadata(df).collect()}
+    assert got[1]["title"] == "Song" and got[1]["artist"] == "Band"
+    assert got[1]["album"] is None
+    assert got[2]["title"] is None

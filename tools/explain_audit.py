@@ -373,6 +373,14 @@ CHECKS = {
         ("map-only: no shuffle — header-bytes scan, no decode",
          lambda p: "Exchange" not in _exec_part(p)),
     ],
+    "id3_tags": [
+        ("tag walk is the only Python node (authoring is pure "
+         "hex concat)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "webp_frames": [
         ("ANMF walk + VP8L decode is the only Python node",
          lambda p: _exec_part(p).count("MapInPandas") == 1
