@@ -5136,9 +5136,11 @@ QUERIES: dict[str, QueryFn] = {
     "webp_frames": q_webp_frames,
     "id3_tags": q_id3_tags,
     # ---- 50-entry window boundary (driver hashes up to here) ----
-    # sample_by_hash / domain_quota / anchor_text / cdx_parse /
-    # sitemap_parse rotated below the boundary to make room for the
-    # five newest ops (all five rotated queries driver-signed r1-r5)
+    # SEVEN family reps rotated below the boundary to make room for
+    # the seven newest ops (g711/video/webp_decode/exif/gif_frames/
+    # webp_frames/id3_tags): sample_by_hash, domain_quota,
+    # anchor_text, cdx_parse, sitemap_parse, redact_pii,
+    # hll_cardinality — all seven driver-signed in r1-r5
     "sitemap_parse": q_sitemap_parse,
     "hll_cardinality": q_hll_cardinality,
     "redact_pii": q_redact_pii,

@@ -29,7 +29,10 @@ import struct
 import zlib
 
 __all__ = ["decode_image_gray", "resize_gray_box",
-           "decode_audio_pcm", "audio_frame_features"]
+           "decode_audio_pcm", "audio_frame_features",
+           "probe_media", "avi_video_chunks", "gif_frames_gray",
+           "webp_frames_gray", "decode_alpha_plane",
+           "parse_exif", "parse_id3"]
 
 
 def _gray(r: int, g: int, b: int) -> int:
@@ -570,10 +573,10 @@ def _probe_mp3(data: bytes) -> tuple[str, None, None, int | None] | None:
     pos = 0
     n = len(data)
     if data[:3] == b"ID3" and n >= 10:
-        # ID3v2 size: 4 synchsafe bytes (7 bits each) after flags
-        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
-        pos = 10 + size
+        # ID3v2 size: 4 synchsafe bytes (7 bits each) after flags;
+        # flag bit 4 adds a 10-byte footer between tag and first frame
+        size = _synchsafe(data[6:10])
+        pos = 10 + size + (10 if data[5] & 0x10 else 0)
     if pos + 4 > n or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
         return None
     b1, b2 = data[pos + 1], data[pos + 2]
@@ -640,64 +643,21 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
 
 
 def _gif_gray(data: bytes) -> tuple[int, int, list[int]]:
-    if len(data) < 13:
-        raise ValueError("truncated GIF")
-    sw, sh, flags = struct.unpack("<HHB", data[6:11])
-    pos = 13
-    global_pal: bytes | None = None
-    if flags & 0x80:
-        size = 3 * (2 << (flags & 7))
-        global_pal = data[pos:pos + size]
-        pos += size
-    n = len(data)
-    while pos < n:
-        b = data[pos]
-        if b == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while pos < n and data[pos]:
-                pos += 1 + data[pos]
-            pos += 1
-        elif b == 0x2C:  # image descriptor — decode the FIRST frame
-            _, _, w, h, iflags = struct.unpack("<HHHHB",
-                                               data[pos + 1:pos + 10])
-            pos += 10
-            pal = global_pal
-            if iflags & 0x80:
-                size = 3 * (2 << (iflags & 7))
-                pal = data[pos:pos + size]
-                pos += size
-            if pal is None:
-                raise ValueError("GIF frame without color table")
-            mcs = data[pos]
-            pos += 1
-            lzw = bytearray()
-            while pos < n and data[pos]:
-                cnt = data[pos]
-                lzw += data[pos + 1:pos + 1 + cnt]
-                pos += 1 + cnt
-            idx = _lzw_decode(bytes(lzw), mcs, w * h)
-            if len(idx) < w * h:
-                raise ValueError("truncated GIF pixel data")
-            if iflags & 0x40:  # interlaced: 4-pass row order
-                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
-                         + [*range(2, h, 4)] + [*range(1, h, 2)])
-                rows = [idx[i * w:(i + 1) * w] for i in range(h)]
-                remap = [None] * h
-                for src, dst in enumerate(order):
-                    remap[dst] = rows[src]
-                idx = [v for row in remap for v in row]
-            lut = [_gray(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])
-                   if 3 * i + 2 < len(pal) else 0
-                   for i in range(256)]
-            return w, h, [lut[v] for v in idx]
-        elif b == 0x3B:
-            break
-        else:
-            raise ValueError("corrupt GIF block stream")
-    raise ValueError("GIF without an image frame")
+    """Still-image GIF decode: the COMPOSED first frame on the
+    logical screen (delegates to :func:`gif_frames_gray` with
+    ``max_frames=1`` — one block walk, one LZW, one palette/interlace
+    path for stills and animations alike). Sub-rect first frames
+    composite over the background color; GCE transparency is
+    honored — what a viewer shows, which is what the pHash should
+    fingerprint. Stops after the first frame, so trailing garbage
+    blocks cannot fail a decodable still."""
+    sw, sh, frames = gif_frames_gray(data, max_frames=1)
+    return sw, sh, frames[0]
 
 
-def gif_frames_gray(data: bytes) -> tuple[int, int, list[list[int]]]:
+def gif_frames_gray(data: bytes,
+                    max_frames: int | None = None,
+                    ) -> tuple[int, int, list[list[int]]]:
     """Decode an animated GIF into COMPOSED grayscale canvases, one
     per frame: sub-rectangle frames are painted onto the logical
     screen honoring the Graphic Control Extension — transparency
@@ -707,7 +667,9 @@ def gif_frames_gray(data: bytes) -> tuple[int, int, list[list[int]]]:
     interlace supported. Returns ``(screen_w, screen_h, frames)``
     where each frame is the full composed canvas — what a viewer
     shows at that point of the animation, which is what frame
-    sampling should fingerprint."""
+    sampling should fingerprint. ``max_frames`` stops the walk early
+    (the still-image path uses 1, staying tolerant of trailing
+    garbage blocks)."""
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
         raise ValueError("not a GIF")
     sw, sh, flags, bg_idx = struct.unpack("<HHBB", data[6:12])
@@ -784,6 +746,8 @@ def gif_frames_gray(data: bytes) -> tuple[int, int, list[list[int]]]:
                     if v != transparent:
                         canvas[row + fx + i] = lut[v]
             frames.append(list(canvas))
+            if max_frames is not None and len(frames) >= max_frames:
+                return sw, sh, frames
             if disposal == 2:
                 for j in range(h):
                     if fy + j >= sh:
@@ -907,11 +871,14 @@ def _tiff_lzw(data: bytes, n_expected: int) -> bytearray:
                 table.append(entry)
             out += entry
             prev = entry
-            # early change, adjusted for the decoder's one-entry lag
-            # behind the encoder: the encoder grows its width when
-            # ITS count reaches 2^width - 1; the decoder's table is
-            # one entry behind at the matching read position
-            if len(table) >= (1 << width) - 2 and width < 12:
+            # "early change" (the Aldus off-by-one the TIFF world
+            # standardized on): transition exactly ONE code earlier
+            # than real LZW. The known-good GIF pair in this module
+            # is decoder >= 2^w / encoder == 2^w + 1; shifting both
+            # by one gives the TIFF pair decoder >= 2^w - 1 /
+            # encoder == 2^w (libtiff: maxcodep at MAXCODE(nbits)-1,
+            # i.e. the decoder widens at table length 511/1023/2047).
+            if len(table) >= (1 << width) - 1 and width < 12:
                 width += 1
             if len(out) >= n_expected:
                 return out
@@ -1504,11 +1471,15 @@ _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16,
 
 def _vp8l_dist_table() -> list[tuple[int, int]]:
     """The 120-entry LZ77 distance neighborhood (dy=0: dx 1..8;
-    dy 1..7: dx -8..7), ordered by ascending squared Euclidean
-    distance, then |dx|, then positive dx first — the rule reproduces
-    the spec's published table prefix exactly (pinned by test)."""
+    dy 1..7: dx -7..8 — libwebp's kCodeToPlane packs the x offset as
+    8 - nibble with nibble 0..15, so the range is [-7, 8], POSITIVE
+    side wider), ordered by ascending squared Euclidean distance,
+    then |dx|, then positive dx first — the rule reproduces the
+    spec's published table (prefix pinned by test; the [-7,8] domain
+    was review-verified against libwebp's inverse LUT, where the
+    first [-8,7] cut mismapped the seven |dx|=8 codes)."""
     cand = [(dx, 0) for dx in range(1, 9)]
-    cand += [(dx, dy) for dy in range(1, 8) for dx in range(-8, 8)]
+    cand += [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)]
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1],
                              abs(p[0]), p[0] < 0))
     return cand
@@ -2199,9 +2170,18 @@ def parse_id3(data: bytes) -> dict:
     if data[:3] != b"ID3" or len(data) < 10:
         raise ValueError("no ID3v2 tag")
     ver = data[3]
+    if ver < 3:  # v2.2 uses 3-byte frame ids/sizes — different walk
+        raise ValueError("ID3v2.2 not supported")
+    flags = data[5]
     size = _synchsafe(data[6:10])
     pos = 10
     end = min(10 + size, len(data))
+    if flags & 0x40 and pos + 4 <= end:  # extended header present
+        ext = _synchsafe(data[pos:pos + 4]) if ver >= 4 else \
+            struct.unpack(">I", data[pos:pos + 4])[0]
+        # v2.4 size INCLUDES the whole extended header; v2.3 excludes
+        # its own 4 size bytes
+        pos += ext if ver >= 4 else 4 + ext
     mapping = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
     out: dict = dict.fromkeys(mapping.values())
     while pos + 10 <= end:

@@ -183,3 +183,25 @@ def test_id3_metadata_dataframe(spark):
     assert got[1]["title"] == "Song" and got[1]["artist"] == "Band"
     assert got[1]["album"] is None
     assert got[2]["title"] is None
+
+
+def test_id3_extended_header_and_v22_rejection():
+    from goose_parser_spark.ops.imagecodec import parse_id3
+    import pytest as _pytest
+    # v2.3 extended header: 4-byte size (excl. itself) + body
+    ext = struct.pack(">I", 6) + b"\x00" * 6
+    frame = b"TIT2" + struct.pack(">I", 4) + b"\x00\x00" + b"\x00Abc"
+    body = ext + frame
+    ss = bytes(((len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+                (len(body) >> 7) & 0x7F, len(body) & 0x7F))
+    tag = b"ID3\x03\x00\x40" + ss + body
+    assert parse_id3(tag)["title"] == "Abc"
+    # v2.4 extended header: synchsafe size INCLUDING itself
+    ext4 = bytes((0, 0, 0, 8)) + b"\x01\x00\x00\x00"
+    body4 = ext4 + frame
+    ss4 = bytes(((len(body4) >> 21) & 0x7F, (len(body4) >> 14) & 0x7F,
+                 (len(body4) >> 7) & 0x7F, len(body4) & 0x7F))
+    tag4 = b"ID3\x04\x00\x40" + ss4 + body4
+    assert parse_id3(tag4)["title"] == "Abc"
+    with _pytest.raises(ValueError):
+        parse_id3(b"ID3\x02\x00\x00\x00\x00\x00\x00")

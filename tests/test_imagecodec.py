@@ -629,9 +629,11 @@ def test_probe_media_mp3():
 
 
 def _tiff_lzw_encode(data: bytes) -> bytes:
-    """Independent test-side TIFF-LZW encoder (TIFF 6.0 §13, early
-    change): MSB-first packing, Clear/EOI, width bumps when the NEXT
-    code to assign would be 2^width - 1."""
+    """Independent test-side TIFF-LZW encoder (TIFF 6.0 §13 with the
+    de-facto Aldus early change): MSB-first packing, Clear/EOI, width
+    bumps when the count reaches 2^width — exactly one code earlier
+    than the module's known-good GIF encoder (2^width + 1), mirroring
+    libtiff's free_ent > MAXCODE(nbits)-1."""
     bits = []
     width = 9
 
@@ -651,7 +653,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         emit(table[w])
         table[c] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        if next_code == (1 << width) and width < 12:
             width += 1
         w = bytes([byte])
         if next_code >= 4094:  # table nearly full: restart
@@ -901,3 +903,14 @@ def test_png_tiny_interlaced_single_pixel():
     # 1x1 interlaced: only pass 1 has content, all others empty
     assert decode_image_gray(_write_png2(1, 1, [77], interlace=1)) == \
         (1, 1, [77])
+
+
+def test_probe_media_mp3_id3v24_footer():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 15996
+    # ID3v2.4 with footer flag (0x10): 10-byte footer between tag
+    # body and the first frame
+    tag = (b"ID3\x04\x00\x10" + bytes((0, 0, 0, 4)) + b"\x00" * 4
+           + b"3DI\x04\x00\x10" + bytes((0, 0, 0, 4)))
+    fmt, _, _, dur = probe_media(tag + frame)
+    assert fmt == "mp3" and dur == 1000

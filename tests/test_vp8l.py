@@ -163,6 +163,14 @@ def test_distance_table_matches_spec_prefix():
         (3, 3), (-3, 3), (2, 4), (-2, 4), (4, 2), (-4, 2)]
     assert _VP8L_DIST[:34] == spec_prefix
     assert len(_VP8L_DIST) == len(set(_VP8L_DIST)) == 120
+    # domain pinned to libwebp's kCodeToPlane packing (x = 8 - nibble,
+    # nibble 0..15): dx in [-7, 8] — the positive side is WIDER
+    assert {d for d, _ in _VP8L_DIST} == set(range(-7, 9))
+    assert max(d for d, _ in _VP8L_DIST) == 8
+    assert min(d for d, _ in _VP8L_DIST) == -7
+    # the seven |dx| = 8 entries all sit on the positive side
+    assert sum(1 for d, _ in _VP8L_DIST if abs(d) == 8) == 8
+    assert all(d == 8 for d, _ in _VP8L_DIST if abs(d) == 8)
 
 
 def test_lsb_reader_and_canonical():
