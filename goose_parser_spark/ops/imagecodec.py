@@ -422,9 +422,9 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
     parsing, so it covers formats whose PIXEL decode needs codec
     libraries: JPEG (SOF scan), PNG (IHDR), GIF (logical screen),
     BMP, WebP (VP8/VP8L/VP8X), WAV (duration from fmt+data sizes),
-    MP4/ISO-BMFF (mvhd duration + tkhd track dimensions) and MP3
+    MP4/ISO-BMFF (mvhd duration + tkhd track dimensions), MP3
     (frame-header bitrate behind an optional ID3v2 tag, CBR duration
-    estimate). Returns NULLs for fields a format does not carry;
+    estimate) and FLAC (STREAMINFO exact duration). Returns NULLs for fields a format does not carry;
     raises ValueError for unrecognized bytes."""
     n = len(data)
     if data[:3] == b"\xff\xd8\xff":  # JPEG: scan markers for SOFn
@@ -546,6 +546,16 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
         if dur_ms is None and width is None:
             raise ValueError("MP4 without moov metadata")
         return ("mp4", width, height, dur_ms)
+    if data[:4] == b"fLaC" and n >= 22:
+        # STREAMINFO is the mandatory first metadata block: 4-byte
+        # block header, then min/max blocksize (4) + min/max
+        # framesize (6), then 20 bits sample rate | 3 bits channels-1
+        # | 5 bits bps-1 | 36 bits total samples (big-endian packing)
+        word = int.from_bytes(data[18:26], "big")
+        rate = word >> 44
+        total = word & ((1 << 36) - 1)
+        dur = (total * 1000 // rate) if rate and total else None
+        return ("flac", None, None, dur)
     mp3 = _probe_mp3(data)
     if mp3 is not None:
         return mp3

@@ -914,3 +914,19 @@ def test_probe_media_mp3_id3v24_footer():
            + b"3DI\x04\x00\x10" + bytes((0, 0, 0, 4)))
     fmt, _, _, dur = probe_media(tag + frame)
     assert fmt == "mp3" and dur == 1000
+
+
+def test_probe_media_flac():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    # STREAMINFO: header(4) + blocksizes(4) + framesizes(6) + packed
+    # 64-bit word: rate 44100 | channels-1=1 | bps-1=15 | total samples
+    total = 441000  # exactly 10 s at 44.1 kHz
+    word = (44100 << 44) | (1 << 41) | (15 << 36) | total
+    stream_info = (b"\x00\x00\x00\x22" + b"\x00" * 10
+                   + word.to_bytes(8, "big") + b"\x00" * 16)
+    fmt, w, h, dur = probe_media(b"fLaC" + stream_info)
+    assert (fmt, w, h, dur) == ("flac", None, None, 10000)
+    # zero total samples (streaming FLAC): duration unknown
+    word0 = (44100 << 44) | (1 << 41) | (15 << 36)
+    si0 = b"\x00\x00\x00\x22" + b"\x00" * 10 + word0.to_bytes(8, "big")
+    assert probe_media(b"fLaC" + si0)[3] is None
