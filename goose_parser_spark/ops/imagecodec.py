@@ -422,9 +422,11 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
     parsing, so it covers formats whose PIXEL decode needs codec
     libraries: JPEG (SOF scan), PNG (IHDR), GIF (logical screen),
     BMP, WebP (VP8/VP8L/VP8X), WAV (duration from fmt+data sizes),
-    MP4/ISO-BMFF (mvhd duration + tkhd track dimensions), MP3
-    (frame-header bitrate behind an optional ID3v2 tag, CBR duration
-    estimate) and FLAC (STREAMINFO exact duration). Returns NULLs for fields a format does not carry;
+    ISO-BMFF (MP4 mvhd/tkhd; AVIF/HEIF dims via meta>iprp>ipco>ispe),
+    MP3 (frame-header bitrate behind an optional ID3v2 tag, CBR
+    duration estimate), FLAC (STREAMINFO exact duration), Ogg
+    (Opus/Vorbis id packet + last-page granule duration) and
+    Matroska/WebM (EBML DocType, Info duration, Video dims). Returns NULLs for fields a format does not carry;
     raises ValueError for unrecognized bytes."""
     n = len(data)
     if data[:3] == b"\xff\xd8\xff":  # JPEG: scan markers for SOFn
@@ -507,8 +509,17 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
         except struct.error:
             pass
         raise ValueError("TIFF without dimension tags")
-    if n >= 12 and data[4:8] == b"ftyp":  # MP4 / ISO-BMFF
+    if n >= 12 and data[4:8] == b"ftyp":  # ISO-BMFF: MP4 / AVIF / HEIF
         dur_ms = width = height = None
+        ftyp_len = struct.unpack(">I", data[:4])[0]
+        brands = {bytes(data[i:i + 4])
+                  for i in range(8, min(ftyp_len, n) - 3, 4)}
+        if brands & {b"avif", b"avis"}:
+            fmt = "avif"
+        elif brands & {b"heic", b"heix", b"mif1"}:
+            fmt = "heif"
+        else:
+            fmt = "mp4"
 
         def walk(lo: int, hi: int) -> None:
             nonlocal dur_ms, width, height
@@ -524,6 +535,13 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
                     break
                 if btype in (b"moov", b"trak"):
                     walk(body, pos + size)
+                elif btype == b"meta":   # FullBox: skip version/flags
+                    walk(body + 4, pos + size)
+                elif btype in (b"iprp", b"ipco"):
+                    walk(body, pos + size)
+                elif btype == b"ispe" and width is None:
+                    width, height = struct.unpack(
+                        ">II", data[body + 4:body + 12])
                 elif btype == b"mvhd":
                     ver = data[body]
                     if ver == 1:
@@ -544,8 +562,12 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
 
         walk(0, n)
         if dur_ms is None and width is None:
-            raise ValueError("MP4 without moov metadata")
-        return ("mp4", width, height, dur_ms)
+            raise ValueError("ISO-BMFF without moov/meta metadata")
+        return (fmt, width, height, dur_ms)
+    if data[:4] == b"OggS" and n >= 28:
+        return _probe_ogg(data)
+    if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML: Matroska / WebM
+        return _probe_ebml(data)
     if data[:4] == b"fLaC" and n >= 22:
         # STREAMINFO is the mandatory first metadata block: 4-byte
         # block header, then min/max blocksize (4) + min/max
@@ -572,6 +594,123 @@ _MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
 _MP3_RATES = {3: (44100, 48000, 32000),    # MPEG1
               2: (22050, 24000, 16000),    # MPEG2
               0: (11025, 12000, 8000)}     # MPEG2.5
+
+
+def _probe_ogg(data: bytes) -> tuple[str, None, None, int | None]:
+    """Ogg container probe: the first page's first packet identifies
+    the codec (OpusHead / \\x01vorbis — RFC 7845 / Vorbis I spec),
+    and duration comes from the LAST page's granule position (Opus
+    granules run at a fixed 48 kHz minus pre-skip; Vorbis granules at
+    the id-header sample rate). Pages are walked via their segment
+    tables — no payload scanning heuristics."""
+    n = len(data)
+    nseg = data[26]
+    body = 27 + nseg
+    first = data[body:body + 16]
+    fmt, rate, pre_skip = "ogg", None, 0
+    if first.startswith(b"OpusHead") and body + 12 <= n:
+        fmt = "ogg-opus"
+        rate = 48000
+        pre_skip = struct.unpack("<H", data[body + 10:body + 12])[0]
+    elif first[:7] == b"\x01vorbis" and body + 16 <= n:
+        fmt = "ogg-vorbis"
+        rate = struct.unpack("<I", data[body + 12:body + 16])[0]
+    granule = None
+    pos = 0
+    while pos + 27 <= n and data[pos:pos + 4] == b"OggS":
+        g = struct.unpack("<q", data[pos + 6:pos + 14])[0]
+        ns = data[pos + 26]
+        seg = data[pos + 27:pos + 27 + ns]
+        if len(seg) < ns:
+            break
+        if g >= 0:
+            granule = g
+        pos += 27 + ns + sum(seg)
+    dur = None
+    if rate and granule:
+        samples = max(0, granule - pre_skip)
+        dur = samples * 1000 // rate
+    return (fmt, None, None, dur)
+
+
+def _ebml_vint(data: bytes, pos: int,
+               keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-width integer at ``pos``: element IDs keep the
+    length-marker bit (matching the spec's hex notation), sizes strip
+    it. Returns (value, total_bytes)."""
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("bad EBML vint")
+    mask = 0x80
+    length = 1
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    v = b0 if keep_marker else b0 & (mask - 1)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, length
+
+
+def _probe_ebml(data: bytes) -> tuple[str, int | None, int | None,
+                                      int | None]:
+    """Matroska / WebM probe (public EBML + Matroska specs): DocType
+    from the EBML header names the format; Segment > Info yields
+    TimestampScale (default 10^6 ns) + float Duration; Segment >
+    Tracks > TrackEntry > Video yields PixelWidth/PixelHeight.
+    Unknown-size elements (all-ones vint — common for streamed
+    Segments) extend to the end of the available bytes."""
+    n = len(data)
+    fmt = "mkv"
+    dur_ticks: float | None = None
+    scale = 1_000_000
+    width = height = None
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        nonlocal fmt, dur_ticks, scale, width, height
+        while pos + 2 <= end:
+            try:
+                eid, idlen = _ebml_vint(data, pos, True)
+                size, szlen = _ebml_vint(data, pos + idlen, False)
+            except (ValueError, IndexError):
+                return
+            body = pos + idlen + szlen
+            unknown = size == (1 << (7 * szlen)) - 1
+            bend = end if unknown else min(body + size, end)
+            if eid == 0x1A45DFA3 and depth == 0:      # EBML header
+                walk(body, bend, depth + 1)
+            elif eid == 0x4282:                        # DocType
+                name = data[body:bend].split(b"\x00")[0]
+                fmt = {b"webm": "webm"}.get(name, "mkv")
+            elif eid == 0x18538067 and depth == 0:     # Segment
+                walk(body, bend, depth + 1)
+            elif eid in (0x1549A966, 0x1654AE6B):      # Info / Tracks
+                walk(body, bend, depth + 1)
+            elif eid == 0xAE or eid == 0xE0:           # TrackEntry/Video
+                walk(body, bend, depth + 1)
+            elif eid == 0x2AD7B1:                      # TimestampScale
+                scale = int.from_bytes(data[body:bend], "big")
+            elif eid == 0x4489:                        # Duration (float)
+                raw = data[body:bend]
+                if len(raw) == 4:
+                    dur_ticks = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    dur_ticks = struct.unpack(">d", raw)[0]
+            elif eid == 0xB0:                          # PixelWidth
+                width = int.from_bytes(data[body:bend], "big")
+            elif eid == 0xBA:                          # PixelHeight
+                height = int.from_bytes(data[body:bend], "big")
+            if unknown:
+                # can't know where an unknown-size element ends
+                # without full parsing; its children were walked
+                return
+            pos = body + size
+
+    walk(0, n, 0)
+    dur_ms = None
+    if dur_ticks is not None and scale:
+        dur_ms = int(dur_ticks * scale / 1_000_000_000 * 1000)
+    return (fmt, width, height, dur_ms)
 
 
 def _probe_mp3(data: bytes) -> tuple[str, None, None, int | None] | None:

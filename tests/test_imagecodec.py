@@ -930,3 +930,85 @@ def test_probe_media_flac():
     word0 = (44100 << 44) | (1 << 41) | (15 << 36)
     si0 = b"\x00\x00\x00\x22" + b"\x00" * 10 + word0.to_bytes(8, "big")
     assert probe_media(b"fLaC" + si0)[3] is None
+
+
+def _ogg_page(granule, payload, seq=0, htype=0):
+    segs = []
+    rest = len(payload)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (b"OggS\x00" + bytes((htype,)) + struct.pack("<q", granule)
+            + struct.pack("<III", 1, seq, 0) + bytes((len(segs),))
+            + bytes(segs) + payload)
+
+
+def test_probe_media_ogg_opus_and_vorbis():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    opus_head = (b"OpusHead" + bytes((1, 1)) + struct.pack("<H", 312)
+                 + struct.pack("<I", 48000) + b"\x00\x00\x00")
+    data = (_ogg_page(0, opus_head)
+            + _ogg_page(-1, b"\x00" * 10, seq=1)      # -1 granule skipped
+            + _ogg_page(96000 + 312, b"\x00" * 4, seq=2))
+    assert probe_media(data) == ("ogg-opus", None, None, 2000)
+    vorb_id = (b"\x01vorbis" + struct.pack("<I", 0) + bytes((2,))
+               + struct.pack("<I", 44100) + b"\x00" * 12
+               + b"\xb8\x01")
+    data_v = (_ogg_page(0, vorb_id)
+              + _ogg_page(44100 * 3, b"\x00" * 4, seq=1))
+    assert probe_media(data_v) == ("ogg-vorbis", None, None, 3000)
+    # unknown codec: recognized as ogg, duration unknown
+    assert probe_media(_ogg_page(0, b"Speex   hdr")) == \
+        ("ogg", None, None, None)
+
+
+def _ebml_el(eid: bytes, body: bytes) -> bytes:
+    sz = len(body)
+    if sz < 127:
+        return eid + bytes((0x80 | sz,)) + body
+    return eid + b"\x40" + struct.pack(">H", sz)[1:] + body \
+        if sz < 16384 else eid + b"\x01" + sz.to_bytes(7, "big") + body
+
+
+def test_probe_media_webm_and_mkv():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    head = _ebml_el(b"\x1a\x45\xdf\xa3",
+                    _ebml_el(b"\x42\x82", b"webm"))
+    info = _ebml_el(b"\x15\x49\xa9\x66",
+                    _ebml_el(b"\x2a\xd7\xb1", (1000000).to_bytes(3, "big"))
+                    + _ebml_el(b"\x44\x89", struct.pack(">d", 12500.0)))
+    video = _ebml_el(b"\xe0", _ebml_el(b"\xb0", (640).to_bytes(2, "big"))
+                     + _ebml_el(b"\xba", (360).to_bytes(2, "big")))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae", video))
+    seg = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    fmt, w, h, dur = probe_media(head + seg)
+    assert (fmt, w, h, dur) == ("webm", 640, 360, 12500)
+    # unknown-size segment (streamed): all-ones size vint
+    seg_stream = b"\x18\x53\x80\x67\xff" + info + tracks
+    mkv_head = _ebml_el(b"\x1a\x45\xdf\xa3",
+                        _ebml_el(b"\x42\x82", b"matroska"))
+    fmt2, w2, h2, dur2 = probe_media(mkv_head + seg_stream)
+    assert (fmt2, w2, h2, dur2) == ("mkv", 640, 360, 12500)
+
+
+def test_probe_media_avif_and_mp4_brands():
+    from goose_parser_spark.ops.imagecodec import probe_media
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00"
+               + struct.pack(">II", 1200, 800))
+    meta = box(b"meta", b"\x00\x00\x00\x00"
+               + box(b"iprp", box(b"ipco", ispe)))
+    avif = box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta
+    assert probe_media(avif) == ("avif", 1200, 800, None)
+    heic = box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1") + meta
+    assert probe_media(heic)[0] == "heif"
+    # plain mp4 still reports mp4 via mvhd (regression guard)
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", 1000, 42000) + b"\x00" * 80)
+    mp4 = box(b"ftyp", b"isom\x00\x00\x00\x00isommp42") \
+        + box(b"moov", mvhd)
+    assert probe_media(mp4) == ("mp4", None, None, 42000)
