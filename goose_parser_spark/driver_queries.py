@@ -4594,14 +4594,16 @@ FROM h
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only media probing under the value oracle
-    (ops/multimodal.media_probe): minimal JPEG prefixes are authored
-    JVM-side with doc-derived SOF0 dimensions (big-endian u16 via
-    unhex(lpad(hex(..)))); every 5th doc is instead an MPEG1 Layer
-    III stream with a doc-derived bitrate index and filler length
-    (the CBR duration estimate must replay exactly); every 97th
-    payload is garbage and must yield the NULL-format poison row. The
-    oracle predicts format, dimensions and duration arithmetically —
-    a byte-order, offset or bitrate-table bug diverges immediately."""
+    (ops/multimodal.media_probe), four authored payload classes plus
+    poison: JPEG prefixes with doc-derived SOF0 dimensions; MPEG1
+    Layer III streams with doc-derived bitrate index + filler length
+    (CBR duration must replay); Ogg-Opus two-page files whose final
+    granule position is doc-derived (duration = granule/48); AVIF
+    meta>iprp>ipco>ispe chains with doc-derived dims; every 97th
+    payload is garbage and must yield the NULL-format poison row.
+    The oracle predicts format, dimensions and duration
+    arithmetically — a byte-order, offset, bitrate-table, granule or
+    box-walk bug diverges immediately."""
     from goose_parser_spark.ops.multimodal import media_probe
     docs = _documents_amplified(spark, sf_dir)
     d = F.col("doc_id")
@@ -4620,8 +4622,50 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.lpad(F.hex((d % 14 + 1) * 16), 2, "0")),
         F.lit(b"\x00"),
         F.expr("encode(repeat(' ', 2000 + doc_id % 997), 'utf-8')"))
+    # Ogg-Opus: const id page (granule 0, pre-skip 0), then a final
+    # 4-byte data page whose granule is doc-derived — the duration
+    # must replay as granule * 1000 // 48000
+    import struct as _struct
+    opus_head = (b"OpusHead" + bytes((1, 1)) + _struct.pack("<H", 0)
+                 + _struct.pack("<I", 48000) + b"\x00\x00\x00")
+    page0 = (b"OggS\x00\x02" + _struct.pack("<q", 0)
+             + _struct.pack("<III", 1, 0, 0)
+             + bytes((1, len(opus_head))) + opus_head)
+    page1_pre = (b"OggS\x00\x04",)  # granule follows
+    gran = (d % 1000 + 1) * 4800
+
+    def le32(col: Column) -> Column:
+        """4 little-endian bytes of a 32-bit value."""
+        return F.unhex(F.concat(
+            F.lpad(F.hex(col % 256), 2, "0"),
+            F.lpad(F.hex((col / 256).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((col / 65536).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((col / 16777216).cast("long") % 256), 2, "0")))
+
+    ogg = F.concat(
+        F.lit(page0), F.lit(page1_pre[0]), le32(gran),
+        F.lit(b"\x00\x00\x00\x00"
+              + _struct.pack("<III", 1, 1, 0)
+              + bytes((1, 4)) + b"\x00\x00\x00\x00"))
+    # AVIF: ftyp + meta>iprp>ipco>ispe with doc-derived dims
+    def box(tag: bytes, body_len: int) -> bytes:
+        return _struct.pack(">I", body_len + 8) + tag
+
+    ispe_body = 4 + 8                  # fullbox version/flags + dims
+    ipco_body = 8 + ispe_body          # the ispe box in full
+    iprp_body = 8 + ipco_body
+    meta_body = 4 + 8 + iprp_body      # fullbox + the iprp box
+    avif = F.concat(
+        F.lit(box(b"ftyp", 8) + b"avif\x00\x00\x00\x00"
+              + box(b"meta", meta_body) + b"\x00\x00\x00\x00"
+              + box(b"iprp", iprp_body) + box(b"ipco", ipco_body)
+              + box(b"ispe", ispe_body) + b"\x00\x00\x00\x00"),
+        F.unhex(F.lpad(F.hex((d % 2000) + 16), 8, "0")),
+        F.unhex(F.lpad(F.hex((d % 1500) + 16), 8, "0")))
     payload = (F.when(d % 97 == 13, F.lit(b"no header here"))
-               .when(d % 5 == 2, mp3).otherwise(jpeg))
+               .when(d % 5 == 2, mp3)
+               .when(d % 7 == 3, ogg)
+               .when(d % 11 == 5, avif).otherwise(jpeg))
     return media_probe(docs.select("doc_id", payload.alias("payload")))
 
 
@@ -4634,19 +4678,30 @@ def _sql_mp3_kbps(idx: str) -> str:
 
 
 SQL_MEDIA_PROBE = f"""
-WITH {_SQL_DOCS_AMP_COPY}
+WITH {_SQL_DOCS_AMP_COPY}, mp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 13 THEN 'poison'
+              WHEN doc_id % 5 = 2 THEN 'mp3'
+              WHEN doc_id % 7 = 3 THEN 'ogg-opus'
+              WHEN doc_id % 11 = 5 THEN 'avif'
+              ELSE 'jpeg' END AS cls
+  FROM docs_amp
+)
 SELECT doc_id,
-       CASE WHEN doc_id % 97 = 13 THEN NULL
-            WHEN doc_id % 5 = 2 THEN 'mp3' ELSE 'jpeg' END AS format,
-       CASE WHEN doc_id % 97 = 13 OR doc_id % 5 = 2 THEN NULL
-            ELSE CAST(doc_id % 1920 + 32 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 97 = 13 OR doc_id % 5 = 2 THEN NULL
-            ELSE CAST(doc_id % 1080 + 32 AS INTEGER) END AS height,
-       CASE WHEN doc_id % 97 <> 13 AND doc_id % 5 = 2
+       CASE WHEN cls = 'poison' THEN NULL ELSE cls END AS format,
+       CASE WHEN cls = 'jpeg' THEN CAST(doc_id % 1920 + 32 AS INTEGER)
+            WHEN cls = 'avif' THEN CAST(doc_id % 2000 + 16 AS INTEGER)
+            ELSE NULL END AS width,
+       CASE WHEN cls = 'jpeg' THEN CAST(doc_id % 1080 + 32 AS INTEGER)
+            WHEN cls = 'avif' THEN CAST(doc_id % 1500 + 16 AS INTEGER)
+            ELSE NULL END AS height,
+       CASE WHEN cls = 'mp3'
             THEN CAST((2004 + doc_id % 997) * 8
                       // ({_sql_mp3_kbps("doc_id % 14 + 1")}) AS BIGINT)
+            WHEN cls = 'ogg-opus'
+            THEN CAST((doc_id % 1000 + 1) * 100 AS BIGINT)
             ELSE CAST(NULL AS BIGINT) END AS duration_ms
-FROM docs_amp
+FROM mp
 """
 
 
