@@ -4530,6 +4530,64 @@ FROM h
 """
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio energy-envelope fingerprint under the value oracle:
+    8-bit PCM WAVs (256 samples from 16 md5 digests) are decoded by
+    the real codec, framed at 16 samples, and the 15 frame-to-frame
+    energy-delta signs pack into the fingerprint. The oracle
+    re-derives every sample (byte - 128), every integer frame energy
+    and every comparison — one wrong bit in decode, framing, window
+    ordering or bit packing and the integers diverge."""
+    import struct as _struct
+    from goose_parser_spark.ops.multimodal import audio_fingerprint
+    docs = _documents_amplified(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("afp-"), F.col("doc_id").cast("string")))
+    parts = [F.unhex(F.md5(F.concat(h, F.lit(f":{j}"))))
+             for j in range(16)]
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    header = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 256)
+              + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+              + b"data" + _struct.pack("<I", 256))
+    payload = F.concat(F.lit(header), *parts)
+    wav = docs.select("doc_id", payload.alias("payload"))
+    return audio_fingerprint(wav, frame=16, bits=15)
+
+
+def _sql_audio_fingerprint() -> str:
+    """Generated DuckDB replay: 256 recentered samples from the
+    digest chain, 16 integer frame energies, 15 delta-sign bits."""
+    digs = ",\n         ".join(
+        f"md5(_h || ':{j}') AS _d{j}" for j in range(16))
+    eexprs = []
+    for f in range(16):
+        terms = []
+        for k in range(16):
+            byte = f * 16 + k
+            d, off = byte // 16, byte % 16
+            terms.append(
+                f"abs(CAST(('0x' || substr(_d{d}, {off * 2 + 1}, 2)) "
+                f"AS BIGINT) - 128)")
+        eexprs.append(f"({' + '.join(terms)}) // 16 AS e{f}")
+    bits = " + ".join(
+        f"CASE WHEN e{i} > e{i - 1} THEN {1 << (i - 1)} ELSE 0 END"
+        for i in range(1, 16))
+    return (
+        "a0 AS (\n"
+        "  SELECT doc_id, md5('afp-' || doc_id) AS _h FROM docs_amp\n"
+        "), ad AS (\n"
+        f"  SELECT doc_id,\n         {digs}\n  FROM a0\n"
+        "), ae AS (\n"
+        f"  SELECT doc_id,\n         {', '.join(eexprs)}\n  FROM ad\n"
+        ")\n"
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS afp,\n"
+        "       CAST(16 AS INTEGER) AS n_frames\n"
+        "FROM ae")
+
+
+SQL_AUDIO_FINGERPRINT = (
+    f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_audio_fingerprint())
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL video path under the value oracle: a 4-frame
     AVI/MJPEG file per document is authored JVM-side — RIFF/hdrl/movi
@@ -5167,7 +5225,6 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
-    "contamination": q_contamination,
     "text_repetition": q_text_repetition,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -5190,13 +5247,16 @@ QUERIES: dict[str, QueryFn] = {
     "gif_frames": q_gif_frames,
     "webp_frames": q_webp_frames,
     "id3_tags": q_id3_tags,
+    "audio_fingerprint": q_audio_fingerprint,
     # ---- 50-entry window boundary (driver hashes up to here) ----
-    # SEVEN family reps rotated below the boundary to make room for
-    # the seven newest ops (g711/video/webp_decode/exif/gif_frames/
-    # webp_frames/id3_tags): sample_by_hash, domain_quota,
-    # anchor_text, cdx_parse, sitemap_parse, redact_pii,
-    # hll_cardinality — all seven driver-signed in r1-r5
+    # EIGHT family reps rotated below the boundary to make room for
+    # the eight newest ops (g711/video/webp_decode/exif/gif_frames/
+    # webp_frames/id3_tags/audio_fingerprint): sample_by_hash,
+    # domain_quota, anchor_text, cdx_parse, sitemap_parse,
+    # redact_pii, hll_cardinality, contamination — all eight
+    # driver-signed in r1-r5
     "sitemap_parse": q_sitemap_parse,
+    "contamination": q_contamination,
     "hll_cardinality": q_hll_cardinality,
     "redact_pii": q_redact_pii,
     "sample_by_hash": q_sample_by_hash,
@@ -5360,6 +5420,7 @@ ORACLES: dict[str, str] = {
     "gif_frames": SQL_GIF_FRAMES,
     "webp_frames": SQL_WEBP_FRAMES,
     "id3_tags": SQL_ID3_TAGS,
+    "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

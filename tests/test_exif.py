@@ -205,3 +205,44 @@ def test_id3_extended_header_and_v22_rejection():
     assert parse_id3(tag4)["title"] == "Abc"
     with _pytest.raises(ValueError):
         parse_id3(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+
+
+def test_audio_fingerprint_envelope_properties(spark):
+    """Volume scaling preserves most delta signs (envelope shape),
+    unrelated audio diverges, short/poison docs behave, and the
+    fingerprints drop into the shared Hamming machinery."""
+    import math
+    from tests.test_imagecodec import _write_wav
+    from goose_parser_spark.ops.dedup import hamming_pairs
+    from goose_parser_spark.ops.multimodal import audio_fingerprint
+    import random
+    rng = random.Random(5)
+    # a smooth envelope: 40 frames x 50 samples
+    base = []
+    for f in range(41):
+        amp = int(4000 + 3500 * math.sin(f / 3) + rng.randrange(200))
+        base += [amp if i % 2 == 0 else -amp for i in range(50)]
+    quieter = [int(s * 0.7) for s in base]
+    other = [rng.randrange(-8000, 8000) for _ in range(len(base))]
+    rows = [(1, bytearray(_write_wav(base))),
+            (2, bytearray(_write_wav(quieter))),
+            (3, bytearray(_write_wav(other))),
+            (4, bytearray(b"ID3 only, no frame")),
+            (5, bytearray(_write_wav(base[:30])))]  # < 1 frame
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r
+           for r in audio_fingerprint(df, frame=50, bits=39).collect()}
+    assert got[4]["afp"] is None and got[4]["n_frames"] == 0
+    # a doc shorter than one frame yields no frames and therefore no
+    # fingerprint row (audio_features emits nothing for it)
+    assert 5 not in got
+    same = bin(got[1]["afp"] ^ got[2]["afp"]).count("1")
+    diff = bin(got[1]["afp"] ^ got[3]["afp"]).count("1")
+    assert same <= 6, same       # envelope survives volume scaling
+    assert diff >= 10, diff      # unrelated audio lands far
+    fps = spark.createDataFrame(
+        [(i, got[i]["afp"]) for i in (1, 2, 3)], "doc_id long, afp long")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in hamming_pairs(fps, "afp", max_hamming=6,
+                                    bits=39).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs

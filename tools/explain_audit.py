@@ -373,6 +373,15 @@ CHECKS = {
         ("map-only: no shuffle — header-bytes scan, no decode",
          lambda p: "Exchange" not in _exec_part(p)),
     ],
+    "audio_fingerprint": [
+        ("decode is the only Python node; envelope bits are pure "
+         "Catalyst (window lag + bit sum)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("exactly one keyed shuffle (the per-doc window/agg)",
+         lambda p: _exec_part(p).count("Exchange hashpartitioning")
+         <= 2),
+    ],
     "id3_tags": [
         ("tag walk is the only Python node (authoring is pure "
          "hex concat)",
