@@ -3865,13 +3865,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg = F.floor(F.col("doc_id") / 23).cast("long")
     h = F.md5(F.encode(
         F.concat(F.lit("jpg-"), pg.cast("string")), "utf-8"))
-    blocks = []
-    for j in range(4):
-        pair = F.substring(h, j * 2 + 1, 2)
-        pair = F.when(pair == "ff", F.lit("fe")).otherwise(pair)
-        blocks.append(F.concat(F.lit("08"), pair, F.lit("00")))
-    payload = F.unhex(F.concat(F.lit(_jpeg_dc_header().hex()),
-                               *blocks, F.lit("ffd9")))
+    payload = _jpeg_payload_from(h)
     return phash_image(docs.select("doc_id", payload.alias("payload")))
 
 
@@ -4527,6 +4521,180 @@ WITH {_SQL_DOCS_AMP_COPY}, wa0 AS (
 SELECT doc_id, frame_no, CAST(8 AS INTEGER) AS width,
        CAST(8 AS INTEGER) AS height, fp AS phash
 FROM h
+"""
+
+
+def _jpeg_payload_from(h: Column) -> Column:
+    """DC-only 16x16 JPEG payload whose 4 diff bytes are the first 4
+    hex pairs of digest column ``h`` (ff→fe remapped) — the shared
+    authoring brick of the jpeg/video/cross-modal oracles."""
+    blocks = []
+    for j in range(4):
+        pair = F.substring(h, j * 2 + 1, 2)
+        pair = F.when(pair == "ff", F.lit("fe")).otherwise(pair)
+        blocks.append(F.concat(F.lit("08"), pair, F.lit("00")))
+    return F.unhex(F.concat(F.lit(_jpeg_dc_header().hex()),
+                            *blocks, F.lit("ffd9")))
+
+
+def _pgm_payload_from(h: Column) -> Column:
+    """8x8 PGM payload whose 64 pixels are the md5 digest chain of
+    ``h`` — the full-entropy authoring brick shared by the image and
+    cross-modal oracles (full-entropy matters: low-entropy images
+    collapse Hamming block buckets and blow the pair join up)."""
+    parts = [F.unhex(F.md5(F.concat(h, F.lit(f":{j}"))))
+             for j in range(4)]
+    return F.concat(F.encode(F.lit("P5 8 8 255\n"), "utf-8"), *parts)
+
+
+def q_crossmodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media layer's capstone under the value oracle: near-dup
+    pairs ACROSS modalities. Even docs contribute a STILL image, odd
+    docs contribute an AVI whose sampled frame carries the previous
+    doc's pixel bytes — so every odd doc's video frame is a
+    pixel-exact dup of its neighbor's still, found by the SAME
+    pigeonhole Hamming join images/video/audio all share. The oracle
+    replays both fingerprint paths through one digest-pixel chain
+    keyed by the CASE-selected seed and the same banded block join —
+    a divergence in either decoder, the union, or the join breaks
+    the pair set."""
+    import struct as _struct
+    from goose_parser_spark.ops.dedup import hamming_pairs
+    from goose_parser_spark.ops.multimodal import phash_image, video_frames
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    still_h = F.md5(F.concat(F.lit("xm-"), d.cast("string")))
+    stills = docs.filter(d % 2 == 0).select(
+        "doc_id", _pgm_payload_from(still_h).alias("payload"))
+    s_fp = phash_image(stills)
+    # odd docs: 2-frame AVI; only frame 0 (the neighbor's pixels) is
+    # sampled at every=2, frame 1 carries unique pixels
+    f0_h = F.md5(F.concat(F.lit("xm-"), (d - 1).cast("string")))
+    f1_h = F.md5(F.concat(F.lit("xmv-"), d.cast("string")))
+    plen = len(b"P5 8 8 255\n") + 64
+    chunk_hdr = b"00dc" + _struct.pack("<I", plen)
+    pad = b"\x00" if plen & 1 else b""
+    frame_bytes = 8 + plen + len(pad)
+    movi = b"LIST" + _struct.pack("<I", 4 + 2 * frame_bytes) + b"movi"
+    head = (b"RIFF" + _struct.pack("<I", 4 + 8 + 4 + 2 * frame_bytes)
+            + b"AVI " + movi)
+    avi = F.concat(
+        F.lit(head),
+        F.lit(chunk_hdr), _pgm_payload_from(f0_h), F.lit(pad),
+        F.lit(chunk_hdr), _pgm_payload_from(f1_h), F.lit(pad))
+    vids = docs.filter(d % 2 == 1).select(
+        "doc_id", avi.alias("payload"))
+    v_fp = (video_frames(vids, every=2)
+            .filter("frame_no = 0")
+            .select("doc_id", "phash"))
+    # materialize EACH fingerprint pipeline separately BEFORE the
+    # union: unioned, the two ~190-expression DCT chains fuse into
+    # one whole-stage-codegen method that exceeds janino's limits in
+    # a way the fallback cannot recover from (class-level overflow,
+    # fatal, unlike the single-chain case which falls back cleanly).
+    # Checkpointed separately each side is the proven phash_pairs
+    # shape, and the union then moves 16-byte fingerprints only.
+    fps = (s_fp.coalesce(4).localCheckpoint()
+           .unionByName(v_fp.coalesce(4).localCheckpoint()))
+    return hamming_pairs(fps.localCheckpoint(), "phash",
+                         max_hamming=3, bits=60)
+
+
+SQL_CROSSMODAL_PAIRS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, xm0 AS (
+  SELECT doc_id,
+         md5('xm-' || CASE WHEN doc_id % 2 = 0 THEN doc_id
+                           ELSE doc_id - 1 END) AS _h
+  FROM docs_amp
+), dg AS (
+  SELECT doc_id,
+         md5(_h || ':0') AS _d0,
+         md5(_h || ':1') AS _d1,
+         md5(_h || ':2') AS _d2,
+         md5(_h || ':3') AS _d3
+  FROM xm0
+), pix AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(_d0, 1, 2)) AS BIGINT) AS p0,
+         CAST(('0x' || substr(_d0, 3, 2)) AS BIGINT) AS p1,
+         CAST(('0x' || substr(_d0, 5, 2)) AS BIGINT) AS p2,
+         CAST(('0x' || substr(_d0, 7, 2)) AS BIGINT) AS p3,
+         CAST(('0x' || substr(_d0, 9, 2)) AS BIGINT) AS p4,
+         CAST(('0x' || substr(_d0, 11, 2)) AS BIGINT) AS p5,
+         CAST(('0x' || substr(_d0, 13, 2)) AS BIGINT) AS p6,
+         CAST(('0x' || substr(_d0, 15, 2)) AS BIGINT) AS p7,
+         CAST(('0x' || substr(_d0, 17, 2)) AS BIGINT) AS p8,
+         CAST(('0x' || substr(_d0, 19, 2)) AS BIGINT) AS p9,
+         CAST(('0x' || substr(_d0, 21, 2)) AS BIGINT) AS p10,
+         CAST(('0x' || substr(_d0, 23, 2)) AS BIGINT) AS p11,
+         CAST(('0x' || substr(_d0, 25, 2)) AS BIGINT) AS p12,
+         CAST(('0x' || substr(_d0, 27, 2)) AS BIGINT) AS p13,
+         CAST(('0x' || substr(_d0, 29, 2)) AS BIGINT) AS p14,
+         CAST(('0x' || substr(_d0, 31, 2)) AS BIGINT) AS p15,
+         CAST(('0x' || substr(_d1, 1, 2)) AS BIGINT) AS p16,
+         CAST(('0x' || substr(_d1, 3, 2)) AS BIGINT) AS p17,
+         CAST(('0x' || substr(_d1, 5, 2)) AS BIGINT) AS p18,
+         CAST(('0x' || substr(_d1, 7, 2)) AS BIGINT) AS p19,
+         CAST(('0x' || substr(_d1, 9, 2)) AS BIGINT) AS p20,
+         CAST(('0x' || substr(_d1, 11, 2)) AS BIGINT) AS p21,
+         CAST(('0x' || substr(_d1, 13, 2)) AS BIGINT) AS p22,
+         CAST(('0x' || substr(_d1, 15, 2)) AS BIGINT) AS p23,
+         CAST(('0x' || substr(_d1, 17, 2)) AS BIGINT) AS p24,
+         CAST(('0x' || substr(_d1, 19, 2)) AS BIGINT) AS p25,
+         CAST(('0x' || substr(_d1, 21, 2)) AS BIGINT) AS p26,
+         CAST(('0x' || substr(_d1, 23, 2)) AS BIGINT) AS p27,
+         CAST(('0x' || substr(_d1, 25, 2)) AS BIGINT) AS p28,
+         CAST(('0x' || substr(_d1, 27, 2)) AS BIGINT) AS p29,
+         CAST(('0x' || substr(_d1, 29, 2)) AS BIGINT) AS p30,
+         CAST(('0x' || substr(_d1, 31, 2)) AS BIGINT) AS p31,
+         CAST(('0x' || substr(_d2, 1, 2)) AS BIGINT) AS p32,
+         CAST(('0x' || substr(_d2, 3, 2)) AS BIGINT) AS p33,
+         CAST(('0x' || substr(_d2, 5, 2)) AS BIGINT) AS p34,
+         CAST(('0x' || substr(_d2, 7, 2)) AS BIGINT) AS p35,
+         CAST(('0x' || substr(_d2, 9, 2)) AS BIGINT) AS p36,
+         CAST(('0x' || substr(_d2, 11, 2)) AS BIGINT) AS p37,
+         CAST(('0x' || substr(_d2, 13, 2)) AS BIGINT) AS p38,
+         CAST(('0x' || substr(_d2, 15, 2)) AS BIGINT) AS p39,
+         CAST(('0x' || substr(_d2, 17, 2)) AS BIGINT) AS p40,
+         CAST(('0x' || substr(_d2, 19, 2)) AS BIGINT) AS p41,
+         CAST(('0x' || substr(_d2, 21, 2)) AS BIGINT) AS p42,
+         CAST(('0x' || substr(_d2, 23, 2)) AS BIGINT) AS p43,
+         CAST(('0x' || substr(_d2, 25, 2)) AS BIGINT) AS p44,
+         CAST(('0x' || substr(_d2, 27, 2)) AS BIGINT) AS p45,
+         CAST(('0x' || substr(_d2, 29, 2)) AS BIGINT) AS p46,
+         CAST(('0x' || substr(_d2, 31, 2)) AS BIGINT) AS p47,
+         CAST(('0x' || substr(_d3, 1, 2)) AS BIGINT) AS p48,
+         CAST(('0x' || substr(_d3, 3, 2)) AS BIGINT) AS p49,
+         CAST(('0x' || substr(_d3, 5, 2)) AS BIGINT) AS p50,
+         CAST(('0x' || substr(_d3, 7, 2)) AS BIGINT) AS p51,
+         CAST(('0x' || substr(_d3, 9, 2)) AS BIGINT) AS p52,
+         CAST(('0x' || substr(_d3, 11, 2)) AS BIGINT) AS p53,
+         CAST(('0x' || substr(_d3, 13, 2)) AS BIGINT) AS p54,
+         CAST(('0x' || substr(_d3, 15, 2)) AS BIGINT) AS p55,
+         CAST(('0x' || substr(_d3, 17, 2)) AS BIGINT) AS p56,
+         CAST(('0x' || substr(_d3, 19, 2)) AS BIGINT) AS p57,
+         CAST(('0x' || substr(_d3, 21, 2)) AS BIGINT) AS p58,
+         CAST(('0x' || substr(_d3, 23, 2)) AS BIGINT) AS p59,
+         CAST(('0x' || substr(_d3, 25, 2)) AS BIGINT) AS p60,
+         CAST(('0x' || substr(_d3, 27, 2)) AS BIGINT) AS p61,
+         CAST(('0x' || substr(_d3, 29, 2)) AS BIGINT) AS p62,
+         CAST(('0x' || substr(_d3, 31, 2)) AS BIGINT) AS p63
+  FROM dg
+), {_sql_phash_chain()}, blocks AS (
+  SELECT doc_id, fp, r.range AS blk,
+         (fp >> CAST(r.range * 15 AS INTEGER)) & 32767 AS bv
+  FROM h CROSS JOIN range(4) r
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(bit_count(xor(ha.fp, hb.fp)) AS INTEGER) AS hamming
+FROM cand
+JOIN h ha ON ha.doc_id = doc_a
+JOIN h hb ON hb.doc_id = doc_b
+WHERE bit_count(xor(ha.fp, hb.fp)) <= 3
 """
 
 
@@ -5225,7 +5393,6 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
-    "text_repetition": q_text_repetition,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_gopher_quality": q_text_gopher_quality,
@@ -5248,14 +5415,16 @@ QUERIES: dict[str, QueryFn] = {
     "webp_frames": q_webp_frames,
     "id3_tags": q_id3_tags,
     "audio_fingerprint": q_audio_fingerprint,
+    "crossmodal_pairs": q_crossmodal_pairs,
     # ---- 50-entry window boundary (driver hashes up to here) ----
-    # EIGHT family reps rotated below the boundary to make room for
-    # the eight newest ops (g711/video/webp_decode/exif/gif_frames/
-    # webp_frames/id3_tags/audio_fingerprint): sample_by_hash,
-    # domain_quota, anchor_text, cdx_parse, sitemap_parse,
-    # redact_pii, hll_cardinality, contamination — all eight
-    # driver-signed in r1-r5
+    # NINE family reps rotated below the boundary to make room for
+    # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
+    # webp_frames/id3_tags/audio_fingerprint/crossmodal_pairs):
+    # sample_by_hash, domain_quota, anchor_text, cdx_parse,
+    # sitemap_parse, redact_pii, hll_cardinality, contamination,
+    # text_repetition — all nine driver-signed in r1-r5
     "sitemap_parse": q_sitemap_parse,
+    "text_repetition": q_text_repetition,
     "contamination": q_contamination,
     "hll_cardinality": q_hll_cardinality,
     "redact_pii": q_redact_pii,
@@ -5421,6 +5590,7 @@ ORACLES: dict[str, str] = {
     "webp_frames": SQL_WEBP_FRAMES,
     "id3_tags": SQL_ID3_TAGS,
     "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+    "crossmodal_pairs": SQL_CROSSMODAL_PAIRS,
     "video_frames": SQL_VIDEO_FRAMES,
     "audio_decode": SQL_AUDIO_DECODE,
     "media_probe": SQL_MEDIA_PROBE,

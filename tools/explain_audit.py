@@ -373,6 +373,14 @@ CHECKS = {
         ("map-only: no shuffle — header-bytes scan, no decode",
          lambda p: "Exchange" not in _exec_part(p)),
     ],
+    "crossmodal_pairs": [
+        ("pigeonhole block join over the unioned fingerprints, "
+         "never all-pairs",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("fingerprints materialized before the self-join (scan "
+         "nodes, not DCT chains, feed both sides)",
+         lambda p: "Scan ExistingRDD" in _exec_part(p)),
+    ],
     "audio_fingerprint": [
         ("decode is the only Python node; envelope bits are pure "
          "Catalyst (window lag + bit sum)",
