@@ -39,6 +39,44 @@ def _gray(r: int, g: int, b: int) -> int:
     return (299 * r + 587 * g + 114 * b + 500) // 1000
 
 
+# Adversarial-input guards: these parsers run against arbitrary web
+# bytes, so dimension fields and compressed streams must never drive
+# unbounded allocations (a 4-byte header claiming a 65535x65535
+# canvas would otherwise allocate tens of GB in one uninterruptible
+# step, and a kilobyte zlib bomb can inflate to GBs). The cap is a
+# DECODE budget, not a size policy: 16 MP (4096x4096) covers the web
+# imagery a pure-Python pixel loop can realistically chew through,
+# and anything larger still gets true dimensions from probe_media
+# (header-only), so size gates fire before decode ever runs. Each
+# Python list pixel costs ~8 bytes of pointer, so 16 MP bounds any
+# single canvas at ~128 MB instead of the ~0.5 GB a 64 MP budget
+# allowed (repeated 0.5 GB lists fragment the allocator — observed
+# as multi-GB RSS growth under the decoder fuzz suite).
+MAX_PIXELS = 16_000_000
+
+# Animation walks compose one canvas per frame; without a ceiling a
+# crafted file with thousands of tiny frame records multiplies the
+# canvas cost. Callers sampling frames pass their own max_frames;
+# this is the backstop when they don't.
+MAX_FRAMES = 256
+
+
+def _check_pixels(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(f"implausible {what} dimensions {w}x{h}")
+
+
+def _bounded_inflate(data: bytes, limit: int) -> bytes:
+    """zlib decompress with an output cap (bomb guard): anything past
+    ``limit`` bytes means the stream disagrees with the declared
+    geometry and the document is rejected, not inflated."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, limit + 1)
+    if len(out) > limit:
+        raise ValueError("compressed stream exceeds declared size")
+    return out
+
+
 def _png_unfilter(raw: bytes, pos: int, ph: int, bpl: int,
                   bpp: int) -> bytearray:
     """Undo per-scanline filters 0-4 (None/Sub/Up/Average/Paeth) for
@@ -135,9 +173,16 @@ def _png_gray(data: bytes) -> tuple[int, int, list[int]]:
         color_type, (8, 16))
     if bit_depth not in legal or interlace not in (0, 1):
         raise ValueError("unsupported PNG depth/interlace combination")
-    raw = zlib.decompress(bytes(idat))
+    _check_pixels(width, height, "PNG")
     passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
     bpp = max(1, channels * bit_depth // 8)
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            expected += ph * (1 + (pw * channels * bit_depth + 7) // 8)
+    raw = _bounded_inflate(bytes(idat), expected)
     img = [0] * (width * height * channels)
     pos = 0
     for x0, y0, dx, dy in passes:
@@ -193,6 +238,7 @@ def _bmp_gray(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("unsupported BMP (need uncompressed 24/32-bit)")
     flip = height > 0  # positive height = bottom-up storage
     height = abs(height)
+    _check_pixels(width, height, "BMP")
     step = bpp // 8
     stride = (width * step + 3) & ~3
     gray: list[int] = []
@@ -223,6 +269,7 @@ def _pnm_gray(data: bytes) -> tuple[int, int, list[int]]:
             pos += 1
         fields.append(data[start:pos])
     width, height, maxval = (int(f) for f in fields)
+    _check_pixels(width, height, "PNM")
     if maxval > 255:
         raise ValueError("unsupported PNM maxval")
     pos += 1  # single whitespace after maxval
@@ -747,7 +794,14 @@ def _probe_mp3(data: bytes) -> tuple[str, None, None, int | None] | None:
 def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
     """GIF-flavor LZW: variable-width codes (LSB-first bit packing),
     CLEAR resets the table, EOI ends the stream; code width grows
-    after the table fills 2^width (capped at 12 bits per the spec)."""
+    after the table fills 2^width (capped at 12 bits per the spec).
+    The spec cap also bounds ``min_code_size``: width starts at
+    mcs+1 and may never exceed 12, so mcs>11 is corrupt — and must
+    be rejected BEFORE ``reset()`` builds a 2^mcs-entry table (a
+    single flipped byte would otherwise drive an unbounded
+    allocation loop)."""
+    if not 1 <= min_code_size <= 11:
+        raise ValueError("corrupt LZW minimum code size")
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -821,6 +875,8 @@ def gif_frames_gray(data: bytes,
     garbage blocks)."""
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
         raise ValueError("not a GIF")
+    if max_frames is None:
+        max_frames = MAX_FRAMES
     sw, sh, flags, bg_idx = struct.unpack("<HHBB", data[6:12])
     pos = 13
     global_pal: bytes | None = None
@@ -834,6 +890,7 @@ def gif_frames_gray(data: bytes,
                         global_pal[3 * bg_idx + 2])
     else:
         bg_gray = 0
+    _check_pixels(sw, sh, "GIF screen")
     canvas = [bg_gray] * (sw * sh)
     frames: list[list[int]] = []
     disposal = 0
@@ -854,6 +911,7 @@ def gif_frames_gray(data: bytes,
         elif b == 0x2C:  # image descriptor
             fx, fy, w, h, iflags = struct.unpack(
                 "<HHHHB", data[pos + 1:pos + 10])
+            _check_pixels(w, h, "GIF frame")
             pos += 10
             pal = global_pal
             if iflags & 0x80:
@@ -950,6 +1008,7 @@ def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
         offsets, counts = tags[273], tags[279]
     except KeyError:
         raise ValueError("TIFF missing required tags") from None
+    _check_pixels(width, height, "TIFF")
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
@@ -965,7 +1024,8 @@ def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
             n_rows = min(rows_per_strip, height - si * rows_per_strip)
             strips.append(_tiff_lzw(raw, width * spp * n_rows))
         elif comp in (8, 32946):  # Deflate (Adobe & legacy tags)
-            strips.append(zlib.decompress(raw))
+            n_rows = min(rows_per_strip, height - si * rows_per_strip)
+            strips.append(_bounded_inflate(raw, width * spp * n_rows))
         elif comp == 32773:
             strips.append(_packbits(raw))
         else:
@@ -1274,6 +1334,7 @@ def _jpeg_gray(data: bytes) -> tuple[int, int, list[int]]:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
+            _check_pixels(w, h, "JPEG")
             comps = []
             for c in range(nc):
                 cid, hv, tq_ = body[6 + 3 * c:9 + 3 * c]
@@ -1919,6 +1980,7 @@ def _vp8l_decode_stream(br: _LsbReader, w: int, h: int,
                        _vp8l_read_prefix(br, 256),
                        _vp8l_read_prefix(br, 256),
                        _vp8l_read_prefix(br, 40)))
+    _check_pixels(max(1, xsize), max(1, h), "VP8L image")
     npix = xsize * h
     out = [0] * npix
     pos = 0
@@ -2077,6 +2139,7 @@ def webp_frames_gray(
         raise ValueError("not a WebP file")
     pos = 12
     n = len(data)
+    max_frames = MAX_FRAMES
     canvas_w = canvas_h = None
     bg_gray = 0
     frames: list[list[int] | None] = []
@@ -2096,6 +2159,7 @@ def webp_frames_gray(
             if canvas_w is None:
                 raise ValueError("ANMF before VP8X")
             if canvas is None:
+                _check_pixels(canvas_w, canvas_h, "WebP canvas")
                 canvas = [bg_gray] * (canvas_w * canvas_h)
             fx = 2 * int.from_bytes(body[0:3], "little")
             fy = 2 * int.from_bytes(body[3:6], "little")
@@ -2136,6 +2200,8 @@ def webp_frames_gray(
                 for i in range(min(fw, canvas_w - fx)):
                     canvas[row + fx + i] = frame_px[src + i]
             frames.append(list(canvas))
+            if len(frames) >= max_frames:
+                break
             if dispose:
                 for j in range(fh):
                     if fy + j >= canvas_h:
