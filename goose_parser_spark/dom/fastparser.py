@@ -44,6 +44,17 @@ from goose_parser_spark.dom.parser import (
 )
 
 # One scan token: comment | declaration/PI | end tag | start tag.
+# The start branch's name and attrs quantifiers are POSSESSIVE: the
+# two character classes overlap (both accept '<', letters, ...), so
+# on a failing match a backtracking engine would try every (name,
+# attrs) split point — O(n^2) per attempt, O(n^3) over a document of
+# stray '<'s (a 2 KB hostile page measured >20 s). Possessive
+# matching is semantics-preserving here: the attrs alternatives are
+# first-character-disjoint (a position starting with a quote can
+# only ever be a quoted run), so giving characters back can never
+# turn a failure into a match — except the degenerate quote-in-name
+# case, which sits in the module's documented all-three-disagree
+# divergence class and is differential-tested.
 _TOKEN_RE = re.compile(
     r"""<(?:
         !--(?P<comment>.*?)-->
@@ -53,8 +64,8 @@ _TOKEN_RE = re.compile(
       | (?P<decl>[!?][^>]*)>
       | /(?P<end>[a-zA-Z][-a-zA-Z0-9:._]*)\s*>
       | /(?P<bogus>[^>]*)>
-      | (?P<start>[a-zA-Z][^\t\n\r\f\x20/>\x00]*)
-        (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*)>
+      | (?P<start>[a-zA-Z][^\t\n\r\f\x20/>\x00]*+)
+        (?P<attrs>(?:[^>"']|"[^"]*+"|'[^']*+')*+)>
     )""",
     re.DOTALL | re.VERBOSE,
 )
@@ -146,22 +157,34 @@ class _FastBuilder(_TreeBuilder):
                     stripped = attr_str.rstrip()
                     self_closing = (stripped.endswith("/")
                                     and last_end < len(stripped))
-        parent = self.stack[-1]
+        stack = self.stack
+        parent = stack[-1]
         order = self._order + 1  # inlined _next_order: one method
         self._order = order      # call per element is ~4% of parse
         el = Element(tag, attrs, parent, order)
         parent.children.append(el)
         self.created.append(el)
         if tag not in VOID_ELEMENTS and not self_closing:
-            self.stack.append(el)
+            tp = self._tag_pos  # inlined _push (same frame argument)
+            try:
+                tp[tag].append(len(stack))
+            except KeyError:
+                tp[tag] = [len(stack)]
+            stack.append(el)
         return self_closing
 
     def text(self, data: str) -> None:
-        parent = self.stack[-1]
-        if parent.children and isinstance(parent.children[-1], str):
-            parent.children[-1] += data
+        children = self.stack[-1].children
+        if children and isinstance(children[-1], str):
+            # pop into a local so the string has one reference: CPython
+            # then extends it in place (amortized O(1)) instead of
+            # copying the accumulated node per fragment — a hostile
+            # stream of tiny text fragments is quadratic otherwise
+            merged = children.pop()
+            merged += data
+            children.append(merged)
         else:
-            parent.children.append(data)
+            children.append(data)
 
 
 # tag name inside a '<'-delimited segment (same charclass as the
@@ -257,6 +280,18 @@ def parse_document_fast(html: str | bytes):
         text_cb(unescape(head) if "&" in head else head)
     pos = len(head)  # abs index of the '<' that opens parts[i]
     np_ = len(parts)
+    # lazily-advanced position of the next '>' at-or-after pos. Every
+    # token shape reaching _slow_token below needs a '>' to terminate,
+    # so when none remains the regex provably fails and the '<' is
+    # literal text — decided here in O(1). Without this, each stray
+    # '<' in a '>'-free tail pays a full scan-to-EOF inside the regex:
+    # quadratic on hostile pages like "a<b c" * 100k (measured >30 s;
+    # linear now). The cursor only moves forward, so maintaining it is
+    # amortized O(n) over the document.
+    next_gt = -2
+    nh_ = len(html)  # "no '>' remains" is cached as len(html), not -1:
+    # a -1 sentinel would satisfy `next_gt < pos` forever and re-scan
+    # the whole tail per stray token (quadratic again)
     i = 1
     while i < np_:
         p = parts[i]
@@ -268,8 +303,18 @@ def parse_document_fast(html: str | bytes):
             if gt < 0:
                 # no '>' before the next '<': the token (quoted attr /
                 # exotic name — both may contain '<') spans parts, or
-                # it is a stray '<'. Exact regex decides.
-                newpos = _slow_token(html, pos, b)
+                # it is a stray '<'. Exact regex decides — unless no
+                # '>' remains at all, where it provably fails.
+                if next_gt < pos:
+                    next_gt = html.find(">", pos)
+                    if next_gt < 0:
+                        next_gt = nh_
+                if next_gt >= nh_:
+                    text_cb("<")
+                    tail_from = 0
+                    newpos = -1
+                else:
+                    newpos = _slow_token(html, pos, b)
             else:
                 seg = p[:gt]
                 if '"' in seg or "'" in seg:
@@ -348,8 +393,18 @@ def parse_document_fast(html: str | bytes):
                     tail_from = gt + 1
                     newpos = -1
                 else:
-                    # bogus end spanning '<'s (or stray) — exact regex
-                    newpos = _slow_token(html, pos, b)
+                    # bogus end spanning '<'s (or stray) — exact regex;
+                    # with no '>' left it can only be the stray case
+                    if next_gt < pos:
+                        next_gt = html.find(">", pos)
+                    if next_gt < 0:
+                        next_gt = nh_
+                    if next_gt >= nh_:
+                        text_cb("<")
+                        tail_from = 0
+                        newpos = -1
+                    else:
+                        newpos = _slow_token(html, pos, b)
         elif c == "!" or c == "?":
             newpos = -1
             if p.startswith("!--"):
@@ -384,8 +439,20 @@ def parse_document_fast(html: str | bytes):
                     tail_from = gt + 1  # declaration/PI: skipped
                 else:
                     # decl spanning '<'s (its [^>]* may contain them)
-                    # or never terminated — exact regex decides
-                    newpos = _slow_token(html, pos, b)
+                    # or never terminated — exact regex decides; with
+                    # no '>' left only the stray outcome is possible
+                    # (the badcomment/badmarked prefixes are excluded
+                    # by this branch's dispatch)
+                    if next_gt < pos:
+                        next_gt = html.find(">", pos)
+                    if next_gt < 0:
+                        next_gt = nh_
+                    if next_gt >= nh_:
+                        text_cb("<")
+                        tail_from = 0
+                        newpos = -1
+                    else:
+                        newpos = _slow_token(html, pos, b)
         else:
             # '<' not opening any token: literal text
             text_cb("<")

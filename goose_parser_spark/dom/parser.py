@@ -68,6 +68,19 @@ _SCOPE_BOUNDARIES = {
     "optgroup": frozenset(["select"]),
 }
 
+# "button scope"-ish boundaries for the implied-</p> check ("#document"
+# sits at stack index 0, below any real <p>, so it needs no entry).
+_BUTTON_SCOPE = ("html", "body", "table", "td", "th", "caption",
+                 "template", "select")
+
+# per-tag boundary tuples for the implied-end check: the tag's scope
+# boundaries plus the universal ones ("#document" is index 0, always
+# below any real closer, so it needs no entry).
+_SCOPE_STOPS = {
+    t: tuple(_SCOPE_BOUNDARIES.get(t, ())) + ("html", "body")
+    for t in IMPLIED_END
+}
+
 # Children of <table> that trigger auto-<tbody> insertion (browsers do
 # this; FIXTURES.md F-06 is written to be agnostic, but we stay
 # browser-faithful so descendant selectors see the same tree).
@@ -160,6 +173,14 @@ class _TreeBuilder(HTMLParser):
         self._order = 0
         self.root = Element("#document", {}, None, self._next_order())
         self.stack: list[Element] = [self.root]
+        # tag -> ascending stack indices of open elements with that
+        # tag. Keeps the implied-end decision O(1) per start tag: the
+        # old top-down stack scan was O(open depth) per tag, which a
+        # hostile page turns quadratic (e.g. "<table><div>"*k then
+        # "<li></li>"*m re-scans the div run for every li). Deletions
+        # are always stack suffixes, so each tag list pops from its
+        # tail and stays sorted by construction.
+        self._tag_pos: dict[str, list[int]] = {"#document": [0]}
         # elements in creation (= document) order; lets the selector
         # index skip its own tree walk for non-restructured documents
         self.created: list[Element] = []
@@ -173,35 +194,66 @@ class _TreeBuilder(HTMLParser):
     def _open_tags(self) -> list[str]:
         return [e.tag for e in self.stack]
 
+    def _push(self, el: Element) -> None:
+        tp = self._tag_pos
+        lst = tp.get(el.tag)
+        if lst is None:
+            tp[el.tag] = [len(self.stack)]
+        else:
+            lst.append(len(self.stack))
+        self.stack.append(el)
+
+    def _pop_to(self, i: int) -> None:
+        """del stack[i:], keeping the tag-position index in sync."""
+        stack = self.stack
+        tp = self._tag_pos
+        for e in stack[i:]:
+            tp[e.tag].pop()
+        del stack[i:]
+
     def _close_one(self) -> None:
         if len(self.stack) > 1:
+            self._tag_pos[self.stack[-1].tag].pop()
             self.stack.pop()
 
     def _imply_ends_for(self, tag: str) -> None:
         """Close open elements that the HTML5 parser would auto-close
-        before inserting ``tag``."""
+        before inserting ``tag``.
+
+        Decision via the tag-position index: the old scan walked the
+        stack top-down and acted on the FIRST closer-or-boundary hit,
+        which equals "the deepest open closer, unless a deeper open
+        boundary sits above it" — i.e. compare maximum stack indices.
+        """
+        tp = self._tag_pos
         # </p> implied by block-level starts
         if tag in P_CLOSERS:
-            for i in range(len(self.stack) - 1, 0, -1):
-                t = self.stack[i].tag
-                if t == "p":
-                    del self.stack[i:]
-                    break
-                # stop at "button scope"-ish boundaries: any non-inline
-                # container means no open <p> in scope
-                if t in ("#document", "html", "body", "table", "td", "th",
-                         "caption", "template", "select"):
-                    break
+            pl = tp.get("p")
+            if pl:
+                pi = pl[-1]
+                # closed only when no "button scope"-ish boundary is
+                # open above it (any non-inline container means no
+                # open <p> in scope)
+                for b in _BUTTON_SCOPE:
+                    bl = tp.get(b)
+                    if bl and bl[-1] > pi:
+                        break
+                else:
+                    self._pop_to(pi)
         closers = IMPLIED_END.get(tag)
         if closers:
-            boundaries = _SCOPE_BOUNDARIES.get(tag, frozenset())
-            for i in range(len(self.stack) - 1, 0, -1):
-                t = self.stack[i].tag
-                if t in closers:
-                    del self.stack[i:]
-                    break
-                if t in boundaries or t in ("#document", "html", "body"):
-                    break
+            ci = -1
+            for c in closers:
+                cl = tp.get(c)
+                if cl and cl[-1] > ci:
+                    ci = cl[-1]
+            if ci > 0:
+                for b in _SCOPE_STOPS[tag]:
+                    bl = tp.get(b)
+                    if bl and bl[-1] > ci:
+                        break
+                else:
+                    self._pop_to(ci)
 
     def _maybe_insert_tbody(self, tag: str) -> None:
         """Browsers wrap stray <tr> directly under <table> in <tbody>."""
@@ -209,7 +261,7 @@ class _TreeBuilder(HTMLParser):
             tbody = Element("tbody", {}, self.stack[-1], self._next_order())
             self.stack[-1].children.append(tbody)
             self.created.append(tbody)
-            self.stack.append(tbody)
+            self._push(tbody)
 
     # -- HTMLParser callbacks --------------------------------------------------
 
@@ -226,7 +278,7 @@ class _TreeBuilder(HTMLParser):
         parent.children.append(el)
         self.created.append(el)
         if tag not in VOID_ELEMENTS:
-            self.stack.append(el)
+            self._push(el)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         # <tag/> — html treats foreign-content self-closing as a normal
@@ -251,24 +303,28 @@ class _TreeBuilder(HTMLParser):
         # fast path: well-formed HTML closes the top of the stack (the
         # root is '#document', never equal to a real tag name)
         if stack[-1].tag == tag:
+            self._tag_pos[tag].pop()
             stack.pop()
             return
-        # find nearest matching open element; ignore if none (stray end tag)
-        for i in range(len(stack) - 1, 0, -1):
-            if stack[i].tag == tag:
-                del stack[i:]
-                return
-        # no match → ignored (browser behavior for unexpected end tags)
+        # nearest matching open element = its highest stack index;
+        # none open → ignored (browser behavior for stray end tags)
+        lst = self._tag_pos.get(tag)
+        if lst:
+            self._pop_to(lst[-1])
 
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        parent = self.stack[-1]
-        # merge adjacent text nodes so textContent is a simple concat
-        if parent.children and isinstance(parent.children[-1], str):
-            parent.children[-1] += data
+        children = self.stack[-1].children
+        # merge adjacent text nodes so textContent is a simple concat;
+        # pop into a local first so CPython's in-place str extension
+        # applies (a stream of tiny fragments is quadratic otherwise)
+        if children and isinstance(children[-1], str):
+            merged = children.pop()
+            merged += data
+            children.append(merged)
         else:
-            parent.children.append(data)
+            children.append(data)
 
     def handle_comment(self, data: str) -> None:
         pass  # comments are not part of textContent

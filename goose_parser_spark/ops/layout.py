@@ -77,12 +77,25 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
+# Decompression-bomb guard: a kilobyte of Flate data can inflate to
+# gigabytes, and these streams arrive from arbitrary web documents.
+# Real page content streams are text operators — a few MB at most —
+# so 64 MB is a generous budget; past it the stream is rejected and
+# per-document isolation upstream turns the doc into a poison row
+# instead of an executor OOM.
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
 def _decode_stream(head: bytes, raw: bytes) -> bytes:
     if b"/Filter" not in head:
         return raw
     if b"/FlateDecode" not in head:
         raise ValueError("unsupported PDF stream filter")
-    return zlib.decompress(raw)
+    d = zlib.decompressobj()
+    out = d.decompress(raw, _MAX_STREAM_BYTES + 1)
+    if len(out) > _MAX_STREAM_BYTES:
+        raise ValueError("PDF stream inflates past the decode budget")
+    return out
 
 
 def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:

@@ -31,26 +31,45 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
+# Hostile-input guards. These bytes come straight off the web, and
+# the gzip layer makes tiny inputs arbitrarily large: a 1 MB member
+# of deflated zeros inflates to GBs with no newline in it, so an
+# unbounded readline() would materialize the whole bomb looking for
+# one. Every readline is capped (WARC headers are short lines), the
+# header block is capped in line count, and a record whose declared
+# Content-Length exceeds the payload budget is drained in chunks and
+# skipped — the stream stays aligned, the executor never holds more
+# than one bounded buffer.
+_MAX_HEADER_LINE = 64 * 1024
+_MAX_HEADER_LINES = 512
+_MAX_PAYLOAD = 64 * 1024 * 1024
+_DRAIN_CHUNK = 8 * 1024 * 1024
+
+
 def _read_headers(fh) -> dict[str, str] | None:
     """Read a CRLF-terminated header block; None on EOF/garbage."""
-    line = fh.readline()
+    line = fh.readline(_MAX_HEADER_LINE)
     while line in (b"\r\n", b"\n"):  # tolerate inter-record padding
-        line = fh.readline()
+        line = fh.readline(_MAX_HEADER_LINE)
     if not line:
         return None
     if not line.startswith(b"WARC/"):
         return None
     headers: dict[str, str] = {"__version__": line.strip().decode("ascii",
                                                                   "replace")}
-    while True:
-        line = fh.readline()
+    for _ in range(_MAX_HEADER_LINES):
+        line = fh.readline(_MAX_HEADER_LINE)
         if line in (b"\r\n", b"\n", b""):
             break
+        if len(line) >= _MAX_HEADER_LINE and not line.endswith(b"\n"):
+            return None  # unterminated giant "line": not a WARC header
         try:
             k, v = line.decode("utf-8", "replace").split(":", 1)
         except ValueError:
             continue
         headers[k.strip().lower()] = v.strip()
+    else:
+        return None  # header block never ended: malformed
     return headers
 
 
@@ -79,11 +98,27 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
         headers = _read_headers(fh)
         if headers is None:
             break
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break  # stream alignment is lost without a length
+        if length < 0:
+            break
+        if length > _MAX_PAYLOAD:
+            # oversize record: drain to stay aligned, then skip it
+            remaining = length
+            while remaining > 0:
+                chunk = fh.read(min(_DRAIN_CHUNK, remaining))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            fh.readline(_MAX_HEADER_LINE)
+            fh.readline(_MAX_HEADER_LINE)
+            continue
         payload = fh.read(length)
         # trailing CRLF CRLF record separator
-        fh.readline()
-        fh.readline()
+        fh.readline(_MAX_HEADER_LINE)
+        fh.readline(_MAX_HEADER_LINE)
         rtype = headers.get("warc-type", "")
         if rtype == "response":
             payload = _strip_http_headers(payload)
