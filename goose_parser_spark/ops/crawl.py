@@ -19,6 +19,8 @@ lineage columns as any page extraction.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -254,8 +256,20 @@ def _xml_field(block: Column, tag: str) -> Column:
     sequence). Numeric character references are deliberately left
     as-is (documented boundary — they need a per-codepoint decode).
     Absent tag → NULL."""
+    # Linear-time field grab (hostile-input bound): split ONCE on the
+    # literal closer and take everything after the first opener in
+    # the part before it. Equivalent to the lazy-regex first
+    # <tag>...</tag> pair for any well-formed feed; the one
+    # divergence (a stray closer BEFORE the first opener hides a
+    # later pair) is malformed XML and documented. The lazy original
+    # re-scanned the block from every unclosed opener — quadratic on
+    # crafted blocks; attribute regions are capped at 4 KB for the
+    # same reason (real feed tags carry bytes of attributes, not KBs).
+    before_close = F.split(block, re.escape(f"</{tag}>"), 2)[0]
     raw = F.regexp_extract(
-        block, f"(?s)<{tag}(?:\\s[^>]*)?>(.*?)</{tag}>", 1)
+        before_close, f"(?s)<{tag}(?:\\s[^>]{{0,4096}})?>(.*)$", 1)
+    raw = F.when(F.size(F.split(block, re.escape(f"</{tag}>"), 2)) > 1,
+                 raw).otherwise(F.lit(""))
     raw = F.nullif(raw, F.lit(""))
     cdata = F.regexp_extract(
         raw, "(?s)^\\s*<!\\[CDATA\\[(.*?)\\]\\]>\\s*$", 1)
@@ -296,19 +310,33 @@ def feed_entries(
     xml = F.col(xml_col)
     kind = (F.when(xml.rlike("(?s)<rss[\\s>]"), F.lit("rss"))
             .when(xml.rlike("(?s)<feed[\\s>]"), F.lit("atom")))
-    blocks = F.when(
-        kind == "rss",
-        F.regexp_extract_all(xml, F.lit("(?s)<item(?:\\s[^>]*)?>.*?</item>"),
-                             0)).otherwise(
-        F.regexp_extract_all(xml, F.lit("(?s)<entry(?:\\s[^>]*)?>.*?</entry>"),
-                             0))
+
+    def _blocks(tag: str) -> Column:
+        # Linear block split (hostile-input bound): the old
+        # ``<item...>.*?</item>`` find-all re-scanned to EOF from
+        # every unclosed opener — O(openers x doc) on a crafted
+        # pseudo-feed, minutes of JVM time per MB with no Python-side
+        # isolation around it. Splitting on the literal closer is one
+        # linear pass; each piece then yields the segment from its
+        # first opener, which pairs openers to nearest closers exactly
+        # like the lazy regex did on any well-formed feed. The piece
+        # after the last closer is dropped (no closer == no match).
+        pieces = F.split(xml, re.escape(f"</{tag}>"))
+        pieces = F.slice(pieces, F.lit(1),
+                         F.greatest(F.size(pieces) - 1, F.lit(0)))
+        opener = f"(?s)<{tag}(?:\\s[^>]{{0,4096}})?>.*"
+        found = F.transform(pieces, lambda p: F.regexp_extract(p, opener, 0))
+        return F.filter(found, lambda b: b != "")
+
+    blocks = F.when(kind == "rss", _blocks("item")).otherwise(_blocks("entry"))
     base = (df.select(F.col(url_col), kind.alias("kind"),
                       F.explode(blocks).alias("_b"))
             .where(F.col("kind").isNotNull()))
     b = F.col("_b")
     is_rss = F.col("kind") == "rss"
     atom_href = F.nullif(F.regexp_extract(
-        b, "(?s)<link[^>]*\\shref\\s*=\\s*\"([^\"]*)\"", 1), F.lit(""))
+        b, "(?s)<link[^>]{0,4096}\\shref\\s*=\\s*\"([^\"]*)\"", 1),
+        F.lit(""))  # attr cap bounds the [^>]*-then-\s backtrack
     return base.select(
         url_col, "kind",
         _xml_field(b, "title").alias("title"),

@@ -68,3 +68,38 @@ def test_double_escaped_amp_single_pass(spark):
     r = feed_entries(spark.createDataFrame([("u", rss)],
                                            ["url", "html"])).collect()[0]
     assert r.title == "&lt;x"
+
+
+def test_hostile_pseudo_feed_is_linear(spark):
+    """A crafted pseudo-feed of unclosed openers drove the old lazy
+    ``<item...>.*?</item>`` find-all to re-scan to EOF from every
+    opener — O(openers x doc), minutes of un-isolatable JVM time per
+    MB. The split-on-closer plan is one linear pass: 50k unclosed
+    openers must yield zero rows in seconds, and a single well-formed
+    item buried after them must still be found."""
+    import time
+    from goose_parser_spark.ops.crawl import feed_entries
+
+    openers = "<rss><channel>" + "<item>" * 50_000
+    cases = [
+        ("u-unclosed", openers + "</channel></rss>", []),
+        ("u-trailing", openers + "<title>t</title></item></channel></rss>",
+         ["t"]),
+        # attr region past the 4 KB hostile-input cap: opener ignored
+        ("u-fat-attr", "<rss><item " + "a" * 5000 + "><title>x</title>"
+         "</item></rss>", [None]),
+    ]
+    df = spark.createDataFrame([(u, x) for u, x, _ in cases],
+                               ["url", "html"])
+    t0 = time.time()
+    rows = feed_entries(df).collect()
+    elapsed = time.time() - t0
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r.title)
+    assert by_url.get("u-unclosed") is None
+    assert by_url.get("u-trailing") == ["t"]
+    # the fat-attr item still splits into a block (closer present) but
+    # its opener is unmatchable, so the block is dropped entirely
+    assert by_url.get("u-fat-attr") is None
+    assert elapsed < 30, f"hostile feed took {elapsed:.1f}s"
