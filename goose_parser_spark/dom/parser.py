@@ -156,13 +156,29 @@ def _escape_attr(s: str) -> str:
 
 
 def _serialize(node: Element | str) -> str:
-    if isinstance(node, str):
-        return _escape_text(node)
-    attrs = "".join(f' {k}="{_escape_attr(v)}"' for k, v in node.attrs.items())
-    if node.tag in VOID_ELEMENTS:
-        return f"<{node.tag}{attrs}>"
-    inner = "".join(_serialize(c) for c in node.children)
-    return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+    """Iterative serialization (explicit stack with close-tag
+    sentinels): recursion here would cap innerHTML at the interpreter
+    recursion limit (~1000 frames), turning a legitimately deep page
+    into a poison row — and the recursive form's generator-fed join
+    also grew the C stack per level, which no recursion-limit raise
+    can make safe."""
+    out: list[str] = []
+    stack: list[Element | str | tuple[str]] = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            out.append(_escape_text(n))
+            continue
+        if isinstance(n, tuple):  # close-tag sentinel
+            out.append(n[0])
+            continue
+        attrs = "".join(
+            f' {k}="{_escape_attr(v)}"' for k, v in n.attrs.items())
+        out.append(f"<{n.tag}{attrs}>")
+        if n.tag not in VOID_ELEMENTS:
+            stack.append((f"</{n.tag}>",))
+            stack.extend(reversed(n.children))
+    return "".join(out)
 
 
 class _TreeBuilder(HTMLParser):

@@ -314,6 +314,14 @@ def extract_markdown(
 
     def run(batches):
         import pyarrow as pa
+        import sys
+        # the markdown walker recurses per nesting level (direct
+        # Python-to-Python calls — 3.11 keeps those off the C stack);
+        # the default ~1000 limit would poison legitimately deep
+        # pages, 30k is past anything a real document nests and still
+        # bounds a hostile 400k-deep page to a clean per-doc error
+        if sys.getrecursionlimit() < 30_000:
+            sys.setrecursionlimit(30_000)
         for batch in batches:
             names = batch.schema.names
             urls = batch.column(names.index(url_col))

@@ -269,3 +269,41 @@ def test_charset_sniff_hostile_inputs():
         with _deadline(10.0, f"sniff {i}"):
             text, enc, repl = sniff_decode(blob)
         assert isinstance(text, str) and isinstance(enc, str)
+
+
+# ---- deep-document traversal (legit-deep pages must not poison) -----------
+
+def test_deep_page_inner_html_iterative():
+    """innerHTML serialization is stack-based: a 30k-deep page (far
+    past the ~1000-frame interpreter default that used to cap the old
+    recursive _serialize) must round-trip, not RecursionError."""
+    depth = 30_000
+    root = parse_html("<div>" * depth + "x")
+    body = root
+    html = None
+    for el in root.iter_elements():
+        if el.tag == "body":
+            html = el.inner_html()
+            break
+    assert html is not None
+    assert html.count("<div>") == depth and html.endswith("x" + "</div>" * depth)
+
+
+def test_deep_page_markdown_with_worker_ceiling():
+    """html_to_markdown recurses per nesting level; the Arrow worker
+    raises the interpreter limit to 30k (ops/maincontent.extract_
+    markdown), which a 20k-deep page must fit under — and a 400k-deep
+    hostile page must still fail as a catchable exception, not a
+    crash."""
+    import sys
+    from goose_parser_spark.ops.maincontent import html_to_markdown
+    old = sys.getrecursionlimit()
+    try:
+        if sys.getrecursionlimit() < 30_000:
+            sys.setrecursionlimit(30_000)  # what the worker does
+        md = html_to_markdown("<div>" * 20_000 + "deep text")
+        assert "deep text" in md
+        with pytest.raises(RecursionError):
+            html_to_markdown("<div>" * 400_000 + "x")
+    finally:
+        sys.setrecursionlimit(old)
