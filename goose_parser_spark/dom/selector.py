@@ -315,25 +315,93 @@ def _attr_match(el: Element, name: str, op: str | None, val: str | None) -> bool
     raise SelectorError(f"unknown attribute operator {op!r}")
 
 
+# --------------------------------------------------------------------------
+# Per-evaluation context: the amortization layer that keeps hostile
+# tree shapes linear. Positional pseudo-classes, sibling combinators
+# and :has were all per-element scans — correct, but O(siblings) /
+# O(subtree) PER CANDIDATE, which a crafted page (200k <li> siblings,
+# a 30k-deep chain) turns into O(n^2): measured >15 s for ONE selector
+# where the fixes below measure milliseconds. The context carries:
+#
+# - pos_store: per-parent position maps (element index, of-type index,
+#   type counts, the ordered element-children list), built once per
+#   parent on first positional/sibling query — doc-scoped (owned by
+#   the DocIndex when one exists, so grid rules reuse them per row).
+# - has_store: per-:has-argument marked-ancestor sets — "el has a
+#   matching descendant" iff el is a proper ancestor of some match,
+#   so one doc-wide match pass + ancestor marking (early-stop at
+#   already-marked nodes: amortized O(n)) answers every candidate in
+#   O(1). Doc-scoped; only for :scope-free single-compound arguments
+#   (the overwhelmingly common :has(span) / :has(.price) shape) —
+#   anything else falls back to the per-element subtree select.
+# - chain_memo: per-CALL memo for _chain_matches (the left-chain
+#   verification), including monotone short-circuits: descendant
+#   chains memoize "some ancestor matches-and-chains" down the
+#   ancestor path, and ~ chains keep per-parent prefix scan state so
+#   the sibling run is checked once, not once per candidate. Call-
+#   scoped because results depend on the call's context set.
+#
+# A module-level current-context global is safe here: each Spark
+# Python worker evaluates one task single-threaded, and nested
+# evaluations (:has fallback, :not) push/restore via try/finally.
+
+class _EvalCtx:
+    __slots__ = ("pos_store", "has_store", "chain_memo", "root", "index")
+
+    def __init__(self, pos_store, has_store, root, index):
+        self.pos_store = pos_store
+        self.has_store = has_store
+        self.chain_memo: dict = {}
+        self.root = root
+        self.index = index
+
+
+_EVAL_CTX: _EvalCtx | None = None
+
+
+def _pos_maps(parent: Element):
+    """(elem_children, 1-based elem index by id, 1-based of-type index
+    by id, type counts by tag) for ``parent``, built once and cached
+    in the current evaluation's pos_store (falls back to building
+    uncached when no evaluation context is active)."""
+    ctx = _EVAL_CTX
+    store = ctx.pos_store if ctx is not None else None
+    if store is not None:
+        maps = store.get(id(parent))
+        if maps is not None:
+            return maps
+    elems: list[Element] = []
+    idx_of: dict[int, int] = {}
+    type_idx: dict[int, int] = {}
+    type_count: dict[str, int] = {}
+    i = 0
+    for c in parent.children:
+        if isinstance(c, Element):
+            i += 1
+            elems.append(c)
+            idx_of[id(c)] = i
+            t = type_count.get(c.tag, 0) + 1
+            type_count[c.tag] = t
+            type_idx[id(c)] = t
+    maps = (elems, idx_of, type_idx, type_count)
+    if store is not None:
+        store[id(parent)] = maps
+    return maps
+
+
 def _element_index(el: Element) -> int:
     """1-based index among element siblings."""
     parent = el.parent
     if parent is None:
         return 1
-    i = 0
-    for c in parent.children:
-        if isinstance(c, Element):
-            i += 1
-            if c is el:
-                return i
-    return 1
+    return _pos_maps(parent)[1].get(id(el), 1)
 
 
 def _sibling_count(el: Element) -> int:
     parent = el.parent
     if parent is None:
         return 1
-    return len(parent.element_children())
+    return len(_pos_maps(parent)[0])
 
 
 def _type_index(el: Element) -> int:
@@ -341,21 +409,14 @@ def _type_index(el: Element) -> int:
     parent = el.parent
     if parent is None:
         return 1
-    i = 0
-    for c in parent.children:
-        if isinstance(c, Element) and c.tag == el.tag:
-            i += 1
-            if c is el:
-                return i
-    return 1
+    return _pos_maps(parent)[2].get(id(el), 1)
 
 
 def _type_count(el: Element) -> int:
     parent = el.parent
     if parent is None:
         return 1
-    return sum(1 for c in parent.children
-               if isinstance(c, Element) and c.tag == el.tag)
+    return _pos_maps(parent)[3].get(el.tag, 1)
 
 
 def _nth_match(arg: object, idx: int) -> bool:
@@ -373,13 +434,13 @@ def _pseudo_match(el: Element, name: str, arg: object) -> bool:
         parent = el.parent
         if parent is None:
             return True
-        sibs = parent.element_children()
+        sibs = _pos_maps(parent)[0]
         return bool(sibs) and sibs[-1] is el
     if name == "only-child":
         parent = el.parent
         if parent is None:
             return True
-        return len(parent.element_children()) == 1
+        return len(_pos_maps(parent)[0]) == 1
     if name == "nth-child":
         return _nth_match(arg, _element_index(el))
     if name == "nth-last-child":
@@ -401,6 +462,41 @@ def _pseudo_match(el: Element, name: str, arg: object) -> bool:
         return not _matches_compound_group(el, sel)
     if name == "has":
         sel = arg  # type: ignore[assignment]
+        ctx = _EVAL_CTX
+        if ctx is not None and all(
+                len(a.steps) == 1 and a.steps[0][0] == " "
+                and not a.steps[0][1].positional
+                for a in sel.alternatives):
+            # single-compound argument (":has(span)"): answer from the
+            # doc-scoped marked-ancestor set — one whole-doc match pass
+            # + early-stop ancestor marking, O(1) per candidate. The
+            # per-element subtree select was O(subtree) per candidate:
+            # quadratic on deep chains. Positional pseudos are
+            # excluded (their meaning is context-scoped).
+            marked = ctx.has_store.get(id(sel))
+            if marked is None:
+                if ctx.root is None:  # non-indexed call: climb once
+                    r = el
+                    while r.parent is not None:
+                        r = r.parent
+                    ctx.root = r
+                if ctx.index is not None:
+                    pool = ctx.index.all
+                else:
+                    pool = list(ctx.root.iter_elements())
+                comps = [a.steps[0][1] for a in sel.alternatives]
+                marked = set()
+                for m in pool:
+                    if any(_matches_compound(m, c) for c in comps):
+                        p = m.parent
+                        while p is not None:
+                            po = p.order
+                            if po in marked:
+                                break
+                            marked.add(po)
+                            p = p.parent
+                ctx.has_store[id(sel)] = marked
+            return el.order in marked
         return bool(select([el], sel))
     if name == "contains":
         return str(arg) in el.text()
@@ -493,10 +589,9 @@ def _gather(nodes: list[Element], combinator: str) -> list[Element]:
             parent = node.parent
             if parent is None:
                 continue
-            sibs = parent.element_children()
-            try:
-                idx = next(i for i, s in enumerate(sibs) if s is node)
-            except StopIteration:
+            sibs, idx_of, _, _ = _pos_maps(parent)
+            idx = idx_of.get(id(node), 0) - 1
+            if idx < 0:
                 continue
             following = sibs[idx + 1:]
             if combinator == "+":
@@ -550,7 +645,8 @@ class DocIndex:
     by walking up — no repeated whole-tree traversals (the profile
     showed ``_gather`` re-walking the tree per step as the top cost)."""
 
-    __slots__ = ("root", "all", "by_tag", "by_class", "by_id", "_ends")
+    __slots__ = ("root", "all", "by_tag", "by_class", "by_id", "_ends",
+                 "pos_maps", "has_store")
 
     def __init__(self, root: Element,
                  elements: list[Element] | None = None,
@@ -572,6 +668,11 @@ class DocIndex:
         self.all = elements if elements is not None \
             else list(root.iter_elements())
         self._ends: dict[int, int] | None = None
+        # doc-scoped evaluation caches (see _EvalCtx): per-parent
+        # position maps and per-:has-argument marked-ancestor sets
+        # survive across select_indexed calls on the same document
+        self.pos_maps: dict = {}
+        self.has_store: dict = {}
         self.by_tag: dict[str, list[Element]] = {}
         self.by_class: dict[str, list[Element]] = {}
         self.by_id: dict[str, list[Element]] = {}
@@ -689,8 +790,8 @@ def _rel_to_context(el: Element, comb: str, ctx_orders: set[int]) -> bool:
     # sibling combinators relative to a context node
     if el.parent is None:
         return False
-    sibs = el.parent.element_children()
-    i = next((k for k, s in enumerate(sibs) if s is el), -1)
+    sibs, idx_of, _, _ = _pos_maps(el.parent)
+    i = idx_of.get(id(el), 0) - 1  # 0-based position in sibs
     if comb == "+":
         return i > 0 and sibs[i - 1].order in ctx_orders
     if comb == "~":
@@ -711,8 +812,8 @@ def _left_candidates(el: Element, comb: str):
     else:
         if el.parent is None:
             return
-        sibs = el.parent.element_children()
-        i = next((k for k, s in enumerate(sibs) if s is el), -1)
+        sibs, idx_of, _, _ = _pos_maps(el.parent)
+        i = idx_of.get(id(el), 0) - 1  # 0-based position in sibs
         if comb == "+":
             if i > 0:
                 yield sibs[i - 1]
@@ -724,13 +825,74 @@ def _left_candidates(el: Element, comb: str):
 def _chain_matches(el: Element, alt: Complex, step_idx: int,
                    ctx_orders: set[int], ctx_is_root: bool) -> bool:
     """el matches alt.steps[step_idx]'s compound; verify everything to
-    its left (combinator chain up to the context)."""
+    its left (combinator chain up to the context).
+
+    With an active evaluation context the two unbounded scans are
+    amortized across candidates (both were O(n) PER candidate —
+    quadratic on crafted pages):
+
+    - descendant chains (' '): "some ancestor matches-and-chains" is
+      monotone down the tree, so it memoizes along the ancestor path
+      (each element's check runs once per (alt, step));
+    - general-sibling chains ('~'): "some earlier sibling matches-and-
+      chains" is monotone along the sibling run, so per-(parent, alt,
+      step) prefix state scans the run once in total.
+    """
     comb = alt.steps[step_idx][0]
     if step_idx == 0:
         if ctx_is_root and comb == " ":
             return True
         return _rel_to_context(el, comb, ctx_orders)
     prev_comp = alt.steps[step_idx - 1][1]
+    ctx = _EVAL_CTX
+    memo = ctx.chain_memo if ctx is not None else None
+    if memo is not None and comb == " ":
+        if el.parent is None:
+            return False
+        # g(X) = matches-and-chains(X) or g(X.parent); memoized per
+        # (alt, step). Walk up to the first memoized ancestor, then
+        # fill the path back down (True propagates downward).
+        path: list[Element] = []
+        node: Element | None = el.parent
+        val: bool | None = None
+        while node is not None:
+            k = (" ", id(alt), step_idx, node.order)
+            v = memo.get(k)
+            if v is not None:
+                val = v
+                break
+            path.append(node)
+            node = node.parent
+        if val is None:
+            val = False
+        for node in reversed(path):
+            if not val:
+                val = (_matches_compound(node, prev_comp)
+                       and _chain_matches(node, alt, step_idx - 1,
+                                          ctx_orders, ctx_is_root))
+            memo[(" ", id(alt), step_idx, node.order)] = val
+        return val
+    if memo is not None and comb == "~":
+        parent = el.parent
+        if parent is None:
+            return False
+        sibs, idx_of, _, _ = _pos_maps(parent)
+        i = idx_of.get(id(el), 0) - 1  # 0-based; need a match at < i
+        skey = ("~", id(alt), step_idx, id(parent))
+        checked_upto, found = memo.get(skey, (0, None))
+        if found is not None and found < i:
+            return True
+        j = checked_upto
+        while j < i:
+            x = sibs[j]
+            if _matches_compound(x, prev_comp) and \
+                    _chain_matches(x, alt, step_idx - 1,
+                                   ctx_orders, ctx_is_root):
+                found = j
+                break
+            j += 1
+        memo[skey] = (max(checked_upto, j), found)
+        return found is not None and found < i
     for x in _left_candidates(el, comb):
         if _matches_compound(x, prev_comp) and \
                 _chain_matches(x, alt, step_idx - 1, ctx_orders, ctx_is_root):
@@ -748,6 +910,19 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
     roots = [context] if isinstance(context, Element) else list(context)
     ctx_is_root = len(roots) == 1 and roots[0] is index.root
 
+    global _EVAL_CTX
+    prev_ctx = _EVAL_CTX
+    _EVAL_CTX = _EvalCtx(index.pos_maps, index.has_store,
+                         index.root, index)
+    try:
+        return _select_indexed_impl(index, roots, selector, ctx_is_root)
+    finally:
+        _EVAL_CTX = prev_ctx
+
+
+def _select_indexed_impl(index: DocIndex, roots: list[Element],
+                         selector: Selector,
+                         ctx_is_root: bool) -> list[Element]:
     alternatives = selector.alternatives
     single = len(alternatives) == 1
     if single and len(roots) == 1:
@@ -829,21 +1004,36 @@ def select(context: list[Element] | Element, selector: Selector | str) -> list[E
     if isinstance(selector, str):
         selector = parse_selector(selector)
     roots = [context] if isinstance(context, Element) else list(context)
-    seen: set[int] = set()
-    results: list[Element] = []
-    for alt in selector.alternatives:
-        current = roots
-        for combinator, compound in alt.steps:
-            candidates = _gather(current, combinator)
-            matched = [el for el in candidates if _matches_compound(el, compound)]
-            if compound.positional:
-                matched = _apply_positional(matched, compound.positional)
-            current = matched
-            if not current:
-                break
-        for el in current:
-            if el.order not in seen:
-                seen.add(el.order)
-                results.append(el)
-    results.sort(key=lambda e: e.order)
-    return results
+    # push a fresh evaluation context (fresh chain memo — results
+    # depend on this call's context set), inheriting the doc-scoped
+    # position/:has stores from any enclosing evaluation so nested
+    # calls (:has fallback, :not) reuse them
+    global _EVAL_CTX
+    prev_ctx = _EVAL_CTX
+    if prev_ctx is not None:
+        _EVAL_CTX = _EvalCtx(prev_ctx.pos_store, prev_ctx.has_store,
+                             prev_ctx.root, prev_ctx.index)
+    else:
+        _EVAL_CTX = _EvalCtx({}, {}, None, None)
+    try:
+        seen: set[int] = set()
+        results: list[Element] = []
+        for alt in selector.alternatives:
+            current = roots
+            for combinator, compound in alt.steps:
+                candidates = _gather(current, combinator)
+                matched = [el for el in candidates
+                           if _matches_compound(el, compound)]
+                if compound.positional:
+                    matched = _apply_positional(matched, compound.positional)
+                current = matched
+                if not current:
+                    break
+            for el in current:
+                if el.order not in seen:
+                    seen.add(el.order)
+                    results.append(el)
+        results.sort(key=lambda e: e.order)
+        return results
+    finally:
+        _EVAL_CTX = prev_ctx

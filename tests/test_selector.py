@@ -304,3 +304,49 @@ def test_compiled_rules_universe_drives_identical_extraction():
     assert got == unrestricted
     assert got["items"] == ["a", "b"]
     assert got["links"] == ["/x", "/y"]
+
+
+def test_memoized_paths_differential_random_doms():
+    """The evaluation-context memos (per-parent position maps, the
+    descendant/sibling chain memos, the :has marked-ancestor set) must
+    be invisible: indexed and set-walker engines — which share only
+    the compound matcher, not the chain logic — must agree on random
+    DOMs for every selector shape the memos accelerate."""
+    import random
+    from goose_parser_spark.dom.parser import parse_document
+    from goose_parser_spark.dom.selector import (
+        DocIndex, select, select_indexed)
+
+    rng = random.Random(77)
+    tags = ["div", "p", "span", "ul", "li", "b"]
+    sels = [
+        "p + p", "p ~ p", "span ~ p", "li + li", "b ~ span",
+        "div:has(span)", "div:has(.a)", "ul:has(li) li",
+        "li:nth-child(2n+1)", "li:first-child", "li:last-child",
+        "p:nth-of-type(2)", "span:only-child", "div div p",
+        "div:not(.a) span", "p + p ~ span",
+    ]
+    for trial in range(120):
+        parts = []
+        depth = 0
+        for _ in range(rng.randrange(5, 60)):
+            r = rng.random()
+            if r < 0.45 or depth == 0:
+                t = rng.choice(tags)
+                cls = ' class="a"' if rng.random() < 0.3 else ""
+                parts.append(f"<{t}{cls}>")
+                depth += 1
+            elif r < 0.75:
+                parts.append("x")
+            else:
+                parts.append("</x>")  # builder recovery in play
+                if rng.random() < 0.5 and depth:
+                    depth -= 1
+                    parts.append("</" + rng.choice(tags) + ">")
+        html = "".join(parts)
+        root, created = parse_document(html)
+        idx = DocIndex(root, created)
+        for s in sels:
+            a = [e.order for e in select_indexed(idx, root, s)]
+            b = [e.order for e in select(root, s)]
+            assert a == b, (trial, s, html)
