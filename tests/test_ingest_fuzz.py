@@ -307,3 +307,29 @@ def test_deep_page_markdown_with_worker_ceiling():
             html_to_markdown("<div>" * 400_000 + "x")
     finally:
         sys.setrecursionlimit(old)
+
+
+# ---- selector engine on hostile trees --------------------------------------
+
+def test_hostile_trees_selector_deadlines():
+    """Each (tree, selector) pair here was a measured >15 s quadratic
+    before the evaluation-context memos (per-parent position maps,
+    monotone chain memos, :has marked-ancestor sets). All of them
+    together must now run in seconds."""
+    from goose_parser_spark.dom.selector import DocIndex, select_indexed
+
+    trees = {
+        "wide": "<ul>" + "<li class='a'>x</li>" * 100_000 + "</ul>",
+        "deep": "<div class='a'>" * 30_000 + "x",
+        "sibs": "<p>x</p>" * 100_000,
+    }
+    sels = ["li:nth-child(2n+1)", "li:last-child", "li:nth-of-type(3)",
+            "p + p", "p ~ p", "span ~ p", "p + p + p",
+            "div:has(span)", "div:has(.a)", "#top div",
+            "div:not(.a) div"]
+    with _deadline(60.0, "hostile selector matrix"):
+        for html in trees.values():
+            root, created = parse_document(html)
+            idx = DocIndex(root, created)
+            for s in sels:
+                select_indexed(idx, root, s)
