@@ -569,7 +569,17 @@ def _apply_positional(matched: list[Element], positional: list[tuple[str, object
 
 def _gather(nodes: list[Element], combinator: str) -> list[Element]:
     """Candidate elements reachable from ``nodes`` via ``combinator``,
-    in document order, deduplicated."""
+    in document order, deduplicated.
+
+    Two set-level prunes keep hostile shapes linear (both were
+    O(nodes x reachable) — quadratic when a step matches most of a
+    crafted page): a descendant gather skips source nodes that are
+    themselves already-gathered candidates (their subtree was fully
+    added by the enclosing source — sources are processed in document
+    order so containers precede their contents), and a '~' gather
+    walks each PARENT's sibling run once from its earliest source
+    (the following-set of the earliest source is a superset of every
+    later sibling source's)."""
     seen: set[int] = set()
     out: list[Element] = []
 
@@ -578,14 +588,9 @@ def _gather(nodes: list[Element], combinator: str) -> list[Element]:
             seen.add(el.order)
             out.append(el)
 
-    for node in nodes:
-        if combinator == " ":
-            for el in node.iter_elements():
-                add(el)
-        elif combinator == ">":
-            for el in node.element_children():
-                add(el)
-        elif combinator in ("+", "~"):
+    if combinator == "~":
+        earliest: dict[int, tuple[int, list[Element]]] = {}
+        for node in nodes:
             parent = node.parent
             if parent is None:
                 continue
@@ -593,11 +598,34 @@ def _gather(nodes: list[Element], combinator: str) -> list[Element]:
             idx = idx_of.get(id(node), 0) - 1
             if idx < 0:
                 continue
-            following = sibs[idx + 1:]
-            if combinator == "+":
-                following = following[:1]
-            for el in following:
+            cur = earliest.get(id(parent))
+            if cur is None or idx < cur[0]:
+                earliest[id(parent)] = (idx, sibs)
+        for idx, sibs in earliest.values():
+            for el in sibs[idx + 1:]:
                 add(el)
+        out.sort(key=lambda e: e.order)
+        return out
+
+    ordered = sorted(nodes, key=_el_order) if combinator == " " else nodes
+    for node in ordered:
+        if combinator == " ":
+            if node.order in seen:
+                continue  # inside an earlier source's gathered subtree
+            for el in node.iter_elements():
+                add(el)
+        elif combinator == ">":
+            for el in node.element_children():
+                add(el)
+        elif combinator == "+":
+            parent = node.parent
+            if parent is None:
+                continue
+            sibs, idx_of, _, _ = _pos_maps(parent)
+            idx = idx_of.get(id(node), 0) - 1
+            if idx < 0 or idx + 1 >= len(sibs):
+                continue
+            add(sibs[idx + 1])
         else:  # pragma: no cover
             raise SelectorError(f"unknown combinator {combinator!r}")
     out.sort(key=lambda e: e.order)
@@ -795,6 +823,17 @@ def _rel_to_context(el: Element, comb: str, ctx_orders: set[int]) -> bool:
     if comb == "+":
         return i > 0 and sibs[i - 1].order in ctx_orders
     if comb == "~":
+        # memoize the parent's first context-sibling position: the
+        # per-candidate prefix scan is quadratic on long sibling runs
+        ctx = _EVAL_CTX
+        if ctx is not None:
+            key = ("ctx~", id(el.parent))
+            first = ctx.chain_memo.get(key, -2)
+            if first == -2:
+                first = next((k for k, s in enumerate(sibs)
+                              if s.order in ctx_orders), -1)
+                ctx.chain_memo[key] = first
+            return first != -1 and first < i
         return any(s.order in ctx_orders for s in sibs[:i])
     return False
 
