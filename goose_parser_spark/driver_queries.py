@@ -2216,6 +2216,153 @@ def q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_cdx(base.select(line.alias("line")))
 
 
+
+
+def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response-head parsing (ops/crawl.parse_http_headers): the
+    status / content-type / charset / length gate a crawl pipeline
+    applies before any parsing. Heads are synthesized with the shapes
+    that matter: CRLF and bare-LF line endings, header-name casing,
+    charset parameter quoting, duplicate Content-Type (FIRST wins per
+    RFC 9110 singleton semantics), non-numeric Content-Length (NULL),
+    redirect Location, torn non-HTTP rows (all-NULL), and a body after
+    the blank line carrying a spoofed header line that must be
+    ignored. The oracle rebuilds the same heads and re-parses them
+    with DuckDB's RE2 — a true differential parse (Java regex vs RE2;
+    the operator's patterns are written to the common subset, e.g. no
+    multiline $, which RE2 only matches before \n)."""
+    from goose_parser_spark.ops.crawl import parse_http_headers
+    base = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id")
+    s = d.cast("string")
+    sep = F.when(d % 5 == 0, F.lit("\n")).otherwise(F.lit("\r\n"))
+    status_line = (
+        F.when(d % 37 == 0, F.lit("HTTP/1.1 301 Moved Permanently"))
+        .when(d % 50 == 0, F.lit("HTTP/1.0 404 Not Found"))
+        .otherwise(F.lit("HTTP/1.1 200 OK")))
+    ct = (F.when(d % 31 == 0, F.lit(""))  # no Content-Type header
+          .when(d % 23 == 0, F.concat(
+              F.lit("Content-Type: text/plain"), sep,
+              F.lit("Content-Type: text/html")))  # dup: first wins
+          .when(d % 7 == 0, F.lit(
+              'CONTENT-TYPE: Text/HTML;charset="ISO-8859-1"'))
+          .when(d % 3 == 0, F.lit(
+              "Content-Type: text/html; charset=UTF-8"))
+          .otherwise(F.lit("Content-Type: application/pdf")))
+    clen = F.when(d % 29 == 0, F.lit("Content-Length: chunked-garbage")) \
+            .otherwise(F.concat(F.lit("Content-Length: "),
+                                ((d * 13) % 90000 + 10).cast("string")))
+    lang = F.when(d % 4 == 0, F.lit("Content-Language: en-US, fr")) \
+            .otherwise(F.lit(""))
+    loc = F.when(d % 37 == 0, F.concat(
+        F.lit("Location: https://moved.test/"), s)).otherwise(F.lit(""))
+    lastmod = F.concat(F.lit("Last-Modified: Mon, 0"),
+                       ((d % 9) + 1).cast("string"),
+                       F.lit(" Jan 2024 00:00:00 GMT"))
+    head = F.concat_ws("", status_line, sep,
+                       F.when(ct == "", F.lit("")).otherwise(
+                           F.concat(ct, sep)),
+                       clen, sep,
+                       F.when(lang == "", F.lit("")).otherwise(
+                           F.concat(lang, sep)),
+                       F.when(loc == "", F.lit("")).otherwise(
+                           F.concat(loc, sep)),
+                       lastmod, sep,
+                       sep,  # blank line: end of head
+                       F.lit("Content-Type: image/png"), sep,
+                       F.lit("body bytes"))
+    full = F.when(d % 97 == 13, F.lit("banana rama no colons")) \
+            .otherwise(head)
+    return parse_http_headers(
+        base.select(d.alias("doc_id"), full.alias("http_headers")))
+
+
+SQL_HTTP_HEADERS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, built AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN chr(10)
+              ELSE chr(13) || chr(10) END AS sep,
+         CASE WHEN doc_id % 37 = 0 THEN 'HTTP/1.1 301 Moved Permanently'
+              WHEN doc_id % 50 = 0 THEN 'HTTP/1.0 404 Not Found'
+              ELSE 'HTTP/1.1 200 OK' END AS status_line
+  FROM docs_amp
+), parts AS (
+  SELECT doc_id, sep, status_line,
+         CASE WHEN doc_id % 31 = 0 THEN ''
+              WHEN doc_id % 23 = 0 THEN 'Content-Type: text/plain' || sep
+                   || 'Content-Type: text/html'
+              WHEN doc_id % 7 = 0
+                   THEN 'CONTENT-TYPE: Text/HTML;charset="ISO-8859-1"'
+              WHEN doc_id % 3 = 0
+                   THEN 'Content-Type: text/html; charset=UTF-8'
+              ELSE 'Content-Type: application/pdf' END AS ct,
+         CASE WHEN doc_id % 29 = 0 THEN 'Content-Length: chunked-garbage'
+              ELSE 'Content-Length: '
+                   || CAST((doc_id * 13) % 90000 + 10 AS VARCHAR)
+              END AS clen,
+         CASE WHEN doc_id % 4 = 0 THEN 'Content-Language: en-US, fr'
+              ELSE '' END AS lang,
+         CASE WHEN doc_id % 37 = 0
+              THEN 'Location: https://moved.test/' || doc_id
+              ELSE '' END AS loc,
+         'Last-Modified: Mon, 0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+             || ' Jan 2024 00:00:00 GMT' AS lastmod
+  FROM built
+), full_rows AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 13 THEN 'banana rama no colons'
+              ELSE status_line || sep
+                   || CASE WHEN ct = '' THEN '' ELSE ct || sep END
+                   || clen || sep
+                   || CASE WHEN lang = '' THEN '' ELSE lang || sep END
+                   || CASE WHEN loc = '' THEN '' ELSE loc || sep END
+                   || lastmod || sep || sep
+                   || 'Content-Type: image/png' || sep || 'body bytes'
+              END AS h
+  FROM parts
+), heads AS (
+  SELECT doc_id,
+         coalesce(nullif(regexp_extract(
+             h, '(?s)^(.*?)\r?\n\r?\n', 1), ''), h) AS head
+  FROM full_rows
+), vals AS (
+  SELECT doc_id, head,
+         nullif(trim(regexp_extract(
+             head, '(?im)^content-type[ \t]*:[ \t]*([^\r\n]*)', 1)),
+             '') AS ct_raw,
+         nullif(trim(regexp_extract(
+             head, '(?im)^content-length[ \t]*:[ \t]*([^\r\n]*)', 1)),
+             '') AS clen_raw,
+         nullif(trim(regexp_extract(
+             head, '(?im)^content-language[ \t]*:[ \t]*([^\r\n]*)', 1)),
+             '') AS lang_raw
+  FROM heads
+)
+SELECT doc_id,
+       TRY_CAST(nullif(regexp_extract(
+           head, '^HTTP/[0-9.]+[ \t]+([0-9]{{3}})', 1), '') AS INT)
+           AS status,
+       nullif(trim(regexp_extract(
+           head, '^HTTP/[0-9.]+[ \t]+[0-9]{{3}}[ \t]+([^\r\n]*)', 1)),
+           '') AS reason,
+       nullif(lower(trim(regexp_extract(ct_raw, '^([^;]*)', 1))), '')
+           AS content_type,
+       lower(nullif(regexp_extract(
+           ct_raw, '(?i)charset[ \t]*=[ \t]*"?([A-Za-z0-9_.:-]+)', 1),
+           '')) AS charset,
+       TRY_CAST(clen_raw AS BIGINT) AS content_length,
+       nullif(lower(trim(regexp_extract(lang_raw, '^([^,]*)', 1))), '')
+           AS content_language,
+       nullif(trim(regexp_extract(
+           head, '(?im)^last-modified[ \t]*:[ \t]*([^\r\n]*)', 1)),
+           '') AS last_modified,
+       nullif(trim(regexp_extract(
+           head, '(?im)^location[ \t]*:[ \t]*([^\r\n]*)', 1)),
+           '') AS location
+FROM vals
+"""
+
+
 def q_capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-URL capture history over a synthesized multi-capture CDX
     index (ops/crawl.py capture_history): replicas of a urlkey carry
@@ -5399,11 +5546,11 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_percentiles": q_corpus_percentiles,
     "script_stats": q_script_stats,
-    "url_ops": q_url_ops,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
     "feed_parse": q_feed_parse,
+    "http_headers": q_http_headers,
     "pdf_metadata": q_pdf_metadata,
     "robots_meta": q_robots_meta,
     "charset_decode": q_charset_decode,
@@ -5422,7 +5569,11 @@ QUERIES: dict[str, QueryFn] = {
     # webp_frames/id3_tags/audio_fingerprint/crossmodal_pairs):
     # sample_by_hash, domain_quota, anchor_text, cdx_parse,
     # sitemap_parse, redact_pii, hll_cardinality, contamination,
-    # text_repetition — all nine driver-signed in r1-r5
+    # text_repetition — all nine driver-signed in r1-r5; url_ops
+    # (driver-signed r4+r5, family covered in-window by
+    # url_canonicalize) rotated out in session 4 to keep the new
+    # http_headers op in-window with a value oracle
+    "url_ops": q_url_ops,
     "sitemap_parse": q_sitemap_parse,
     "text_repetition": q_text_repetition,
     "contamination": q_contamination,
@@ -5580,6 +5731,7 @@ ORACLES: dict[str, str] = {
     "jpeg_decode": SQL_JPEG_DECODE,
     "extract_tables": SQL_EXTRACT_TABLES,
     "feed_parse": SQL_FEED_PARSE,
+    "http_headers": SQL_HTTP_HEADERS,
     "pdf_metadata": SQL_PDF_METADATA,
     "robots_meta": SQL_ROBOTS_META,
     "charset_decode": SQL_CHARSET_DECODE,

@@ -349,3 +349,62 @@ def feed_entries(
         F.when(is_rss, _xml_field(b, "description"))
          .otherwise(_xml_field(b, "summary")).alias("summary"),
     )
+
+
+def _http_header(head: Column, name: str) -> Column:
+    """First occurrence of ``name`` in a response head, value trimmed,
+    NULL when absent or empty. Case-insensitive per RFC 9110; the
+    multiline anchor keeps the pattern single-pass (no lazy dots).
+    Deliberately NO trailing ``$``: the value class already stops at
+    the line break, and RE2 (the DuckDB oracle engine) only matches a
+    multiline ``$`` before ``\\n`` — on CRLF lines Java would accept
+    where RE2 refuses, a silent engine divergence."""
+    return F.nullif(F.trim(F.regexp_extract(
+        head, f"(?im)^{name}[ \\t]*:[ \\t]*([^\\r\\n]*)", 1)), F.lit(""))
+
+
+def parse_http_headers(
+    df: DataFrame,
+    head_col: str = "http_headers",
+) -> DataFrame:
+    """HTTP response head → typed columns — the status/content-type
+    gate a crawl pipeline applies BEFORE any byte of parsing:
+
+    ``status`` (int), ``reason``, ``content_type`` (media type only,
+    lowercased), ``charset`` (from the Content-Type parameter,
+    lowercased), ``content_length`` (bigint, NULL when non-numeric),
+    ``content_language`` (first tag, lowercased), ``last_modified``
+    (raw string — date parsing is a downstream transform, house
+    rule), ``location``. Torn/non-HTTP rows yield all-NULL columns.
+
+    Pure scan-side Catalyst projections (anchored single-pass
+    regexes, no lazy dots, no Python), so it runs at scan speed at
+    10^9-record scale; duplicate headers resolve to the FIRST
+    occurrence (RFC 9110 singleton-field semantics). Anything after
+    the first blank line is ignored (defense against body content
+    spoofing header lines when callers pass head+body)."""
+    head = F.split(F.col(head_col), "\\r?\\n\\r?\\n", 2).getItem(0)
+    status = F.nullif(F.regexp_extract(
+        head, "^HTTP/[0-9.]+[ \\t]+([0-9]{3})", 1), F.lit("")).try_cast("int")
+    reason = F.nullif(F.trim(F.regexp_extract(
+        head, "^HTTP/[0-9.]+[ \\t]+[0-9]{3}[ \\t]+([^\\r\\n]*)", 1)),
+        F.lit(""))
+    ct_raw = _http_header(head, "content-type")
+    content_type = F.lower(F.trim(F.regexp_extract(ct_raw, "^([^;]*)", 1)))
+    charset = F.lower(F.nullif(F.regexp_extract(
+        ct_raw, "(?i)charset[ \\t]*=[ \\t]*\"?([A-Za-z0-9_.:-]+)", 1),
+        F.lit("")))
+    clen = _http_header(head, "content-length").try_cast("bigint")
+    lang = F.lower(F.trim(F.regexp_extract(
+        _http_header(head, "content-language"), "^([^,]*)", 1)))
+    return df.select(
+        "*",
+        status.alias("status"),
+        reason.alias("reason"),
+        F.nullif(content_type, F.lit("")).alias("content_type"),
+        charset.alias("charset"),
+        clen.alias("content_length"),
+        F.nullif(lang, F.lit("")).alias("content_language"),
+        _http_header(head, "last-modified").alias("last_modified"),
+        _http_header(head, "location").alias("location"),
+    ).drop(head_col)

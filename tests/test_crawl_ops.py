@@ -152,3 +152,45 @@ def test_snapshot_diff_null_bodies_never_add_or_gone(spark):
            for r in snapshot_diff(old, new).collect()}
     assert out == {"u/a": "changed", "u/b": "unchanged",
                    "u/c": "changed"}
+
+
+def test_parse_http_headers_shapes(spark):
+    """Edge shapes beyond the oracle corpus: header folding absent,
+    spoofed header in the body ignored, first-wins duplicates, CR-only
+    values trimmed, torn rows all-NULL."""
+    from goose_parser_spark.ops.crawl import parse_http_headers
+    heads = [
+        ("full", "HTTP/1.1 200 OK\r\n"
+         "Content-Type: Text/HTML; charset=UTF-8\r\n"
+         "Content-Length: 123\r\n"
+         "Content-Language: en-US, fr\r\n"
+         "Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT\r\n"
+         "\r\n"
+         "Content-Type: image/png\r\nbody"),
+        ("dup", "HTTP/1.0 404 Not Found\nContent-Type: a/b\n"
+         "content-type: c/d\nContent-Length: nope\n"),
+        ("redir", "HTTP/1.1 301 Moved Permanently\r\n"
+         "Location: https://x.test/\r\n"),
+        ("torn", "not http at all"),
+        ("nohdrs", "HTTP/1.1 204 No Content\r\n"),
+    ]
+    df = spark.createDataFrame(heads, ["k", "http_headers"])
+    rows = {r.k: r for r in parse_http_headers(df).collect()}
+    full = rows["full"]
+    assert (full.status, full.reason) == (200, "OK")
+    assert full.content_type == "text/html"      # params stripped, lower
+    assert full.charset == "utf-8"
+    assert full.content_length == 123
+    assert full.content_language == "en-us"      # first tag only
+    assert full.last_modified == "Mon, 01 Jan 2024 00:00:00 GMT"
+    dup = rows["dup"]
+    assert dup.status == 404 and dup.reason == "Not Found"
+    assert dup.content_type == "a/b"             # FIRST occurrence wins
+    assert dup.content_length is None            # non-numeric -> NULL
+    assert rows["redir"].location == "https://x.test/"
+    torn = rows["torn"]
+    assert all(torn[c] is None for c in (
+        "status", "reason", "content_type", "charset", "content_length",
+        "content_language", "last_modified", "location"))
+    assert rows["nohdrs"].status == 204
+    assert rows["nohdrs"].content_type is None
