@@ -397,7 +397,15 @@ def parse_http_headers(
     clen = _http_header(head, "content-length").try_cast("bigint")
     lang = F.lower(F.trim(F.regexp_extract(
         _http_header(head, "content-language"), "^([^,]*)", 1)))
-    return df.select(
+    out_names = ("status", "reason", "content_type", "charset",
+                 "content_length", "content_language", "last_modified",
+                 "location")
+    # parsed values take precedence over same-named input columns —
+    # read_warc carries the WARC record header's content_type
+    # ("application/http; msgtype=response"), which is not the page's
+    base = df.drop(*[c for c in out_names
+                     if c in df.columns and c != head_col])
+    return base.select(
         "*",
         status.alias("status"),
         reason.alias("reason"),

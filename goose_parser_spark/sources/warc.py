@@ -73,15 +73,25 @@ def _read_headers(fh) -> dict[str, str] | None:
     return headers
 
 
-def _strip_http_headers(payload: bytes) -> bytes:
-    """Drop the HTTP response envelope from a response record body."""
+def _split_http_payload(payload: bytes) -> tuple[str | None, bytes]:
+    """(response head as text, body) for a response record body; head
+    is None when the payload carries no HTTP envelope. Decoded
+    latin-1 — lossless for arbitrary header bytes, and
+    ops/crawl.parse_http_headers only reads ASCII shapes from it."""
     if payload[:5] in (b"HTTP/",):
         sep = payload.find(b"\r\n\r\n")
         if sep == -1:
             sep = payload.find(b"\n\n")
-            return payload[sep + 2:] if sep != -1 else payload
-        return payload[sep + 4:]
-    return payload
+            if sep == -1:
+                return payload.decode("latin-1"), payload
+            return payload[:sep].decode("latin-1"), payload[sep + 2:]
+        return payload[:sep].decode("latin-1"), payload[sep + 4:]
+    return None, payload
+
+
+def _strip_http_headers(payload: bytes) -> bytes:
+    """Drop the HTTP response envelope from a response record body."""
+    return _split_http_payload(payload)[1]
 
 
 def iter_warc_records(raw: bytes) -> Iterator[dict]:
@@ -120,13 +130,15 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
         fh.readline(_MAX_HEADER_LINE)
         fh.readline(_MAX_HEADER_LINE)
         rtype = headers.get("warc-type", "")
+        http_head = None
         if rtype == "response":
-            payload = _strip_http_headers(payload)
+            http_head, payload = _split_http_payload(payload)
         yield {
             "url": headers.get("warc-target-uri"),
             "warc_ts": headers.get("warc-date"),
             "record_type": rtype,
             "content_type": headers.get("content-type", ""),
+            "http_headers": http_head,
             "payload": payload,
         }
 
@@ -135,11 +147,16 @@ def read_warc(
     spark: "SparkSession",
     path: str,
     record_types: tuple[str, ...] = ("response",),
+    keep_http_headers: bool = False,
 ) -> "DataFrame":
     """Distributed WARC read: one task per ``.warc``/``.warc.gz`` file
     (binaryFile source), record parsing inside mapInArrow. Returns
     ``url, warc_ts (timestamp), record_type, content_type, html
     (binary)`` — the input-hint page shape, ready for ``extract``.
+    With ``keep_http_headers`` the stripped HTTP response head rides
+    along as an ``http_headers`` string column, feeding
+    ``ops.crawl.parse_http_headers`` (the status/content-type gate)
+    without a second pass over the archive.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -150,13 +167,16 @@ def read_warc(
     from goose_parser_spark.deploy import ship_package
     ship_package(spark)
 
-    out_schema = StructType([
+    fields = [
         StructField("url", StringType(), True),
         StructField("warc_ts", StringType(), True),
         StructField("record_type", StringType(), True),
         StructField("content_type", StringType(), True),
         StructField("html", BinaryType(), True),
-    ])
+    ]
+    if keep_http_headers:
+        fields.append(StructField("http_headers", StringType(), True))
+    out_schema = StructType(fields)
     arrow_schema = to_arrow_schema(out_schema)
     wanted = set(record_types)
 
@@ -164,8 +184,10 @@ def read_warc(
         for batch in batches:
             names = batch.schema.names
             contents = batch.column(names.index("content"))
-            rows = {k: [] for k in ("url", "warc_ts", "record_type",
-                                    "content_type", "html")}
+            cols = ("url", "warc_ts", "record_type", "content_type",
+                    "html") + (("http_headers",) if keep_http_headers
+                               else ())
+            rows = {k: [] for k in cols}
             for i in range(batch.num_rows):
                 raw = contents[i].as_py()
                 if raw is None:
@@ -178,13 +200,16 @@ def read_warc(
                     rows["record_type"].append(rec["record_type"])
                     rows["content_type"].append(rec["content_type"])
                     rows["html"].append(rec["payload"])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(rows["url"], pa.string()),
-                 pa.array(rows["warc_ts"], pa.string()),
-                 pa.array(rows["record_type"], pa.string()),
-                 pa.array(rows["content_type"], pa.string()),
-                 pa.array(rows["html"], pa.binary())],
-                schema=arrow_schema)
+                    if keep_http_headers:
+                        rows["http_headers"].append(rec["http_headers"])
+            arrays = [pa.array(rows["url"], pa.string()),
+                      pa.array(rows["warc_ts"], pa.string()),
+                      pa.array(rows["record_type"], pa.string()),
+                      pa.array(rows["content_type"], pa.string()),
+                      pa.array(rows["html"], pa.binary())]
+            if keep_http_headers:
+                arrays.append(pa.array(rows["http_headers"], pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")

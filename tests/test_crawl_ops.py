@@ -194,3 +194,33 @@ def test_parse_http_headers_shapes(spark):
         "content_language", "last_modified", "location"))
     assert rows["nohdrs"].status == 204
     assert rows["nohdrs"].content_type is None
+
+
+def test_read_warc_keep_http_headers_feeds_parser(spark, tmp_path):
+    """read_warc(keep_http_headers=True) → parse_http_headers: the
+    status/content-type gate composes with the WARC source in one
+    pass (head column ridden along, body still stripped)."""
+    from goose_parser_spark.ops.crawl import parse_http_headers
+    from goose_parser_spark.sources.warc import read_warc, write_warc_bytes
+    recs = [
+        # http=False: these payloads carry their own HTTP envelope
+        # (write_warc_bytes would otherwise wrap them in a second one)
+        {"url": "http://a.test/", "warc_ts": "2024-01-01T00:00:00Z",
+         "record_type": "response", "http": False,
+         "payload": b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                    b"<p>hi"},
+        {"url": "http://b.test/", "warc_ts": "2024-01-01T00:00:01Z",
+         "record_type": "response", "http": False,
+         "payload": b"HTTP/1.1 404 Not Found\r\n\r\ngone"},
+    ]
+    p = tmp_path / "t.warc.gz"
+    p.write_bytes(write_warc_bytes(recs))
+    df = read_warc(spark, str(tmp_path), keep_http_headers=True)
+    out = {r.url: r for r in parse_http_headers(df).collect()}
+    assert out["http://a.test/"].status == 200
+    assert out["http://a.test/"].content_type == "text/html"
+    assert out["http://a.test/"].charset == "utf-8"
+    assert bytes(out["http://a.test/"].html) == b"<p>hi"
+    assert out["http://b.test/"].status == 404
+    assert out["http://b.test/"].content_type is None
