@@ -94,6 +94,94 @@ def _strip_http_headers(payload: bytes) -> bytes:
     return _split_http_payload(payload)[1]
 
 
+def _http_header_value(head: str, name: str) -> str | None:
+    import re
+    m = re.search(rf"(?im)^{name}[ \t]*:[ \t]*([^\r\n]*)", head)
+    return m.group(1).strip().lower() if m else None
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode an HTTP/1.1 chunked transfer coding; None when the
+    framing is malformed (caller keeps the raw bytes — archives carry
+    truncated captures, and a best-effort body beats dropping it).
+    Bounded: output capped at the record payload cap, chunk-size
+    lines capped, trailers skipped."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos, pos + 18)  # 16 hex digits + slack
+        if eol < 0:
+            return None
+        size_field = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return None
+        if size < 0 or len(out) + size > _MAX_PAYLOAD:
+            return None
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        pos = eol + 2
+        if pos + size > n:
+            # truncated capture: keep what arrived of the last chunk
+            out += body[pos:]
+            return bytes(out)
+        out += body[pos:pos + size]
+        pos += size
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        else:
+            return None
+    return bytes(out)  # missing terminal 0-chunk: truncated capture
+
+
+def _gunzip_bounded(body: bytes, wbits: int) -> bytes | None:
+    """zlib-family decompress with the payload cap (bomb guard);
+    None on any error or past-cap inflation."""
+    import zlib
+    try:
+        d = zlib.decompressobj(wbits)
+        out = d.decompress(body, _MAX_PAYLOAD + 1)
+    except zlib.error:
+        return None
+    if len(out) > _MAX_PAYLOAD:
+        return None
+    return out
+
+
+def decode_http_body(head: str | None, body: bytes) -> bytes:
+    """Undo the HTTP transfer/content codings a crawled response body
+    arrives in (real Common Crawl captures are frequently chunked
+    and/or gzip-encoded — handing the raw bytes to an HTML parser
+    interleaves chunk-size lines into the markup, or feeds it gzip
+    noise). Chunked framing first, then Content-Encoding gzip or
+    deflate (both zlib-wrapped and raw, as servers disagree);
+    brotli/zstd need codec libraries and pass through unchanged
+    (documented boundary). Every step is best-effort and bounded:
+    malformed framing or a decompression bomb keeps the bytes as
+    they arrived."""
+    if not head or not body:
+        return body
+    te = _http_header_value(head, "transfer-encoding")
+    if te and "chunked" in te:
+        decoded = _dechunk(body)
+        if decoded is not None:
+            body = decoded
+    ce = _http_header_value(head, "content-encoding")
+    if ce in ("gzip", "x-gzip"):
+        out = _gunzip_bounded(body, 16 + 15)
+        if out is not None:
+            body = out
+    elif ce == "deflate":
+        out = _gunzip_bounded(body, 15)  # zlib-wrapped (the spec)
+        if out is None:
+            out = _gunzip_bounded(body, -15)  # raw (common in the wild)
+        if out is not None:
+            body = out
+    return body
+
+
 def iter_warc_records(raw: bytes) -> Iterator[dict]:
     """Yield records from WARC bytes — plain or gzip (including the
     member-per-record concatenated-gzip layout Common Crawl uses;
@@ -133,6 +221,7 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
         http_head = None
         if rtype == "response":
             http_head, payload = _split_http_payload(payload)
+            payload = decode_http_body(http_head, payload)
         yield {
             "url": headers.get("warc-target-uri"),
             "warc_ts": headers.get("warc-date"),

@@ -224,3 +224,48 @@ def test_read_warc_keep_http_headers_feeds_parser(spark, tmp_path):
     assert bytes(out["http://a.test/"].html) == b"<p>hi"
     assert out["http://b.test/"].status == 404
     assert out["http://b.test/"].content_type is None
+
+
+def test_http_body_transfer_and_content_codings():
+    """Chunked framing and gzip/deflate content codings are undone
+    (bounded, best-effort); malformed framing and bombs keep the raw
+    bytes; truncated captures keep what arrived."""
+    import gzip as _gzip
+    import zlib as _zlib
+    from goose_parser_spark.sources.warc import decode_http_body
+
+    def chunked(*chunks: bytes) -> bytes:
+        out = b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks)
+        return out + b"0\r\n\r\n"
+
+    te = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked"
+    assert decode_http_body(te, chunked(b"<p>", b"hi")) == b"<p>hi"
+    # chunk extension + trailer tolerated
+    ext = b"3;name=v\r\n<p>\r\n0\r\nX-T: 1\r\n\r\n"
+    assert decode_http_body(te, ext) == b"<p>"
+    # truncated capture: keep what arrived of the last chunk
+    trunc = b"a\r\n12345"
+    assert decode_http_body(te, trunc) == b"12345"
+    # malformed size line: raw bytes kept
+    bad = b"zz\r\nxxxx"
+    assert decode_http_body(te, bad) == bad
+
+    gz = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+    assert decode_http_body(gz, _gzip.compress(b"<p>zip")) == b"<p>zip"
+    # non-gzip bytes under a gzip label: kept as-is
+    assert decode_http_body(gz, b"plain") == b"plain"
+    df = "HTTP/1.1 200 OK\r\nContent-Encoding: deflate"
+    assert decode_http_body(df, _zlib.compress(b"d1")) == b"d1"  # zlib
+    raw = _zlib.compressobj(wbits=-15)
+    assert decode_http_body(
+        df, raw.compress(b"d2") + raw.flush()) == b"d2"  # raw deflate
+    # both codings stacked: chunked framing around a gzip body
+    both = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            "Content-Encoding: gzip")
+    assert decode_http_body(both, chunked(_gzip.compress(b"x"))) == b"x"
+    # bomb: 256 MB of zeros stays compressed rather than inflating
+    bomb = _gzip.compress(b"\x00" * (256 * 1024 * 1024))
+    assert decode_http_body(gz, bomb) == bomb
+    # brotli: passes through (codec-bound boundary)
+    br = "HTTP/1.1 200 OK\r\nContent-Encoding: br"
+    assert decode_http_body(br, b"\x0b\x02\x80hi") == b"\x0b\x02\x80hi"
