@@ -949,26 +949,14 @@ def select_indexed(index: DocIndex, context: list[Element] | Element,
     roots = [context] if isinstance(context, Element) else list(context)
     ctx_is_root = len(roots) == 1 and roots[0] is index.root
 
-    global _EVAL_CTX
-    prev_ctx = _EVAL_CTX
-    _EVAL_CTX = _EvalCtx(index.pos_maps, index.has_store,
-                         index.root, index)
-    try:
-        return _select_indexed_impl(index, roots, selector, ctx_is_root)
-    finally:
-        _EVAL_CTX = prev_ctx
-
-
-def _select_indexed_impl(index: DocIndex, roots: list[Element],
-                         selector: Selector,
-                         ctx_is_root: bool) -> list[Element]:
     alternatives = selector.alternatives
     single = len(alternatives) == 1
     if single and len(roots) == 1:
         # hot path: one alternative, one tag/class-only compound, one
         # context node ('div.product', 'h1.title', …, the overwhelming
         # shape in rule trees) — the index pool is the exact match set;
-        # skip _matches_compound and the chain-walk frames. Non-root
+        # skip _matches_compound and the chain-walk frames (and the
+        # evaluation-context push: nothing here consults it). Non-root
         # contexts add only an ancestor check per pool element.
         steps = alternatives[0].steps
         if len(steps) == 1 and steps[0][0] == " " and steps[0][1].simple:
@@ -1000,6 +988,20 @@ def _select_indexed_impl(index: DocIndex, roots: list[Element],
                     return fast[i:j]
                 return [el for el in fast if lo < el.order <= hi]
 
+    global _EVAL_CTX
+    prev_ctx = _EVAL_CTX
+    _EVAL_CTX = _EvalCtx(index.pos_maps, index.has_store,
+                         index.root, index)
+    try:
+        return _select_indexed_impl(index, roots, selector,
+                                    ctx_is_root, single)
+    finally:
+        _EVAL_CTX = prev_ctx
+
+
+def _select_indexed_impl(index: DocIndex, roots: list[Element],
+                         selector: Selector, ctx_is_root: bool,
+                         single: bool) -> list[Element]:
     ctx_orders = {e.order for e in roots}
     seen: set[int] = set()
     results: list[Element] = []
