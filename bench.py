@@ -400,7 +400,8 @@ def main() -> int:
         "media_probe", "jpeg_decode", "extract_tables", "feed_parse",
         "pdf_metadata", "robots_meta", "charset_decode",
         "g711_decode", "video_frames", "webp_decode", "exif_parse",
-        "gif_frames", "webp_frames", "id3_tags", "audio_fingerprint", "crossmodal_pairs",
+        "gif_frames", "webp_frames", "id3_tags", "audio_fingerprint",
+        "crossmodal_pairs", "http_headers",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:
