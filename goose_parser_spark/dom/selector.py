@@ -472,8 +472,13 @@ def _pseudo_match(el: Element, name: str, arg: object) -> bool:
             # + early-stop ancestor marking, O(1) per candidate. The
             # per-element subtree select was O(subtree) per candidate:
             # quadratic on deep chains. Positional pseudos are
-            # excluded (their meaning is context-scoped).
-            marked = ctx.has_store.get(id(sel))
+            # excluded (their meaning is context-scoped). Keyed by the
+            # selector SOURCE, not id(): the store outlives any one
+            # call, and an id() of a garbage-collected argument
+            # Selector can be reused by a different one (the intern
+            # cache is capped, so argument Selectors may be transient)
+            # — source text is what defines the semantics anyway.
+            marked = ctx.has_store.get(sel.source)
             if marked is None:
                 if ctx.root is None:  # non-indexed call: climb once
                     r = el
@@ -495,7 +500,7 @@ def _pseudo_match(el: Element, name: str, arg: object) -> bool:
                                 break
                             marked.add(po)
                             p = p.parent
-                ctx.has_store[id(sel)] = marked
+                ctx.has_store[sel.source] = marked
             return el.order in marked
         return bool(select([el], sel))
     if name == "contains":

@@ -57,8 +57,14 @@ MAX_PIXELS = 16_000_000
 # Animation walks compose one canvas per frame; without a ceiling a
 # crafted file with thousands of tiny frame records multiplies the
 # canvas cost. Callers sampling frames pass their own max_frames;
-# this is the backstop when they don't.
+# this is the backstop when they don't. The frame COUNT cap alone is
+# not a memory bound — 256 composed copies of a 16 MP canvas would be
+# ~30 GiB — so the walks also budget canvas_pixels x frames jointly
+# (MAX_ANIM_PIXELS) and stop emitting early, the same truncation
+# semantics as max_frames. 64 MP total = four max-size frames, or the
+# full 256 frames for canvases up to 500x500.
 MAX_FRAMES = 256
+MAX_ANIM_PIXELS = 64_000_000
 
 
 def _check_pixels(w: int, h: int, what: str) -> None:
@@ -174,6 +180,10 @@ def _png_gray(data: bytes) -> tuple[int, int, list[int]]:
     if bit_depth not in legal or interlace not in (0, 1):
         raise ValueError("unsupported PNG depth/interlace combination")
     _check_pixels(width, height, "PNG")
+    if width * height * channels > MAX_PIXELS:
+        # the decode buffers are per-SAMPLE, not per-pixel: an RGBA
+        # canvas costs 4x what the pixel check bounds
+        raise ValueError("PNG sample budget exceeded")
     passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
     bpp = max(1, channels * bit_depth // 8)
     expected = 0
@@ -878,6 +888,8 @@ def gif_frames_gray(data: bytes,
     if max_frames is None:
         max_frames = MAX_FRAMES
     sw, sh, flags, bg_idx = struct.unpack("<HHBB", data[6:12])
+    if sw > 0 and sh > 0:
+        max_frames = min(max_frames, max(1, MAX_ANIM_PIXELS // (sw * sh)))
     pos = 13
     global_pal: bytes | None = None
     if flags & 0x80:
@@ -1015,8 +1027,16 @@ def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
     if any(b != 8 for b in bps) or spp not in (1, 3):
         raise ValueError("unsupported TIFF (need 8-bit gray or RGB)")
     rows_per_strip = tags.get(278, [height])[0] or height
+    need = width * height * spp
     strips = []
+    total = 0
     for si, (o, c) in enumerate(zip(offsets, counts)):
+        if total >= need:
+            # budget: overlapping/duplicated strip entries (a crafted
+            # file can declare millions pointing at one region) must
+            # not accumulate past the geometry-implied size — without
+            # this a 124 KB file assembled GBs before the length check
+            break
         raw = data[o:o + c]
         if comp == 1:
             strips.append(raw)
@@ -1027,11 +1047,11 @@ def _tiff_gray(data: bytes) -> tuple[int, int, list[int]]:
             n_rows = min(rows_per_strip, height - si * rows_per_strip)
             strips.append(_bounded_inflate(raw, width * spp * n_rows))
         elif comp == 32773:
-            strips.append(_packbits(raw))
+            strips.append(_packbits(raw, need - total))
         else:
             raise ValueError("unsupported TIFF compression")
+        total += len(strips[-1])
     raw = b"".join(bytes(s) for s in strips)
-    need = width * height * spp
     if len(raw) < need:
         raise ValueError("truncated TIFF pixel data")
     if tags.get(317, [1])[0] == 2:  # horizontal differencing
@@ -1094,13 +1114,15 @@ def _tiff_lzw(data: bytes, n_expected: int) -> bytearray:
     return out
 
 
-def _packbits(data: bytes) -> bytearray:
+def _packbits(data: bytes, limit: int) -> bytearray:
     """TIFF PackBits (Apple RLE): n in 0..127 = copy n+1 literals;
-    n in -127..-1 = repeat next byte 1-n times; -128 is a no-op."""
+    n in -127..-1 = repeat next byte 1-n times; -128 is a no-op.
+    ``limit`` caps the output (RLE inflates up to 128x — a crafted
+    strip must stop at the geometry-implied size, not at OOM)."""
     out = bytearray()
     i = 0
     n = len(data)
-    while i < n:
+    while i < n and len(out) < limit:
         c = data[i]
         i += 1
         if c < 128:
@@ -2161,6 +2183,8 @@ def webp_frames_gray(
             if canvas is None:
                 _check_pixels(canvas_w, canvas_h, "WebP canvas")
                 canvas = [bg_gray] * (canvas_w * canvas_h)
+                max_frames = min(max_frames, max(
+                    1, MAX_ANIM_PIXELS // (canvas_w * canvas_h)))
             fx = 2 * int.from_bytes(body[0:3], "little")
             fy = 2 * int.from_bytes(body[3:6], "little")
             fw = 1 + int.from_bytes(body[6:9], "little")

@@ -110,7 +110,11 @@ def _dechunk(body: bytes) -> bytes | None:
     pos = 0
     n = len(body)
     while pos < n:
-        eol = body.find(b"\r\n", pos, pos + 18)  # 16 hex digits + slack
+        # window: 16 hex digits of size plus room for RFC 7230 chunk
+        # extensions (';name=value' pairs can legitimately run long —
+        # an 18-byte window rejected spec-valid bodies); a size line
+        # past 4 KB is not a chunk frame
+        eol = body.find(b"\r\n", pos, pos + 4096)
         if eol < 0:
             return None
         size_field = body[pos:eol].split(b";", 1)[0].strip()

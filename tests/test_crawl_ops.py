@@ -269,3 +269,17 @@ def test_http_body_transfer_and_content_codings():
     # brotli: passes through (codec-bound boundary)
     br = "HTTP/1.1 200 OK\r\nContent-Encoding: br"
     assert decode_http_body(br, b"\x0b\x02\x80hi") == b"\x0b\x02\x80hi"
+
+
+def test_dechunk_accepts_long_chunk_extensions():
+    """RFC 7230 chunk extensions can legitimately exceed a few bytes
+    (';signature=<hex>' style); the size-line search window must not
+    reject them (an 18-byte window did)."""
+    from goose_parser_spark.sources.warc import decode_http_body
+    te = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked"
+    ext = b";signature=abcdef0123456789abcdef0123456789"
+    body = b"5" + ext + b"\r\nhello\r\n0\r\n\r\n"
+    assert decode_http_body(te, body) == b"hello"
+    # but a 'size line' past the 4 KB frame bound is not chunked data
+    junk = b"5" + b";x" * 3000 + b"hello"
+    assert decode_http_body(te, junk) == junk

@@ -123,3 +123,75 @@ def test_pathological_structures():
     # allocation is bounded by the header fields actually present
     _run_all(b"GIF89a" + struct.pack("<HHBBB", 200, 200, 0, 0, 0)
              + b"\x3b")
+
+
+def test_animation_budget_bounds_pixels_times_frames():
+    """Frame count and canvas size must be budgeted JOINTLY: a large
+    canvas with many tiny frame records multiplies the composed-copy
+    cost (256 x 16 MP would be ~30 GiB). The walk stops emitting at
+    MAX_ANIM_PIXELS total composed pixels."""
+    import struct as st
+    sw = sh = 2000  # 4 MP canvas -> budget allows 16 composed frames
+    gct = bytes(3)  # 2-entry global color table (1-bit)
+    frame = (b"\x2c" + st.pack("<HHHHB", 0, 0, 1, 1, 0)
+             + b"\x07" + b"\x03" + bytes([0x80, 0x00, 0x81]) + b"\x00")
+    gif = (b"GIF89a" + st.pack("<HHBBB", sw, sh, 0x80, 0, 0)
+           + gct + gct + frame * 64 + b"\x3b")
+    got_sw, got_sh, frames = ic.gif_frames_gray(gif)
+    assert (got_sw, got_sh) == (sw, sh)
+    assert len(frames) == ic.MAX_ANIM_PIXELS // (sw * sh)  # 16, not 64
+
+
+def test_tiff_overlapping_strips_capped_at_geometry():
+    """Overlapping/duplicated strip entries must stop accumulating at
+    the geometry-implied byte count — a small file can otherwise
+    declare thousands of entries pointing at one region and assemble
+    GBs before any length check."""
+    import struct as st
+    w = h = 64
+    px = bytes(w)  # one row of zeros per strip region
+    # header: II, magic, IFD at 8
+    entries = []
+    n_strips = 5000  # all pointing at the same row
+    def entry(tag, typ, cnt, val):
+        return st.pack("<HHI4s", tag, typ, cnt, val)
+    # layout: [8: IFD] then arrays then pixel row
+    ifd_count = 8
+    ifd_size = 2 + ifd_count * 12 + 4
+    off_arr = 8 + ifd_size
+    cnt_arr = off_arr + 4 * n_strips
+    px_off = cnt_arr + 4 * n_strips
+    ifd = st.pack("<H", ifd_count)
+    ifd += entry(256, 3, 1, st.pack("<HH", w, 0))      # width
+    ifd += entry(257, 3, 1, st.pack("<HH", h, 0))      # height
+    ifd += entry(258, 3, 1, st.pack("<HH", 8, 0))      # bits
+    ifd += entry(259, 3, 1, st.pack("<HH", 1, 0))      # comp=none
+    ifd += entry(277, 3, 1, st.pack("<HH", 1, 0))      # spp=1
+    ifd += entry(278, 3, 1, st.pack("<HH", 1, 0))      # rows/strip
+    ifd += entry(273, 4, n_strips, st.pack("<I", off_arr))
+    ifd += entry(279, 4, n_strips, st.pack("<I", cnt_arr))
+    ifd += st.pack("<I", 0)
+    data = (b"II*\x00" + st.pack("<I", 8) + ifd
+            + st.pack("<I", px_off) * n_strips
+            + st.pack("<I", len(px)) * n_strips
+            + px)
+    gw, gh, gray = ic.decode_image_gray(data)
+    # decodes (enough strips cover the geometry) without assembling
+    # 5000 copies: the budget slices exactly need bytes
+    assert (gw, gh) == (w, h) and len(gray) == w * h
+
+
+def test_png_sample_budget_counts_channels():
+    """An RGBA canvas costs 4x the per-pixel budget; the sample check
+    must reject what the pixel check alone would admit."""
+    import struct as st, zlib as zl
+    w = h = 3000  # 9 MP pixels -> 36 M samples at RGBA: over budget
+    def chunk(typ, body):
+        c = st.pack(">I", len(body)) + typ + body
+        return c + st.pack(">I", zl.crc32(typ + body))
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # RGBA8
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zl.compress(b"\x00" * 1000))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="sample budget"):
+        ic.decode_image_gray(png)

@@ -350,3 +350,30 @@ def test_memoized_paths_differential_random_doms():
             a = [e.order for e in select_indexed(idx, root, s)]
             b = [e.order for e in select(root, s)]
             assert a == b, (trial, s, html)
+
+
+def test_has_store_survives_argument_selector_identity_reuse():
+    """The doc-scoped :has cache must key on selector SOURCE, not
+    id(): with the intern cache bypassed (its cap makes argument
+    Selectors transient on adversarial rule sets), two different
+    :has arguments at the same memory address must not share a
+    marked-ancestor set."""
+    from goose_parser_spark.dom.parser import parse_document
+    from goose_parser_spark.dom.selector import (
+        DocIndex, _parse_selector_impl, select_indexed, Selector,
+        Complex)
+    root, created = parse_document(
+        "<div id=a><span>x</span></div><div id=b><em>y</em></div>")
+    idx = DocIndex(root, created)
+    # two structurally distinct, non-interned selectors evaluated
+    # back-to-back on the SAME index: if the second lookup hit the
+    # first's cache entry, div#b would (wrongly) match :has(span)
+    s1 = _parse_selector_impl("div:has(span)")
+    r1 = [e.attrs.get("id") for e in select_indexed(idx, root, s1)]
+    del s1  # allow id() reuse
+    s2 = _parse_selector_impl("div:has(em)")
+    r2 = [e.attrs.get("id") for e in select_indexed(idx, root, s2)]
+    assert r1 == ["a"] and r2 == ["b"]
+    # and same-source selectors share the cache (one doc pass)
+    assert len(idx.has_store) == 2
+    assert set(idx.has_store) == {"span", "em"}
