@@ -160,8 +160,9 @@ def decode_http_body(head: str | None, body: bytes) -> bytes:
     and/or gzip-encoded — handing the raw bytes to an HTML parser
     interleaves chunk-size lines into the markup, or feeds it gzip
     noise). Chunked framing first, then Content-Encoding gzip or
-    deflate (both zlib-wrapped and raw, as servers disagree);
-    brotli/zstd need codec libraries and pass through unchanged
+    deflate (both zlib-wrapped and raw, as servers disagree) or zstd
+    (RFC 8878 via the pure-stdlib decoder in ops/zstdcodec.py);
+    brotli still needs a codec library and passes through unchanged
     (documented boundary). Every step is best-effort and bounded:
     malformed framing or a decompression bomb keeps the bytes as
     they arrived."""
@@ -183,19 +184,45 @@ def decode_http_body(head: str | None, body: bytes) -> bytes:
             out = _gunzip_bounded(body, -15)  # raw (common in the wild)
         if out is not None:
             body = out
+    elif ce == "zstd":
+        from goose_parser_spark.ops.zstdcodec import ZstdError, decompress
+        try:
+            body = decompress(body, max_out=_MAX_PAYLOAD,
+                              verify_checksum=False)
+        except ZstdError:
+            pass  # best-effort: malformed/bomb keeps raw bytes
     return body
 
 
 def iter_warc_records(raw: bytes) -> Iterator[dict]:
-    """Yield records from WARC bytes — plain or gzip (including the
+    """Yield records from WARC bytes — plain, gzip (including the
     member-per-record concatenated-gzip layout Common Crawl uses;
     ``gzip.GzipFile`` over the whole stream handles concatenated
-    members transparently). Each dict: url, warc_ts, record_type,
-    content_type, payload (HTTP headers stripped for responses)."""
+    members transparently), or zstd ``.warc.zst`` (record-per-frame
+    or whole-file frames both arrive as concatenated frames, which
+    ops/zstdcodec.decode_frames inflates in one bounded pass;
+    dictionary-bearing archives — the IIPC layout's skippable-frame
+    dictionary — are rejected by the decoder and fall through to an
+    empty record stream rather than mis-parsing). Each dict: url,
+    warc_ts, record_type, content_type, payload (HTTP headers
+    stripped for responses)."""
     if raw[:2] == b"\x1f\x8b":
         fh = gzip.GzipFile(fileobj=io.BytesIO(raw))
     else:
-        fh = io.BytesIO(raw)
+        from goose_parser_spark.ops.zstdcodec import (
+            ZstdError, decode_frames, is_zstd)
+        if is_zstd(raw):
+            try:
+                # whole-file buffer: the binaryFile model already holds
+                # the compressed file; cap the inflated copy at 32x the
+                # per-record payload budget (CC files are ~1 GB raw)
+                inflated, _, _ = decode_frames(
+                    raw, max_out=32 * _MAX_PAYLOAD, verify_checksum=False)
+            except ZstdError:
+                return
+            fh = io.BytesIO(inflated)
+        else:
+            fh = io.BytesIO(raw)
     while True:
         headers = _read_headers(fh)
         if headers is None:
@@ -242,8 +269,10 @@ def read_warc(
     record_types: tuple[str, ...] = ("response",),
     keep_http_headers: bool = False,
 ) -> "DataFrame":
-    """Distributed WARC read: one task per ``.warc``/``.warc.gz`` file
-    (binaryFile source), record parsing inside mapInArrow. Returns
+    """Distributed WARC read: one task per ``.warc``/``.warc.gz``/
+    ``.warc.zst`` file (binaryFile source; zstd inflated by the
+    pure-stdlib RFC 8878 decoder), record parsing inside mapInArrow.
+    Returns
     ``url, warc_ts (timestamp), record_type, content_type, html
     (binary)`` — the input-hint page shape, ready for ``extract``.
     With ``keep_http_headers`` the stripped HTTP response head rides
