@@ -4217,6 +4217,60 @@ SQL_G711_DECODE = (
     f"WITH {_SQL_DOCS_AMP_COPY}, " + _sql_g711_decode())
 
 
+def q_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL RFC 8878 zstd decoder (ops/zstdcodec.py) under the
+    value oracle, on the SQL-authorable subset of the format: per
+    document, TWO concatenated frames with a skippable frame between
+    them — frame 1 is single-segment (1-byte declared content size)
+    carrying a raw block, a Compressed block whose literals are raw
+    with zero sequences (exercises the compressed-block framing),
+    and an RLE block; frame 2 is windowed (window descriptor, no
+    declared size) carrying one raw block. All content bytes derive
+    from md5(doc_id) so the oracle replays the decoded text, frame
+    count, length, and checksum aggregation exactly. The
+    entropy-coded paths (FSE/Huffman) this oracle cannot author are
+    pinned in tests/test_zstd.py against the real zstd encoder
+    (zstd-jni round-trips) and a zstd-CLI-authored external fixture
+    with its xxh64 checksum verified."""
+    from goose_parser_spark.ops.zstdcodec import zstd_text
+    docs = _documents_amplified(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("zstd-"), F.col("doc_id").cast("string")))
+    a = F.encode(F.substring(h, 1, 16), "utf-8")   # raw block
+    b = F.encode(F.substring(h, 17, 8), "utf-8")   # compressed/raw lits
+    c = F.encode(F.substring(h, 25, 1), "utf-8")   # RLE byte (x8)
+    d = F.encode(F.substring(h, 9, 8), "utf-8")    # frame-2 raw block
+    hdr1 = bytes.fromhex("28b52ffd") + bytes([0x20, 32])  # frame-1 FCS
+    raw_hdr = (16 << 3 | 0).to_bytes(3, "little")
+    # Compressed block: size 10 = litheader(1) + 8 literals + nbseq(1)
+    comp_hdr = ((10 << 3) | (2 << 1)).to_bytes(3, "little") \
+        + bytes([8 << 3])
+    rle_hdr = ((8 << 3) | (1 << 1) | 1).to_bytes(3, "little")
+    skip = bytes.fromhex("502a4d18") + (4).to_bytes(4, "little") + b"JUNK"
+    hdr2 = bytes.fromhex("28b52ffd") + bytes([0x00, 0x00]) \
+        + ((8 << 3) | 1).to_bytes(3, "little")
+    payload = F.concat(
+        F.lit(hdr1), F.lit(raw_hdr), a,
+        F.lit(comp_hdr), b, F.lit(b"\x00"),
+        F.lit(rle_hdr), c,
+        F.lit(skip), F.lit(hdr2), d)
+    z = docs.select("doc_id", payload.alias("payload"))
+    return zstd_text(z, max_out=1 << 16)
+
+
+SQL_ZSTD_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, zh AS (
+  SELECT doc_id, md5('zstd-' || doc_id) AS h FROM docs_amp
+)
+SELECT doc_id,
+       CAST(2 AS INTEGER) AS n_frames,
+       CAST(40 AS BIGINT) AS content_len,
+       'absent' AS checksum_state,
+       substr(h, 1, 16) || substr(h, 17, 8)
+         || repeat(substr(h, 25, 1), 8) || substr(h, 9, 8) AS text
+FROM zh
+"""
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-GIF frame sampling under the value oracle: a 4-frame
     8x8 GIF per document is authored JVM-side using the byte-aligned
@@ -5540,7 +5594,6 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_frontier": q_bloom_frontier,
     "events_asof_join": q_events_asof_join,
     "robots_filter": q_robots_filter,
-    "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_gopher_quality": q_text_gopher_quality,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
@@ -5563,6 +5616,8 @@ QUERIES: dict[str, QueryFn] = {
     "id3_tags": q_id3_tags,
     "audio_fingerprint": q_audio_fingerprint,
     "crossmodal_pairs": q_crossmodal_pairs,
+    # -- new in round 6, session 5 --
+    "zstd_decode": q_zstd_decode,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5572,7 +5627,11 @@ QUERIES: dict[str, QueryFn] = {
     # text_repetition — all nine driver-signed in r1-r5; url_ops
     # (driver-signed r4+r5, family covered in-window by
     # url_canonicalize) rotated out in session 4 to keep the new
-    # http_headers op in-window with a value oracle
+    # http_headers op in-window with a value oracle; text_stats
+    # (driver-signed in four rounds, family covered in-window by
+    # text_quality/text_gopher_quality) rotated out in session 5 to
+    # keep the new zstd_decode op in-window with a value oracle
+    "text_stats": q_text_stats,
     "url_ops": q_url_ops,
     "sitemap_parse": q_sitemap_parse,
     "text_repetition": q_text_repetition,
@@ -5736,6 +5795,7 @@ ORACLES: dict[str, str] = {
     "robots_meta": SQL_ROBOTS_META,
     "charset_decode": SQL_CHARSET_DECODE,
     "g711_decode": SQL_G711_DECODE,
+    "zstd_decode": SQL_ZSTD_DECODE,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -941,3 +941,69 @@ def decompress(data: bytes, max_out: int = 1 << 30,
     features (external dictionaries), checksum mismatch, or when the
     output would exceed ``max_out`` (bomb guard)."""
     return decode_frames(data, max_out, verify_checksum)[0]
+
+
+def zstd_text(df, payload_col: str = "payload", id_col: str = "doc_id",
+              max_out: int = 1 << 26):
+    """Spark-side decode of a zstd binary column to text — the
+    compressed-sidecar ingest shape (datasets distributed as
+    ``.jsonl.zst`` / ``.txt.zst`` payloads, or zstd-recompressed
+    bodies landed by a crawler). One row per input row:
+    ``id_col, n_frames, content_len, checksum_state, text``; decode
+    failures yield a single ``n_frames = -1`` row with NULL content
+    (I4 poison isolation — same contract as the media codecs).
+    Arrow-batched mapInPandas; decode is the only Python node, the
+    plan is map-only (no shuffle), and ``max_out`` bounds per-doc
+    inflation so a bomb poisons its row instead of the executor."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType)
+
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("n_frames", IntegerType(), False),
+        StructField("content_len", LongType(), True),
+        StructField("checksum_state", StringType(), True),
+        StructField("text", StringType(), True),
+    ])
+
+    def run(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "_id", "n_frames", "content_len", "checksum_state",
+                "text")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    content, n_frames, cstate = decode_frames(
+                        bytes(payload), max_out=max_out,
+                        verify_checksum=False)
+                    text = content.decode("utf-8", "replace")
+                except ZstdError:
+                    cols["_id"].append(doc_id)
+                    cols["n_frames"].append(-1)
+                    cols["content_len"].append(None)
+                    cols["checksum_state"].append(None)
+                    cols["text"].append(None)
+                    continue
+                cols["_id"].append(doc_id)
+                cols["n_frames"].append(n_frames)
+                cols["content_len"].append(len(content))
+                cols["checksum_state"].append(cstate)
+                cols["text"].append(text)
+            yield pd.DataFrame({
+                id_col: cols["_id"],
+                "n_frames": cols["n_frames"],
+                "content_len": cols["content_len"],
+                "checksum_state": cols["checksum_state"],
+                "text": cols["text"],
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema=out_schema))
