@@ -401,7 +401,7 @@ def main() -> int:
         "pdf_metadata", "robots_meta", "charset_decode",
         "g711_decode", "video_frames", "webp_decode", "exif_parse",
         "gif_frames", "webp_frames", "id3_tags", "audio_fingerprint",
-        "crossmodal_pairs", "http_headers",
+        "crossmodal_pairs", "http_headers", "zstd_decode",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -334,3 +334,24 @@ def test_read_warc_zst_frame_per_record(spark, tmp_path):
     df = read_warc(spark, str(tmp_path))
     urls = sorted(r.url for r in df.collect())
     assert urls == [f"https://ex.com/r{i}" for i in range(3)]
+
+
+def test_read_pages_jsonl_zst(spark, tmp_path):
+    """Dataset-sidecar shape: a .jsonl.zst shard written by the real
+    zstd encoder reads back through the explicit-schema path with
+    html restored to binary."""
+    import json
+
+    from goose_parser_spark.sources.jsonl import read_pages_jsonl_zst
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    lines = "\n".join(json.dumps({
+        "url": f"https://ex.com/j{i}",
+        "html_b64": base64.b64encode(f"<p>{i}</p>".encode()).decode(),
+        "text": f"doc {i}", "lang": "en"}) for i in range(9))
+    (tmp_path / "shard-0.jsonl.zst").write_bytes(
+        bytes(Z.compress(lines.encode(), 9)))
+    df = read_pages_jsonl_zst(spark, str(tmp_path))
+    rows = sorted((r.url, bytes(r.html), r.text) for r in df.collect())
+    assert len(rows) == 9
+    assert rows[3] == ("https://ex.com/j3", b"<p>3</p>", "doc 3")
