@@ -4271,6 +4271,49 @@ FROM zh
 """
 
 
+def q_brotli_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL RFC 7932 brotli decoder (ops/brotlicodec.py) under
+    the value oracle, on the SQL-authorable subset of the format: per
+    document a stream of WBITS=16 header + an UNCOMPRESSED metablock
+    (16 bytes — ISUNCOMPRESSED realigns the reader to a byte
+    boundary, which is what makes the headers SQL constants), a
+    metadata skip block carrying 4 skipped bytes, a second
+    uncompressed metablock (8 bytes), and the ISLAST+ISLASTEMPTY
+    trailer. All content bytes derive from md5(doc_id) so the oracle
+    replays the decoded text, window bits, and length exactly. The
+    entropy-coded paths this oracle cannot author (prefix codes,
+    context maps, distance rings, the static dictionary with word
+    transforms) are pinned in tests/test_brotli.py against the
+    reference C encoder (libbrotlienc ctypes round-trips), the
+    reference C decoder (the authored constants here), and a
+    Debian-shipped real ``.br`` artifact decoded byte-identically."""
+    from goose_parser_spark.ops.brotlicodec import brotli_text
+    docs = _documents_amplified(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("brotli-"), F.col("doc_id").cast("string")))
+    a = F.encode(F.substring(h, 1, 16), "utf-8")   # metablock 1 bytes
+    s = F.encode(F.substring(h, 17, 4), "utf-8")   # metadata (skipped)
+    b = F.encode(F.substring(h, 21, 8), "utf-8")   # metablock 2 bytes
+    payload = F.concat(
+        F.lit(bytes.fromhex("f00010")), a,          # wbits16 + MLEN 16
+        F.lit(bytes.fromhex("d600")), s,            # metadata skip 4
+        F.lit(bytes.fromhex("380008")), b,          # MLEN 8
+        F.lit(bytes.fromhex("03")))                 # ISLAST+ISLASTEMPTY
+    z = docs.select("doc_id", payload.alias("payload"))
+    return brotli_text(z, max_out=1 << 16)
+
+
+SQL_BROTLI_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}, bh AS (
+  SELECT doc_id, md5('brotli-' || doc_id) AS h FROM docs_amp
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS wbits,
+       CAST(24 AS BIGINT) AS content_len,
+       substr(h, 1, 16) || substr(h, 21, 8) AS text
+FROM bh
+"""
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-GIF frame sampling under the value oracle: a 4-frame
     8x8 GIF per document is authored JVM-side using the byte-aligned
@@ -5596,7 +5639,6 @@ QUERIES: dict[str, QueryFn] = {
     "robots_filter": q_robots_filter,
     "text_quality": q_text_quality,
     "text_gopher_quality": q_text_gopher_quality,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_percentiles": q_corpus_percentiles,
     "script_stats": q_script_stats,
     # -- new in round 6 --
@@ -5618,6 +5660,7 @@ QUERIES: dict[str, QueryFn] = {
     "crossmodal_pairs": q_crossmodal_pairs,
     # -- new in round 6, session 5 --
     "zstd_decode": q_zstd_decode,
+    "brotli_decode": q_brotli_decode,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5630,7 +5673,11 @@ QUERIES: dict[str, QueryFn] = {
     # http_headers op in-window with a value oracle; text_stats
     # (driver-signed in four rounds, family covered in-window by
     # text_quality/text_gopher_quality) rotated out in session 5 to
-    # keep the new zstd_decode op in-window with a value oracle
+    # keep the new zstd_decode op in-window with a value oracle;
+    # text_tfidf_top_terms (driver-signed in prior rounds, retrieval
+    # family covered by the r5-signed bm25_search/hybrid_search)
+    # rotated out in session 5 for the new brotli_decode op
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
     "sitemap_parse": q_sitemap_parse,
@@ -5796,6 +5843,7 @@ ORACLES: dict[str, str] = {
     "charset_decode": SQL_CHARSET_DECODE,
     "g711_decode": SQL_G711_DECODE,
     "zstd_decode": SQL_ZSTD_DECODE,
+    "brotli_decode": SQL_BROTLI_DECODE,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -160,12 +160,11 @@ def decode_http_body(head: str | None, body: bytes) -> bytes:
     and/or gzip-encoded — handing the raw bytes to an HTML parser
     interleaves chunk-size lines into the markup, or feeds it gzip
     noise). Chunked framing first, then Content-Encoding gzip or
-    deflate (both zlib-wrapped and raw, as servers disagree) or zstd
-    (RFC 8878 via the pure-stdlib decoder in ops/zstdcodec.py);
-    brotli still needs a codec library and passes through unchanged
-    (documented boundary). Every step is best-effort and bounded:
-    malformed framing or a decompression bomb keeps the bytes as
-    they arrived."""
+    deflate (both zlib-wrapped and raw, as servers disagree), zstd
+    (RFC 8878 via the pure-stdlib decoder in ops/zstdcodec.py) or
+    brotli (RFC 7932 via ops/brotlicodec.py). Every step is
+    best-effort and bounded: malformed framing or a decompression
+    bomb keeps the bytes as they arrived."""
     if not head or not body:
         return body
     te = _http_header_value(head, "transfer-encoding")
@@ -190,6 +189,13 @@ def decode_http_body(head: str | None, body: bytes) -> bytes:
             body = decompress(body, max_out=_MAX_PAYLOAD,
                               verify_checksum=False)
         except ZstdError:
+            pass  # best-effort: malformed/bomb keeps raw bytes
+    elif ce == "br":
+        from goose_parser_spark.ops.brotlicodec import (
+            BrotliError, decompress)
+        try:
+            body = decompress(body, max_out=_MAX_PAYLOAD)
+        except BrotliError:
             pass  # best-effort: malformed/bomb keeps raw bytes
     return body
 

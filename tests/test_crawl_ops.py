@@ -266,8 +266,11 @@ def test_http_body_transfer_and_content_codings():
     # bomb: 256 MB of zeros stays compressed rather than inflating
     bomb = _gzip.compress(b"\x00" * (256 * 1024 * 1024))
     assert decode_http_body(gz, bomb) == bomb
-    # brotli: passes through (codec-bound boundary)
+    # brotli: decoded for real since session 5 (ops/brotlicodec.py);
+    # 8b 00 80 'h' 'i' 03 is the uncompressed-metablock encoding
     br = "HTTP/1.1 200 OK\r\nContent-Encoding: br"
+    assert decode_http_body(br, b"\x8b\x00\x80hi\x03") == b"hi"
+    # malformed brotli keeps the raw bytes (best-effort contract)
     assert decode_http_body(br, b"\x0b\x02\x80hi") == b"\x0b\x02\x80hi"
 
 
