@@ -4314,6 +4314,133 @@ FROM bh
 """
 
 
+# Lossy-WebP (VP8 keyframe) fixtures for q_vp8_decode. VP8 is
+# arithmetic-coded end to end, so unlike the JPEG DC-only trick there
+# is NO SQL-authorable subset — instead the payloads are fixed
+# real-encoder bitstreams (libwebp simple + advanced API, chosen to
+# exercise segmentation, the simple loop filter, two token partitions
+# and odd dimensions, plus CPython's third-party-encoded python.webp)
+# and the expected (width, height, md5(Y plane)) triples were
+# computed by LIBWEBP'S OWN DECODER at authoring time. The driver
+# gate therefore hash-checks "ops/vp8.py == the reference C decoder"
+# on every run; tests/test_vp8.py holds the live encoder round-trips
+# (any table/tree/filter deviation desynchronizes the bool decoder).
+_VP8_FIXTURES: tuple[tuple[str, int, int, str, str], ...] = (
+    ("noise16_q75", 16, 16, "8ee12ea17fe1ec596ea827c7cbc73b0a",
+     "5005009d012a1000100002003425b002747f06e80bb00de002b19f338e609e65"
+     "ff69fc5be003f8eff37df2bfd332c73141854000fe7e9fb46f7df77c7fce71d2"
+     "e44d4a5425620f535ca5e6e0bdd93a37c0b4aa85a7f864cb923f775b74e11bd3"
+     "02e0af523ed7f577f739d36779d9110b1cfc2fee82e38dbc871dbace706cd077"
+     "70b0edcd9ebcff4c115164f3f3b5f982bf0d403ba3ebf700b70eff68d108cc53"
+     "7bbde32784190f24cfc2d727cf0722d08a43561c52f7cde8d7f8f68b26f846d6"
+     "7d69cd9c2f84b75c17d37fc7bbeb4cd7ba259b411f021e73efe4b13968681423"
+     "4cedcee00000"),
+    ("grad17x9_q40", 17, 9, "8c5cbc4faddf1b433ecf2d1094815424",
+     "b003009d012a110009003eed68ad4ea9a624a2300801301d896c009d32847000"
+     "29bbf54ef70000feec55c29fd0f8f8368839d29ffe3b3f68f87c1aefd9680383"
+     "2cf6cd0d76f00fca84c7baca0c500000"),
+    ("mixed32_seg4", 32, 32, "e9e04d056a9605d5fff4c2d96f1deeab",
+     "d009009d012a200020003ea5388e42a62321180600600a44f6004e9942240386"
+     "0f955dc11205b00ea01f8ef7806e00de00de10ae6fad6acc13cffec01d183f66"
+     "7d155af38bdcd3e4b305c25a28296bcd6c9df053eb440000fefffec3232389c8"
+     "caf9ecf26e731c427f172cda55fffe52377fcf32effc3842126fd9c3d05ff940"
+     "56347fba666c3e13cfaf559fe5256ba79f8d6ce0c79c8d096a7e2d2916887679"
+     "5faa1156e4144d3bc66e54e9fa48801f1ed5cfe99ab835f32bca9ec18c64bcc3"
+     "3534ae39404d09315b4ff1106683991792fe35fa4f8d5b7610419d4d267e35d6"
+     "b6112b802702f96e19a05cb0d92e4b2f775b262d9b5e09060af2fcb497ac253e"
+     "8ccdeb157fa93e329e88506fccd5ff969cad94d5367ac7874caba69596b2146d"
+     "e3ea3dc14210c3ee573b24b85c20e4035eae5598d9e4acbc256b15553336485c"
+     "1fd11667b134a1e20f5826fc76181e358c7565df9e336f939a7b735fef453853"
+     "33412cfc6bcfee4d9d34a2a0fcee127973c98ee9354a7463d750c44222ebd35c"
+     "5df3e366f7978199a5445d3d602ca24c93fe60b5bc185a0ffa9b5eea7f6ff158"
+     "d4739269beec3f6577f8c5d7d185d6b1d50cfe7536cd72880852839b754a9ddc"
+     "c3add0eec75c02022ce6907df9b44000"),
+    ("grad24x16_simplef", 24, 16, "f601b90495f13bcb4ef310656e4eaf93",
+     "3204009d012a180010003e91449a48a5a422a1300804b012096c009d32847737"
+     "92806125d8c75e0104a000fefa932fdbcadd0aca9561d69b935fa3a3d4f82239"
+     "d4fda65b3fa88bdd0158a50c0374ec2ea40fea8c7881c8f5f60acb42df824000"),
+    ("noise16x48_parts2", 16, 48, "d352194c7a863a4ab586620df2960c5e",
+     "5004009d012a1000300002013425b00003565c86fa2d6d3e2c0db58f5414b0ce"
+     "520126251b2312c13df40000d50100fe345ad59dae81aae63107c8f1afd22610"
+     "43798f9cf6c455fefb5b1f1297edf3f952e07d408f4711a5d5be7d6da13917aa"
+     "bbed533e7636d4020fff4b937d0983f10612292f237556266bea73c8d07ee0fb"
+     "d4719c9c5fd9f9b2bd8c45a2fe35c15fbd695e91c38f39c86fb3024c0ee3b7d2"
+     "b5b4fb6358990dd1c53d874345fafb063fc9bffea3d4adfb4f3e3f90dc44389e"
+     "3007accf94fc3dc0988def9c5858b9ffd7e501a7c49167f6a66efe3ff7e9ac9c"
+     "c7f8660839fb91eba2850aac353a810ac8fc18b7fe9eefb9b905c4c63207b9bc"
+     "dfbccd4de91357d8659235772aa5d959049e7f9d8c0c99f4417858d04f447d1a"
+     "9287dbdd95c213e629044bffb70d86a6a3f9a1bfbed1bc29f85eea107e0cc7ff"
+     "8f517e9bff6d968d3c8c7729bd9384269a9656062e218fa69699fbf5d36c29f5"
+     "d93cf7be35ed60bdf7e5b9b6ebf538063af7dfeaeca1b61f1e9d0f17fe7ef7ab"
+     "ddeafa427dc247cf6e7f5fbdda1e5dd3d2ce1bbf474fff139119251fdafd3f25"
+     "30f3b71bf98323e1004bbe681f94d31b7e5047bc914254e010ccb7ae12ac659f"
+     "cffbfa15b757e967229b993647c76727fd5530c3c23e11a308654caa305a02b6"
+     "79abcb9fd5bdfd5b339ae81c8cf4fdc4a385e44c39ef8f3b2fbffd203f9ff86f"
+     "337a0000db24e9afd4d764ff28298076da1f6c1c9624ed32f5fa6993063d5022"
+     "f70ffe2e7d3fb966f78c31afff7f4ff3e56eb3175de8a3da8cfecee8abd170ff"
+     "619218c6a5647c73fe4e93b471a34eaf53be36de64efafe29df891ccb44fe60a"
+     "cf73509cffe9fb9fe730f5dbdc2904891f956b8fffcb64ffd80f4e7a7e8c1ef7"
+     "0b0af23074f545efc5c37beb2746359e1810a0611e56ec789fef25f8fc8ef33e"
+     "402d45b35cb94afae48c778b512ea2b9a31cfebfa165d06fbcc90d38373d983f"
+     "dad8583188c439f1119d57d5c9a04bbf3138850340fd3f2964358ff9b0d9c71f"
+     "7be80e5d75fd9f9a36eff97cfef5dbbcffadff6a0000"),
+    ("cpython_logo", 16, 16, "dfe4982372c6c01faa923c2d30af586d",
+     "9002009d012a1000100003003425b00274304f08850c7c031d082cfde800fefd"
+     "74a0fd029b1f8af7437c9c37f6d20cafd3ff3568e2eea7bdc96f1bf4aac563ae"
+     "ba9f9784df41a23bda5be4eff8cbf1bd7fe1affa3fe509ecf4bb665fffaa29d9"
+     "7fc96ce786e6ac97b9e4c6f493238c5fdd8f3955207f954ffc39f8ff6fd26b03"
+     "e89fbc8398666db1d513ff7617e6b1fe5d8ae49f47bfb3fabffe1d1df3128ffe"
+     "5ccfc1faf918c3bdcfcf1f9139a001fd9a014b312cdebcd97baaac000000"),
+)
+
+
+def q_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-stdlib VP8 keyframe decoder (ops/vp8.py, RFC 6386)
+    under the driver value oracle. Each document selects one of six
+    fixed real-encoder VP8 bitstreams by ``doc_id % 6`` (JVM-side
+    array lookup — the decode in ops/multimodal.vp8_luma is the only
+    Python node, map-only) and the query emits the decoded
+    dimensions plus md5 of the Y plane. The oracle replays the
+    triples libwebp's own decoder produced at authoring time, so a
+    single wrong pixel byte anywhere in the boolean coder / token /
+    prediction / IDCT / loop-filter chain flips the hash. The
+    fixtures cover segmentation, the simple loop filter, two token
+    partitions, odd dimensions and a third-party-encoded stream
+    (CPython's python.webp logo)."""
+    from goose_parser_spark.ops.multimodal import vp8_luma
+    docs = _documents_amplified(spark, sf_dir)
+    payloads = F.array(*[F.lit(bytes.fromhex(hx))
+                         for (_n, _w, _h, _m, hx) in _VP8_FIXTURES])
+    k = (F.col("doc_id") % len(_VP8_FIXTURES)).cast("int")
+    z = docs.select(
+        "doc_id", F.element_at(payloads, k + F.lit(1)).alias("payload"))
+    out = vp8_luma(z)
+    return out.select("doc_id", "width", "height",
+                      F.md5(F.col("luma")).alias("luma_md5"))
+
+
+def _sql_vp8_decode() -> str:
+    """Generated DuckDB replay of q_vp8_decode from the same fixture
+    table: pure CASE over doc_id %% 6."""
+    n = len(_VP8_FIXTURES)
+    w = " ".join(f"WHEN {i} THEN {f[1]}"
+                 for i, f in enumerate(_VP8_FIXTURES))
+    h = " ".join(f"WHEN {i} THEN {f[2]}"
+                 for i, f in enumerate(_VP8_FIXTURES))
+    m = " ".join(f"WHEN {i} THEN '{f[3]}'"
+                 for i, f in enumerate(_VP8_FIXTURES))
+    return (f"SELECT doc_id, "
+            f"CAST(CASE doc_id % {n} {w} END AS INTEGER) AS width, "
+            f"CAST(CASE doc_id % {n} {h} END AS INTEGER) AS height, "
+            f"CASE doc_id % {n} {m} END AS luma_md5 FROM docs_amp")
+
+
+SQL_VP8_DECODE = f"""
+WITH {_SQL_DOCS_AMP_COPY}
+{_sql_vp8_decode()}
+"""
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-GIF frame sampling under the value oracle: a 4-frame
     8x8 GIF per document is authored JVM-side using the byte-aligned
@@ -5611,7 +5738,6 @@ QUERIES: dict[str, QueryFn] = {
     "extract_conditional": q_extract_conditional,
     "extract_multi_tree": q_extract_multi_tree,
     "extract_links": q_extract_links,
-    "extract_metadata": q_extract_metadata,
     "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
@@ -5661,6 +5787,8 @@ QUERIES: dict[str, QueryFn] = {
     # -- new in round 6, session 5 --
     "zstd_decode": q_zstd_decode,
     "brotli_decode": q_brotli_decode,
+    # -- new in round 6, session 6 --
+    "vp8_decode": q_vp8_decode,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5676,7 +5804,11 @@ QUERIES: dict[str, QueryFn] = {
     # keep the new zstd_decode op in-window with a value oracle;
     # text_tfidf_top_terms (driver-signed in prior rounds, retrieval
     # family covered by the r5-signed bm25_search/hybrid_search)
-    # rotated out in session 5 for the new brotli_decode op
+    # rotated out in session 5 for the new brotli_decode op;
+    # extract_metadata (driver-signed r1-r5, extraction family still
+    # carries SIX in-window reps incl. the flagship) rotated out in
+    # session 6 for the new vp8_decode op
+    "extract_metadata": q_extract_metadata,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -5844,6 +5976,7 @@ ORACLES: dict[str, str] = {
     "g711_decode": SQL_G711_DECODE,
     "zstd_decode": SQL_ZSTD_DECODE,
     "brotli_decode": SQL_BROTLI_DECODE,
+    "vp8_decode": SQL_VP8_DECODE,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -10,11 +10,14 @@ JPEG, both baseline (SOF0/SOF1) and progressive (SOF2, spectral
 selection + successive approximation), through one integer
 fixed-point IDCT, plus lossless WebP (VP8L: LSB bitstream, canonical
 prefix codes, LZ77 + color cache, all four inverse transforms) and
-AVI container walking for MJPEG frame sampling. This upgrades the
-multimodal pipeline's decode stage from a stand-in to a REAL decoder
-wherever pure stdlib suffices — lossy VP8, AVIF and arithmetic-coded
-JPEG remain out of scope offline and raise ValueError, isolated per
-document upstream.
+AVI container walking for MJPEG frame sampling. LOSSY WebP decodes
+for real too: ops/vp8.py implements the full VP8 keyframe path
+(boolean coder, token trees, intra prediction, integer IDCT/WHT,
+both loop filters) and its Y plane IS the BT.601 luma this pipeline
+uses as gray. This upgrades the multimodal pipeline's decode stage
+from a stand-in to a REAL decoder wherever pure stdlib suffices —
+AVIF and arithmetic-coded JPEG remain out of scope offline and
+raise ValueError, isolated per document upstream.
 
 Everything is integer arithmetic and therefore bit-deterministic
 across machines: grayscale is ITU-R BT.601 in fixed point
@@ -297,10 +300,11 @@ def _pnm_gray(data: bytes) -> tuple[int, int, list[int]]:
 
 def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
     """Decode PNG / GIF / TIFF / BMP / binary PPM-PGM / JPEG
-    (baseline + progressive) / lossless WebP (VP8L) bytes to
-    ``(width, height, grayscale_pixels_row_major)`` with pure stdlib.
-    Raises ValueError for other formats (lossy VP8, AVIF and video
-    codecs need codec libraries)."""
+    (baseline + progressive) / WebP (lossless VP8L and lossy VP8
+    keyframe) bytes to ``(width, height,
+    grayscale_pixels_row_major)`` with pure stdlib. Raises
+    ValueError for other formats (AVIF and video codecs need codec
+    libraries)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_gray(data)
     if data[:2] == b"BM":
@@ -2115,9 +2119,11 @@ def _vp8l_decode_stream(br: _LsbReader, w: int, h: int,
 
 
 def _webp_gray(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode a lossless (VP8L) WebP file to grayscale — directly or
-    inside a VP8X extended container. Lossy VP8 streams still need a
-    real codec library and raise ValueError."""
+    """Decode a WebP file to grayscale — lossless (VP8L) or lossy
+    (VP8 keyframe via ops/vp8.py), directly or inside a VP8X
+    extended container. For lossy streams the decoded Y plane is
+    returned as-is: it already is the BT.601 luma the gray pipeline
+    computes from RGB everywhere else."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -2129,7 +2135,9 @@ def _webp_gray(data: bytes) -> tuple[int, int, list[int]]:
             payload = data[pos + 8:pos + 8 + size]
             break
         if tag == b"VP8 ":
-            raise ValueError("lossy VP8 needs a codec library")
+            from goose_parser_spark.ops.vp8 import decode_vp8_gray
+            return decode_vp8_gray(data[pos + 8:pos + 8 + size],
+                                   max_pixels=MAX_PIXELS)
         pos += 8 + size + (size & 1)
     if payload is None or payload[:1] != b"\x2f":
         raise ValueError("no VP8L chunk")
@@ -2149,11 +2157,11 @@ def webp_frames_gray(
         data: bytes) -> tuple[int, int, list[list[int] | None]]:
     """Decode an ANIMATED WebP (VP8X + ANIM/ANMF, container spec) into
     composed grayscale canvases, one per frame: each ANMF sub-frame's
-    VP8L payload is decoded and painted at its (2x-coded) offset;
-    disposal bit 1 restores the rect to the ANIM background color
-    after the frame. Lossy (VP8) sub-frames cannot be decoded offline
-    and yield ``None`` at that index (the sampler emits a per-frame
-    poison row) — partial honesty beats failing the document. A plain
+    VP8L or lossy VP8 payload is decoded and painted at its
+    (2x-coded) offset; disposal bit 1 restores the rect to the ANIM
+    background color after the frame. A malformed sub-frame yields
+    ``None`` at that index (the sampler emits a per-frame poison
+    row) — partial honesty beats failing the document. A plain
     VP8L file decodes as a single frame. Alpha blending is not
     applied (the gray pipeline carries no alpha); frames composite as
     opaque rects, documented behavior."""
@@ -2212,7 +2220,18 @@ def webp_frames_gray(
                                       p & 255) for p in pix]
                     break
                 if stag == b"VP8 ":
-                    break  # lossy sub-frame: poison below
+                    from goose_parser_spark.ops.vp8 import (
+                        VP8Error, decode_vp8_gray)
+                    try:
+                        w, h, px = decode_vp8_gray(
+                            sbody, max_pixels=MAX_PIXELS)
+                    except VP8Error:
+                        break  # malformed sub-frame: poison below
+                    if (w, h) != (fw, fh):
+                        raise ValueError(
+                            "ANMF/VP8 dimension mismatch")
+                    frame_px = px
+                    break
             if frame_px is None:
                 frames.append(None)
                 continue
@@ -2233,11 +2252,9 @@ def webp_frames_gray(
                     row = (fy + j) * canvas_w
                     for i in range(min(fw, canvas_w - fx)):
                         canvas[row + fx + i] = bg_gray
-        elif tag == b"VP8L" and not frames:
+        elif tag in (b"VP8L", b"VP8 ") and not frames:
             w, h, px = _webp_gray(data)
             return w, h, [px]
-        elif tag == b"VP8 " and not frames:
-            raise ValueError("lossy VP8 needs a codec library")
     if not frames or canvas_w is None:
         raise ValueError("WebP without animation frames")
     return canvas_w, canvas_h, frames

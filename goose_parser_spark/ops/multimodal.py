@@ -15,8 +15,9 @@ pixels, :func:`audio_features` frames genuinely decoded samples,
 sampled frames). :func:`media_probe` additionally reads
 format/dimensions/duration from HEADERS alone (JPEG SOF, PNG, GIF,
 BMP, WebP, WAV, MP4 moov) — the pre-decode size/length filter, real
-even for codec-bound formats. PIXEL/SAMPLE decode for formats that
-require codec libraries offline — lossy VP8/AVIF pixels, perceptual
+even for codec-bound formats. Lossy WebP decodes for real since the
+ops/vp8.py keyframe decoder landed. PIXEL/SAMPLE decode for formats
+that require codec libraries offline — AVIF pixels, perceptual
 audio (MP3/AAC/Vorbis), inter-frame video codecs (H.26x/VPx/AV1) —
 remains STUBBED: :func:`decode_stub`
 raises ``NotImplementedError`` unless ``fake=True``, which emits a
@@ -271,14 +272,15 @@ def phash_image(
     id_col: str = "doc_id",
     out_col: str = "phash",
 ) -> DataFrame:
-    """pHash over REAL image decode: PNG / BMP / binary PPM-PGM
-    payloads are decoded with the pure-stdlib codecs in
-    ops/imagecodec.py, box-averaged to the 8x8 grayscale grid inside
-    an Arrow-batched mapInPandas (the sanctioned per-document Python
-    point — bytes cross the boundary once per batch), and the grid
-    feeds the SAME Catalyst DCT/median/bit pipeline as
-    :func:`phash_dct`. Undecodable payloads (JPEG/WebP, truncated
-    files) yield a NULL hash instead of failing the batch (I4).
+    """pHash over REAL image decode: PNG / GIF / TIFF / BMP / binary
+    PPM-PGM / JPEG / WebP (VP8L and lossy VP8) payloads are decoded
+    with the pure-stdlib codecs in ops/imagecodec.py, box-averaged
+    to the 8x8 grayscale grid inside an Arrow-batched mapInPandas
+    (the sanctioned per-document Python point — bytes cross the
+    boundary once per batch), and the grid feeds the SAME Catalyst
+    DCT/median/bit pipeline as :func:`phash_dct`. Undecodable
+    payloads (AVIF, truncated files) yield a NULL hash instead of
+    failing the batch (I4).
 
     Columns: ``id_col, out_col`` (60-bit long; NULL = decode failed).
     """
@@ -332,10 +334,11 @@ def video_frames(
     (ops/imagecodec.avi_video_chunks) and every ``every``-th video
     chunk is decoded as an image (MJPEG rides the round-6 JPEG
     decoder); animated GIF and animated WebP (VP8X/ANMF with VP8L
-    sub-frames) payloads are COMPOSED frame by frame
+    or lossy-VP8 sub-frames, the latter via the ops/vp8.py keyframe
+    decoder) payloads are COMPOSED frame by frame
     (ops/imagecodec.gif_frames_gray / webp_frames_gray: sub-rect
     painting, transparency/disposal) and every ``every``-th canvas is
-    sampled; an ANMF frame whose payload is lossy VP8 yields that
+    sampled; a malformed sub-frame yields that
     frame's poison row, not a dead document. Each
     sampled frame is box-resized to the 8x8 grid and fingerprinted by
     the SAME Catalyst DCT pHash chain the image path uses — so video
@@ -699,6 +702,60 @@ def media_probe(
                 cols["width"].append(w)
                 cols["height"].append(h)
                 cols["duration_ms"].append(dur)
+            out = pd.DataFrame(cols)
+            out.columns = [id_col] + list(out.columns[1:])
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=out_schema)
+
+
+def vp8_luma(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lossy-WebP pixel decode at corpus scale: each payload is a raw
+    VP8 keyframe bitstream (the body of a ``VP8 `` RIFF chunk) and is
+    decoded by the pure-stdlib RFC 6386 decoder in ops/vp8.py —
+    boolean coder, token trees, intra prediction, integer IDCT/WHT,
+    both loop filters. One row per document: ``id_col, width, height,
+    luma`` where ``luma`` is the decoded Y plane (width*height bytes
+    — for lossy WebP the Y plane IS the BT.601 gray the rest of the
+    image pipeline computes from RGB). Malformed payloads yield a
+    NULL-luma row (I4 poison isolation).
+
+    100-TB shape: map-only Arrow-batched mapInPandas, no shuffle;
+    payload bytes cross the JVM↔Python boundary once and downstream
+    consumers hash or grid the luma without reshuffling bodies."""
+    from goose_parser_spark.deploy import ship_package
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import BinaryType, IntegerType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("luma", BinaryType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.vp8 import decode_vp8
+        for pdf in batches:
+            cols: dict[str, list] = {"_id": [], "width": [],
+                                     "height": [], "luma": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    w, h, y, _u, _v = decode_vp8(bytes(payload))
+                except Exception:  # noqa: BLE001 — I4 poison isolation
+                    w = h = None
+                    y = None
+                cols["_id"].append(doc_id)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["luma"].append(y)
             out = pd.DataFrame(cols)
             out.columns = [id_col] + list(out.columns[1:])
             yield out
