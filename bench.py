@@ -402,7 +402,7 @@ def main() -> int:
         "g711_decode", "video_frames", "webp_decode", "exif_parse",
         "gif_frames", "webp_frames", "id3_tags", "audio_fingerprint",
         "crossmodal_pairs", "http_headers", "zstd_decode",
-        "brotli_decode", "vp8_decode",
+        "brotli_decode", "vp8_decode", "pdf_images",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

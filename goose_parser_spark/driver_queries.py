@@ -4016,15 +4016,15 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_image(docs.select("doc_id", payload.alias("payload")))
 
 
-def _sql_dc_jpeg_pix(keys: str = "doc_id") -> str:
-    """jb→jv→jq→pix CTE tail decoding the oracle-authored DC-only
+def _sql_dc_jpeg_pix(keys: str = "doc_id", out: str = "pix") -> str:
+    """jb→jv→jq→{out} CTE tail decoding the oracle-authored DC-only
     16x16 JPEG arithmetically: an upstream CTE ``jp0`` exposes
     ``{keys}, _h`` (the digest whose first 4 hex pairs are the diff
-    bytes, ff→fe remapped); output CTE ``pix`` exposes ``{keys},
-    p0..p63``. Diff bytes are category-8 EXTEND-ed (byte≥128 →
-    +byte, else byte−255), DC accumulates per raster block, each
-    block is the flat quadrant clamp(cum+128). Shared by the
-    still-JPEG and AVI/MJPEG video oracles."""
+    bytes, ff→fe remapped); output CTE ``{out}`` (default ``pix``)
+    exposes ``{keys}, p0..p63``. Diff bytes are category-8 EXTEND-ed
+    (byte≥128 → +byte, else byte−255), DC accumulates per raster
+    block, each block is the flat quadrant clamp(cum+128). Shared by
+    the still-JPEG, AVI/MJPEG video and PDF-figure oracles."""
     bexprs = []
     for j in range(4):
         raw = f"substr(_h, {j * 2 + 1}, 2)"
@@ -4048,7 +4048,7 @@ def _sql_dc_jpeg_pix(keys: str = "doc_id") -> str:
   SELECT {keys}, {', '.join(vexprs)} FROM jb
 ), jq AS (
   SELECT {keys}, {', '.join(qexprs)} FROM jv
-), pix AS (
+), {out} AS (
   SELECT {keys}, {', '.join(pexprs)} FROM jq
 )"""
 
@@ -4064,6 +4064,101 @@ def _sql_jpeg_decode() -> str:
 SQL_JPEG_DECODE = f"""
 WITH {_SQL_DOCS_AMP_COPY}, {_sql_jpeg_decode()}
 SELECT doc_id, fp AS phash FROM h
+"""
+
+
+def _pdf_images_payload(hj: Column, hg: Column) -> Column:
+    """A complete PDF authored as JVM-side byte concat: catalog +
+    page tree + a tiny content stream + TWO image XObjects — a
+    16x16 DCTDecode image whose JPEG bytes are the shared DC-only
+    brick seeded by digest ``hj``, and an 8x8 raw /DeviceGray image
+    whose 64 bytes are the digest chain of ``hg``. Both payload
+    lengths are constants, so every /Length in the skeleton is a
+    Python-computed literal and the PDF parses with exact stream
+    extents."""
+    jpeg = _jpeg_payload_from(hj)
+    gray = F.concat(*[F.unhex(F.md5(F.concat(hg, F.lit(f":{j}"))))
+                      for j in range(4)])
+    jlen = len(_jpeg_dc_header()) + 4 * 3 + 2
+    content = b"BT /F1 12 Tf 72 720 Td (figure doc) Tj ET"
+    head = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+            b"endobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /XObject << /Im1 6 0 R /Im2 7 0 R >> >> "
+            b"/Contents 5 0 R >>\nendobj\n"
+            b"5 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\n"
+            b"endobj\n"
+            b"6 0 obj\n<< /Subtype /Image /Width 16 /Height 16 "
+            b"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+            b"/Filter /DCTDecode /Length " + str(jlen).encode()
+            + b" >>\nstream\n")
+    mid = (b"\nendstream\nendobj\n"
+           b"7 0 obj\n<< /Subtype /Image /Width 8 /Height 8 "
+           b"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+           b"/Length 64 >>\nstream\n")
+    tail = b"\nendstream\nendobj\n%%EOF\n"
+    return F.concat(F.lit(head), jpeg, F.lit(mid), gray, F.lit(tail))
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF figure mining under the value oracle: each document is a
+    complete authored PDF carrying a DCTDecode (JPEG) image and a
+    raw /DeviceGray image; ops/layout.pdf_images must walk the
+    object table, apply the filter chains, decode the JPEG with the
+    pure-stdlib decoder, gray-convert the raw bitmap, and hash both
+    through the shared Catalyst pHash — two rows per document whose
+    60-bit hashes the oracle re-derives arithmetically (quadrant
+    algebra for the JPEG, digest bytes for the raw image). One wrong
+    byte in stream extents, filter application or decode flips a
+    hash."""
+    from goose_parser_spark.ops.layout import pdf_images
+    docs = _documents_amplified(spark, sf_dir)
+    pg = F.floor(F.col("doc_id") / 23).cast("long")
+    hj = F.md5(F.encode(
+        F.concat(F.lit("pdfjpg-"), pg.cast("string")), "utf-8"))
+    hg = F.md5(F.encode(
+        F.concat(F.lit("pdfgray-"), pg.cast("string")), "utf-8"))
+    payload = _pdf_images_payload(hj, hg)
+    return pdf_images(docs.select("doc_id", payload.alias("payload")))
+
+
+def _sql_pdf_images() -> str:
+    """Generated DuckDB replay of q_pdf_images: the JPEG image rides
+    the shared DC-only quadrant chain, the raw image rides the
+    digest-byte chain, both feed ONE pHash tail keyed
+    (doc_id, image_no)."""
+    digs = ", ".join(f"md5(_hg || ':{j}') AS _d{j}" for j in range(4))
+    gpix = ", ".join(
+        f"CAST(('0x' || substr(_d{k // 16}, {(k % 16) * 2 + 1}, 2)) "
+        f"AS BIGINT) AS p{k}" for k in range(64))
+    return f"""pj0 AS (
+  SELECT doc_id, md5('pdfjpg-' || (doc_id // 23)) AS _hj,
+         md5('pdfgray-' || (doc_id // 23)) AS _hg
+  FROM docs_amp
+), jp0 AS (
+  SELECT doc_id, 0 AS image_no, _hj AS _h FROM pj0
+), {_sql_dc_jpeg_pix(keys="doc_id, image_no", out="pixj")}, dgg AS (
+  SELECT doc_id, 1 AS image_no, {digs} FROM pj0
+), pixg AS (
+  SELECT doc_id, image_no, {gpix} FROM dgg
+), pix AS (
+  SELECT * FROM pixj UNION ALL SELECT * FROM pixg
+), {_sql_phash_chain(keys="doc_id, image_no")}
+SELECT doc_id, CAST(image_no AS INTEGER) AS image_no,
+       CAST(CASE WHEN image_no = 0 THEN 16 ELSE 8 END AS INTEGER)
+           AS width,
+       CAST(CASE WHEN image_no = 0 THEN 16 ELSE 8 END AS INTEGER)
+           AS height,
+       CASE WHEN image_no = 0 THEN 'jpeg' ELSE 'raw' END AS fmt,
+       fp AS phash
+FROM h"""
+
+
+SQL_PDF_IMAGES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, {_sql_pdf_images()}
 """
 
 
@@ -5737,7 +5832,6 @@ QUERIES: dict[str, QueryFn] = {
     "extract_transform_chain": q_extract_transform_chain,
     "extract_conditional": q_extract_conditional,
     "extract_multi_tree": q_extract_multi_tree,
-    "extract_links": q_extract_links,
     "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
@@ -5789,6 +5883,7 @@ QUERIES: dict[str, QueryFn] = {
     "brotli_decode": q_brotli_decode,
     # -- new in round 6, session 6 --
     "vp8_decode": q_vp8_decode,
+    "pdf_images": q_pdf_images,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5805,10 +5900,12 @@ QUERIES: dict[str, QueryFn] = {
     # text_tfidf_top_terms (driver-signed in prior rounds, retrieval
     # family covered by the r5-signed bm25_search/hybrid_search)
     # rotated out in session 5 for the new brotli_decode op;
-    # extract_metadata (driver-signed r1-r5, extraction family still
-    # carries SIX in-window reps incl. the flagship) rotated out in
-    # session 6 for the new vp8_decode op
+    # extract_metadata and extract_links (both driver-signed r1-r5;
+    # the extraction family still carries FIVE in-window reps incl.
+    # the flagship) rotated out in session 6 for the new vp8_decode
+    # and pdf_images ops
     "extract_metadata": q_extract_metadata,
+    "extract_links": q_extract_links,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -5977,6 +6074,7 @@ ORACLES: dict[str, str] = {
     "zstd_decode": SQL_ZSTD_DECODE,
     "brotli_decode": SQL_BROTLI_DECODE,
     "vp8_decode": SQL_VP8_DECODE,
+    "pdf_images": SQL_PDF_IMAGES,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

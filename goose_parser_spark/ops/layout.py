@@ -3,14 +3,21 @@
 Two tiers:
 
 - :func:`parse_pdf_text` — a REAL pure-stdlib PDF text extractor
-  (zlib FlateDecode, page-tree walk, BT/ET text operators). Scope is
-  the classic generated-PDF shape that dominates web corpora exports:
-  uncompressed object tables, direct /Length, Flate or raw content
-  streams, simple (single-byte) fonts decoded latin-1. Out of scope
-  and raising ValueError (per-doc isolation upstream): encrypted
-  documents, cross-reference/object streams (/Type /ObjStm), non-Flate
-  filters, CID/ToUnicode text mapping. A full-fidelity parser
+  (page-tree walk, BT/ET text operators) with the standard stream
+  filter chain: FlateDecode (+ PNG/TIFF predictors), LZWDecode,
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode, applied in spec
+  order incl. array chains. Scope is the classic generated-PDF shape
+  that dominates web corpora exports: uncompressed object tables,
+  direct /Length, simple (single-byte) fonts decoded latin-1. Out of
+  scope and raising ValueError (per-doc isolation upstream):
+  encrypted documents, cross-reference/object streams (/Type
+  /ObjStm), CID/ToUnicode text mapping. A full-fidelity parser
   (pdfminer/pypdf) remains a drop-in swap on a real cluster.
+- :func:`parse_pdf_images` — embedded image XObjects: DCTDecode
+  payloads ride the round-6 pure-stdlib JPEG decoder, raw
+  DeviceGray/DeviceRGB bitmaps (after any filter chain) convert via
+  the shared BT.601 gray; per-image failure isolation. Feeds figure
+  mining and the cross-modal pHash space (:func:`pdf_images`).
 - :func:`parse_pdf_stub` — the deterministic fake splitter kept for
   exercising the Spark plumbing with non-PDF payloads.
 
@@ -64,16 +71,24 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         head = data[body_start:sm.start()]
         sdata_start = sm.end()
         lm = _LENGTH.search(head)
+        exact = False
         if lm is not None:
             send = sdata_start + int(lm.group(1))
             # trust /Length only if endstream actually follows
-            if data[send:send + 20].lstrip()[:9] != b"endstream":
+            exact = data[send:send + 20].lstrip()[:9] == b"endstream"
+            if not exact:
                 send = data.find(b"endstream", sdata_start)
         else:
             send = data.find(b"endstream", sdata_start)
         if send < 0:
             continue
-        objects[num] = (head, data[sdata_start:send].rstrip(b"\r\n"))
+        body = data[sdata_start:send]
+        if not exact:
+            # only the endstream-scan fallback strips the EOL that
+            # separates data from the keyword — a trusted /Length is
+            # exact, and binary streams may legitimately end in \n
+            body = body.rstrip(b"\r\n")
+        objects[num] = (head, body)
     return objects
 
 
@@ -86,16 +101,159 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 _MAX_STREAM_BYTES = 64 * 1024 * 1024
 
 
-def _decode_stream(head: bytes, raw: bytes) -> bytes:
-    if b"/Filter" not in head:
-        return raw
-    if b"/FlateDecode" not in head:
-        raise ValueError("unsupported PDF stream filter")
-    d = zlib.decompressobj()
-    out = d.decompress(raw, _MAX_STREAM_BYTES + 1)
-    if len(out) > _MAX_STREAM_BYTES:
-        raise ValueError("PDF stream inflates past the decode budget")
+_FILTER_LIST = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME = re.compile(rb"/([A-Za-z0-9]+)")
+# full names + the inline-image abbreviations the spec also allows
+_FILTER_ALIAS = {b"Fl": b"FlateDecode", b"AHx": b"ASCIIHexDecode",
+                 b"A85": b"ASCII85Decode", b"RL": b"RunLengthDecode",
+                 b"LZW": b"LZWDecode", b"DCT": b"DCTDecode"}
+
+
+def _filter_names(head: bytes) -> list[bytes]:
+    """The stream's filter chain in application order (PDF 32000
+    §7.4: a name or an array of names), abbreviations normalized."""
+    m = _FILTER_LIST.search(head)
+    if m is None:
+        return []
+    names = [g.group(1) for g in _FILTER_NAME.finditer(m.group(1))]
+    return [_FILTER_ALIAS.get(n, n) for n in names]
+
+
+def _ascii85(raw: bytes) -> bytes:
+    import base64
+    body = raw.strip()
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+
+
+def _asciihex(raw: bytes) -> bytes:
+    body = bytes(c for c in raw if c not in b" \t\r\n\f\0")
+    if body.endswith(b">"):
+        body = body[:-1]
+    if len(body) & 1:
+        body += b"0"  # spec: odd final digit behaves as if 0 followed
+    return bytes.fromhex(body.decode("ascii"))
+
+
+def _runlength(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        ln = raw[i]
+        i += 1
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += raw[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                break
+            out += bytes([raw[i]]) * (257 - ln)
+            i += 1
+        if len(out) > _MAX_STREAM_BYTES:
+            raise ValueError("RunLength stream exceeds decode budget")
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, head: bytes) -> bytes:
+    """Inverse of the PNG row predictors (/DecodeParms /Predictor
+    >= 10) that Flate/LZW PDF streams may apply; predictor 2 (TIFF
+    horizontal) and 1 (none) also handled."""
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    pred = int(pm.group(1)) if pm else 1
+    if pred <= 1:
+        return data
+    cm = re.search(rb"/Columns\s+(\d+)", head)
+    colors_m = re.search(rb"/Colors\s+(\d+)", head)
+    bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(colors_m.group(1)) if colors_m else 1
+    bpc = int(bpc_m.group(1)) if bpc_m else 8
+    bpp = max(1, colors * bpc // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit only here)
+        if bpc != 8:
+            raise ValueError("TIFF predictor with sub-byte samples "
+                             "not supported")
+        out = bytearray(data)
+        for r0 in range(0, len(out) - row_len + 1, row_len):
+            for i in range(bpp, row_len):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 255
+        return bytes(out)
+    # PNG predictors: each row prefixed by its filter-type byte
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data) + row_len and pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + row_len])
+        pos += 1 + row_len
+        if ft == 1:
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif ft == 2:
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 255
+        elif ft == 3:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 255
+        elif ft == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 255
+        elif ft != 0:
+            raise ValueError(f"unknown PNG predictor row type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_filters(head: bytes, raw: bytes,
+                   names: list[bytes]) -> bytes:
+    """Apply a PDF filter chain in order with the decode budget
+    enforced at every expansion step."""
+    out = raw
+    for name in names:
+        if name == b"FlateDecode":
+            d = zlib.decompressobj()
+            out = d.decompress(out, _MAX_STREAM_BYTES + 1)
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError(
+                    "PDF stream inflates past the decode budget")
+            out = _png_unpredict(out, head)
+        elif name == b"LZWDecode":
+            if re.search(rb"/EarlyChange\s+0", head):
+                raise ValueError("LZW EarlyChange 0 not supported")
+            from goose_parser_spark.ops.imagecodec import _tiff_lzw
+            out = bytes(_tiff_lzw(out, _MAX_STREAM_BYTES + 1))
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError(
+                    "PDF stream inflates past the decode budget")
+            out = _png_unpredict(out, head)
+        elif name == b"ASCII85Decode":
+            out = _ascii85(out)
+        elif name == b"ASCIIHexDecode":
+            out = _asciihex(out)
+        elif name == b"RunLengthDecode":
+            out = _runlength(out)
+        else:
+            raise ValueError(
+                f"unsupported PDF stream filter {name.decode()}")
     return out
+
+
+def _decode_stream(head: bytes, raw: bytes) -> bytes:
+    return _apply_filters(head, raw, _filter_names(head))
 
 
 def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
@@ -274,6 +432,81 @@ def parse_pdf_text(data: bytes) -> list[str]:
         raise ValueError("no pages found")
     return [_show_text_ops(_content_of(objects[p][0], objects))
             for p in pages]
+
+
+_IMG_MAX_PIXELS = 16_000_000  # same decode budget as imagecodec
+
+
+def parse_pdf_images(data: bytes) -> list[dict]:
+    """Embedded image XObjects of a PDF, in ascending object-number
+    order (the stable contract — reference order would need full
+    resource-dictionary resolution for no analytical gain). Each
+    entry: ``{image_no, width, height, fmt, pixels}`` where ``fmt``
+    is ``jpeg`` (DCTDecode payload decoded by the pure-stdlib JPEG
+    decoder), ``raw`` (DeviceGray/DeviceRGB bitmap after the filter
+    chain, BT.601 gray), and ``pixels`` is the row-major grayscale
+    list — or None with ``fmt='undecodable'`` when THAT image cannot
+    be decoded (JPXDecode, CCITT, encrypted...): per-image poison,
+    the other images of the document still extract (I4)."""
+    if b"/Encrypt" in data:
+        raise ValueError("encrypted PDF not supported")
+    objects = _scan_objects(data)
+    if not objects:
+        raise ValueError("no PDF objects found")
+    out: list[dict] = []
+    image_no = 0
+    for num in sorted(objects):
+        head, raw = objects[num]
+        if raw is None or not re.search(rb"/Subtype\s*/Image", head):
+            continue
+        entry = {"image_no": image_no, "width": None, "height": None,
+                 "fmt": "undecodable", "pixels": None}
+        image_no += 1
+        try:
+            wm = re.search(rb"/Width\s+(\d+)", head)
+            hm = re.search(rb"/Height\s+(\d+)", head)
+            if wm is None or hm is None:
+                raise ValueError("image without dimensions")
+            w, h = int(wm.group(1)), int(hm.group(1))
+            entry["width"], entry["height"] = w, h
+            if w <= 0 or h <= 0 or w * h > _IMG_MAX_PIXELS:
+                raise ValueError("image exceeds the decode budget")
+            names = _filter_names(head)
+            if names and names[-1] == b"DCTDecode":
+                from goose_parser_spark.ops.imagecodec import (
+                    decode_image_gray)
+                payload = _apply_filters(head, raw, names[:-1])
+                dw, dh, px = decode_image_gray(payload)
+                if (dw, dh) != (w, h):
+                    raise ValueError("DCT image dimension mismatch")
+                entry["fmt"] = "jpeg"
+                entry["pixels"] = px
+            else:
+                body = _apply_filters(head, raw, names)
+                bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+                bpc = int(bm.group(1)) if bm else 8
+                if bpc != 8:
+                    raise ValueError("sub-byte raw images not "
+                                     "supported")
+                if re.search(rb"/DeviceRGB\b", head):
+                    need = w * h * 3
+                    if len(body) < need:
+                        raise ValueError("truncated RGB image data")
+                    px = [(299 * body[i] + 587 * body[i + 1]
+                           + 114 * body[i + 2] + 500) // 1000
+                          for i in range(0, need, 3)]
+                elif re.search(rb"/DeviceGray\b", head):
+                    if len(body) < w * h:
+                        raise ValueError("truncated gray image data")
+                    px = list(body[:w * h])
+                else:
+                    raise ValueError("unsupported image color space")
+                entry["fmt"] = "raw"
+                entry["pixels"] = px
+        except ValueError:
+            pass  # per-image poison entry stays
+        out.append(entry)
+    return out
 
 
 def parse_pdf_stub(data: bytes, fake: bool = True) -> list[str]:
@@ -507,3 +740,89 @@ def pdf_metadata(
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def pdf_images(
+    df: "DataFrame",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Figure mining: every embedded image of every PDF, decoded and
+    dropped into the SAME 60-bit pHash space as stills / video
+    frames / animations — PDF figures become near-dup-joinable
+    against the rest of the corpus for free. One row per (document,
+    image): ``id_col, image_no, width, height, fmt, phash``; an
+    undecodable image yields a NULL-hash row for ITS index and a
+    document that is not parseable PDF at all yields the single
+    ``image_no = -1`` poison row (same I4 convention as
+    extract_pdf_pages).
+
+    100-TB shape: the parse+decode is the only Python node, map-only
+    Arrow-batched mapInPandas — payload bytes never shuffle; the DCT
+    hash is pure Catalyst downstream."""
+    from goose_parser_spark.deploy import ship_package
+    from goose_parser_spark.ops.multimodal import _phash_from_pixel_cols
+    ship_package(df.sparkSession)
+    from pyspark.sql.types import BooleanType
+
+    grid_schema = StructType(
+        [df.schema[id_col],
+         StructField("image_no", IntegerType(), False),
+         StructField("width", IntegerType(), True),
+         StructField("height", IntegerType(), True),
+         StructField("fmt", StringType(), True),
+         StructField("_ok", BooleanType(), False)]
+        + [StructField(f"_p{k}", IntegerType(), True)
+           for k in range(64)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goose_parser_spark.ops.imagecodec import resize_gray_box
+        zeros = [0] * 64
+        for pdf in batches:
+            cols: dict[str, list] = {"_id": [], "image_no": [],
+                                     "width": [], "height": [],
+                                     "fmt": [], "_ok": []}
+            for k in range(64):
+                cols[f"_p{k}"] = []
+
+            def emit(doc_id, no, w, h, fmt, ok, grid):
+                cols["_id"].append(doc_id)
+                cols["image_no"].append(no)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["fmt"].append(fmt)
+                cols["_ok"].append(ok)
+                for k in range(64):
+                    cols[f"_p{k}"].append(grid[k])
+
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    images = parse_pdf_images(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-doc I4
+                    emit(doc_id, -1, None, None, None, False, zeros)
+                    continue
+                for img in images:
+                    px = img["pixels"]
+                    if px is None:
+                        emit(doc_id, img["image_no"], img["width"],
+                             img["height"], img["fmt"], False, zeros)
+                        continue
+                    try:
+                        grid = resize_gray_box(
+                            img["width"], img["height"], px)
+                        emit(doc_id, img["image_no"], img["width"],
+                             img["height"], img["fmt"], True, grid)
+                    except Exception:  # noqa: BLE001 — per-image I4
+                        emit(doc_id, img["image_no"], img["width"],
+                             img["height"], img["fmt"], False, zeros)
+            out = pd.DataFrame(cols)
+            out.columns = [id_col] + list(out.columns[1:])
+            yield out
+
+    base = df.select(id_col, payload_col).mapInPandas(
+        run, schema=grid_schema)
+    return _phash_from_pixel_cols(
+        base, id_col, "phash", valid_col="_ok",
+        extra_cols=("image_no", "width", "height", "fmt"))

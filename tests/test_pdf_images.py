@@ -1,0 +1,281 @@
+"""PDF filter chain completeness + embedded-image extraction.
+
+Round-6 session 6: ops/layout.py grew the remaining standard
+non-image stream filters (LZWDecode, ASCIIHexDecode, ASCII85Decode,
+RunLengthDecode, PNG/TIFF predictors for Flate/LZW) and
+parse_pdf_images / pdf_images — figure mining into the cross-modal
+pHash space, with the DCTDecode path riding the round-6 pure-stdlib
+JPEG decoder. Encoders used to author fixtures are the test-side
+implementations already pinned elsewhere (tests/test_jpeg
+encode_jpeg_gray, tests/test_imagecodec _tiff_lzw_encode — the pair
+whose conventions were anchored against libtiff in the session-4
+review pass); ASCII85/Hex authoring uses the stdlib encoders.
+"""
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pytest
+
+from goose_parser_spark.ops.layout import (
+    _apply_filters,
+    _ascii85,
+    _asciihex,
+    _filter_names,
+    _png_unpredict,
+    _runlength,
+    parse_pdf_images,
+    parse_pdf_text,
+)
+
+# ---------------------------------------------------------------------------
+# PDF authoring helpers (fixtures, not production code)
+# ---------------------------------------------------------------------------
+
+
+def _obj(num: int, body: bytes, stream: bytes | None = None) -> bytes:
+    out = b"%d 0 obj\n" % num + body
+    if stream is not None:
+        out += b"\nstream\n" + stream + b"\nendstream"
+    return out + b"\nendobj\n"
+
+
+def _pdf(objects: list[bytes]) -> bytes:
+    return b"%PDF-1.4\n" + b"".join(objects) + b"%%EOF\n"
+
+
+def _page_skeleton(content: bytes,
+                   extra_objects: list[bytes] | None = None,
+                   resources: bytes = b"") -> bytes:
+    objs = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R " + resources +
+             b" /Contents 5 0 R >>"),
+        _obj(5, b"<< /Length %d >>" % len(content), content),
+    ]
+    return _pdf(objs + (extra_objects or []))
+
+
+def _text_content(s: bytes) -> bytes:
+    return b"BT /F1 12 Tf 72 720 Td (" + s + b") Tj ET"
+
+
+# ---------------------------------------------------------------------------
+# filter primitives
+# ---------------------------------------------------------------------------
+
+def test_asciihex_decode():
+    assert _asciihex(b"48 65 6C 6C 6F>") == b"Hello"
+    # odd final digit behaves as if followed by 0
+    assert _asciihex(b"7>") == b"\x70"
+
+
+def test_ascii85_decode():
+    enc = base64.a85encode(b"some binary \x00\xff payload")
+    assert _ascii85(enc + b"~>") == b"some binary \x00\xff payload"
+    assert _ascii85(enc) == b"some binary \x00\xff payload"
+
+
+def test_runlength_decode():
+    # 2 literals, a 5-byte run of 'x', EOD
+    raw = bytes([1]) + b"ab" + bytes([252]) + b"x" + bytes([128])
+    assert _runlength(raw) == b"ab" + b"x" * 5
+
+
+def test_filter_name_parsing_and_aliases():
+    assert _filter_names(b"<< /Filter /FlateDecode >>") == \
+        [b"FlateDecode"]
+    assert _filter_names(
+        b"<< /Filter [/ASCII85Decode /LZWDecode] >>") == \
+        [b"ASCII85Decode", b"LZWDecode"]
+    assert _filter_names(b"<< /Filter [/A85 /Fl] >>") == \
+        [b"ASCII85Decode", b"FlateDecode"]
+    assert _filter_names(b"<< >>") == []
+
+
+def test_png_predictor_roundtrip():
+    # author: apply PNG filters forward (types 0..4 across rows),
+    # inverse must reproduce the raw rows
+    import random
+    rnd = random.Random(5)
+    columns, rows, bpp = 16, 6, 1
+    raw = [bytes(rnd.randrange(256) for _ in range(columns))
+           for _ in range(rows)]
+    enc = bytearray()
+    prev = bytes(columns)
+    for r, row in enumerate(raw):
+        ft = r % 5
+        enc.append(ft)
+        for i in range(columns):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - a
+            elif ft == 2:
+                v = row[i] - b
+            elif ft == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                v = row[i] - pr
+            enc.append(v & 255)
+        prev = row
+    head = b"<< /DecodeParms << /Predictor 15 /Columns 16 >> >>"
+    assert _png_unpredict(bytes(enc), head) == b"".join(raw)
+
+
+def test_lzw_filter_via_known_good_encoder():
+    from tests.test_imagecodec import _tiff_lzw_encode
+    data = b"aaaabbbbccccddddaaaabbbb" * 40
+    enc = _tiff_lzw_encode(data)
+    head = b"<< /Filter /LZWDecode >>"
+    assert _apply_filters(head, enc, [b"LZWDecode"]) == data
+
+
+def test_chained_filters_in_text_extraction():
+    """A content stream Flate-compressed THEN ASCII85-armored — the
+    chain must apply in spec order (85 first, then Flate)."""
+    content = _text_content(b"chained filters work")
+    armored = base64.a85encode(zlib.compress(content)) + b"~>"
+    objs = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        _obj(5, b"<< /Length %d /Filter [/ASCII85Decode "
+             b"/FlateDecode] >>" % len(armored), armored),
+    ]
+    pages = parse_pdf_text(_pdf(objs))
+    assert pages == ["chained filters work"]
+
+
+def test_runlength_and_hex_in_text_extraction():
+    content = _text_content(b"rle+hex")
+    rle = bytes([len(content) - 1]) + content + bytes([128])
+    hexed = rle.hex().encode() + b">"
+    objs = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        _obj(5, b"<< /Length %d /Filter [/ASCIIHexDecode "
+             b"/RunLengthDecode] >>" % len(hexed), hexed),
+    ]
+    assert parse_pdf_text(_pdf(objs)) == ["rle+hex"]
+
+
+# ---------------------------------------------------------------------------
+# embedded images
+# ---------------------------------------------------------------------------
+
+def _gray_pattern(w, h, seed=3):
+    return [(x * 7 + y * 13 + seed * 29) % 256
+            for y in range(h) for x in range(w)]
+
+
+def _image_obj(num, w, h, head_extra: bytes, stream: bytes) -> bytes:
+    return _obj(num, b"<< /Subtype /Image /Width %d /Height %d "
+                b"/BitsPerComponent 8 %s /Length %d >>"
+                % (w, h, head_extra, len(stream)), stream)
+
+
+def test_pdf_images_dct_and_raw_and_poison():
+    from tests.test_jpeg import encode_jpeg_gray
+    w, h = 16, 16
+    px = _gray_pattern(w, h)
+    jpeg = encode_jpeg_gray(w, h, px, [1] * 64)  # near-lossless quant
+    gray = bytes(_gray_pattern(8, 8, seed=4))
+    rgb = bytes(b for p in _gray_pattern(8, 8, seed=5)
+                for b in (p, 255 - p, (p * 3) % 256))
+    doc = _page_skeleton(
+        _text_content(b"figures"),
+        extra_objects=[
+            _image_obj(6, w, h, b"/ColorSpace /DeviceGray "
+                       b"/Filter /DCTDecode", jpeg),
+            _image_obj(7, 8, 8, b"/ColorSpace /DeviceGray "
+                       b"/Filter /FlateDecode", zlib.compress(gray)),
+            _image_obj(8, 8, 8, b"/ColorSpace /DeviceRGB", rgb),
+            _image_obj(9, 8, 8, b"/ColorSpace /DeviceGray "
+                       b"/Filter /JPXDecode", b"\x00" * 16),
+        ],
+        resources=b"/Resources << /XObject << /Im1 6 0 R >> >>")
+    images = parse_pdf_images(doc)
+    assert [i["image_no"] for i in images] == [0, 1, 2, 3]
+    # DCT image: decoded by the pinned JPEG decoder
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    jw, jh, jpx = decode_image_gray(jpeg)
+    assert images[0]["fmt"] == "jpeg"
+    assert (images[0]["width"], images[0]["height"]) == (w, h)
+    assert images[0]["pixels"] == jpx
+    # raw gray after Flate
+    assert images[1]["fmt"] == "raw"
+    assert bytes(images[1]["pixels"]) == gray
+    # raw RGB -> BT.601 gray
+    exp = [(299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]
+            + 500) // 1000 for i in range(0, len(rgb), 3)]
+    assert images[2]["pixels"] == exp
+    # JPX: per-image poison, the others still extracted
+    assert images[3]["fmt"] == "undecodable"
+    assert images[3]["pixels"] is None
+
+
+def test_pdf_images_pixel_budget():
+    huge = _image_obj(6, 10000, 10000,
+                      b"/ColorSpace /DeviceGray", b"\x00" * 10)
+    doc = _page_skeleton(_text_content(b"x"), extra_objects=[huge])
+    images = parse_pdf_images(doc)
+    assert images[0]["fmt"] == "undecodable"
+    assert images[0]["pixels"] is None
+
+
+def test_pdf_images_encrypted_rejected():
+    doc = _page_skeleton(_text_content(b"x"))
+    doc = doc.replace(b"%PDF-1.4\n", b"%PDF-1.4\n% /Encrypt\n")
+    with pytest.raises(ValueError):
+        parse_pdf_images(doc)
+
+
+# ---------------------------------------------------------------------------
+# Spark op
+# ---------------------------------------------------------------------------
+
+def test_pdf_images_spark_op(spark):
+    from tests.test_jpeg import encode_jpeg_gray
+
+    from goose_parser_spark.ops.layout import pdf_images
+    w, h = 16, 16
+    jpeg = encode_jpeg_gray(w, h, _gray_pattern(w, h), [1] * 64)
+    gray = bytes(_gray_pattern(8, 8, seed=4))
+    doc = _page_skeleton(
+        _text_content(b"figures"),
+        extra_objects=[
+            _image_obj(6, w, h, b"/ColorSpace /DeviceGray "
+                       b"/Filter /DCTDecode", jpeg),
+            _image_obj(7, 8, 8, b"/ColorSpace /DeviceGray", gray),
+            _image_obj(8, 8, 8, b"/ColorSpace /DeviceGray "
+                       b"/Filter /JPXDecode", b"\x00" * 9),
+        ])
+    df = spark.createDataFrame(
+        [(1, bytearray(doc)), (2, bytearray(b"not a pdf"))],
+        "doc_id long, payload binary")
+    rows = {(r.doc_id, r.image_no): r for r in pdf_images(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, -1)}
+    assert rows[(1, 0)].fmt == "jpeg" and rows[(1, 0)].phash is not None
+    assert rows[(1, 1)].fmt == "raw" and rows[(1, 1)].phash is not None
+    assert rows[(1, 2)].phash is None       # per-image poison
+    assert rows[(2, -1)].phash is None      # per-document poison
+    # cross-modal identity: the raw 8x8 image's hash equals the hash
+    # phash_image computes for the same pixels shipped as a PGM —
+    # PDF figures land in the same Hamming space as stills
+    from goose_parser_spark.ops.multimodal import phash_image
+    pgm = b"P5 8 8 255\n" + gray
+    still = spark.createDataFrame([(7, bytearray(pgm))],
+                                  "doc_id long, payload binary")
+    sh = phash_image(still).collect()[0].phash
+    assert rows[(1, 1)].phash == sh

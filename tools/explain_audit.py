@@ -344,6 +344,14 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "pdf_images": [
+        ("PDF parse+decode is the only Python node (authoring is "
+         "pure concat; the pHash is Catalyst)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "extract_tables": [
         ("table parse is the only Python node (authoring is pure "
          "concat)", lambda p: _exec_part(p).count("MapInArrow") == 1
