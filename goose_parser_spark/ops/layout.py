@@ -256,6 +256,46 @@ def _decode_stream(head: bytes, raw: bytes) -> bytes:
     return _apply_filters(head, raw, _filter_names(head))
 
 
+def _expand_object_streams(
+        objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Unpack /Type /ObjStm containers (PDF 32000 §7.5.7) in place:
+    modern writers (PDF 1.5+) put most non-stream objects — page
+    dicts, the catalog, font dicts — inside Flate-compressed object
+    streams, which is why real-world PDFs used to be rejected with
+    'object-stream not supported'. The stream begins with /N pairs
+    of ``objnum offset`` integers; object bodies follow at /First +
+    offset and carry no obj/endobj wrappers (and can hold no streams
+    themselves). Directly-defined objects win over ObjStm-packed
+    ones — the regex scan's last-definition-wins already models
+    incremental updates, and a direct definition is always the newer
+    generation in practice. A malformed container is skipped (its
+    objects stay missing) rather than failing the document."""
+    packed: list[tuple[int, bytes]] = []
+    for num, (head, raw) in list(objects.items()):
+        if raw is None or not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        try:
+            body = _decode_stream(head, raw)
+            nm = re.search(rb"/N\s+(\d+)", head)
+            fm = re.search(rb"/First\s+(\d+)", head)
+            if nm is None or fm is None:
+                continue
+            n, first = int(nm.group(1)), int(fm.group(1))
+            ints = [int(v) for v in
+                    re.findall(rb"\d+", body[:first])[:2 * n]]
+            pairs = list(zip(ints[0::2], ints[1::2]))
+            for i, (onum, off) in enumerate(pairs):
+                start = first + off
+                end = first + pairs[i + 1][1] \
+                    if i + 1 < len(pairs) else len(body)
+                if 0 <= start <= end <= len(body):
+                    packed.append((onum, body[start:end].strip()))
+        except ValueError:
+            continue
+    for onum, obody in packed:
+        objects.setdefault(onum, (obody, None))
+
+
 def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
     """Page object numbers in page-tree order (catalog → /Pages →
     /Kids walk); falls back to file order of /Type /Page objects."""
@@ -417,18 +457,17 @@ def _show_text_ops(content: bytes) -> str:
 
 def parse_pdf_text(data: bytes) -> list[str]:
     """Real PDF → list of per-page texts (pure stdlib; scope in the
-    module docstring). Raises ValueError on encrypted documents,
-    object-stream-only files, or unsupported filters."""
+    module docstring). PDF 1.5+ object streams are unpacked, so
+    modern compressed-xref files extract too. Raises ValueError on
+    encrypted documents or unsupported filters."""
     if b"/Encrypt" in data:
         raise ValueError("encrypted PDF not supported")
     objects = _scan_objects(data)
     if not objects:
         raise ValueError("no PDF objects found")
+    _expand_object_streams(objects)
     pages = _page_order(objects)
     if not pages:
-        if any(b"/ObjStm" in h for h, _ in objects.values()):
-            raise ValueError("object-stream (compressed xref) PDF "
-                             "not supported")
         raise ValueError("no pages found")
     return [_show_text_ops(_content_of(objects[p][0], objects))
             for p in pages]
@@ -453,6 +492,9 @@ def parse_pdf_images(data: bytes) -> list[dict]:
     objects = _scan_objects(data)
     if not objects:
         raise ValueError("no PDF objects found")
+    # images are stream objects so they never live INSIDE an ObjStm,
+    # but expanding keeps the object table consistent either way
+    _expand_object_streams(objects)
     out: list[dict] = []
     image_no = 0
     for num in sorted(objects):
@@ -669,6 +711,7 @@ def parse_pdf_info(data: bytes) -> dict:
     objects = _scan_objects(data)
     if not objects:
         raise ValueError("no PDF objects found")
+    _expand_object_streams(objects)
     n_pages = len(_page_order(objects))
     info: bytes | None = None
     refs = _INFO_REF.findall(data)

@@ -279,3 +279,82 @@ def test_pdf_images_spark_op(spark):
                                   "doc_id long, payload binary")
     sh = phash_image(still).collect()[0].phash
     assert rows[(1, 1)].phash == sh
+
+
+# ---------------------------------------------------------------------------
+# object streams (PDF 1.5+ compressed xref)
+# ---------------------------------------------------------------------------
+
+def _objstm_pdf(content: bytes) -> bytes:
+    """A modern-shape PDF: catalog, page tree and page dict packed
+    inside a Flate-compressed /ObjStm; only the content stream is a
+    direct object."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    pairs = b""
+    for num, body in inner:
+        pairs += b"%d %d " % (num, len(bodies))
+        bodies += body + b" "
+    payload = pairs + bodies
+    z = zlib.compress(payload)
+    objs = [
+        _obj(9, b"<< /Type /ObjStm /N %d /First %d /Length %d "
+             b"/Filter /FlateDecode >>" % (len(inner), len(pairs),
+                                           len(z)), z),
+        _obj(5, b"<< /Length %d >>" % len(content), content),
+    ]
+    return _pdf(objs)
+
+
+def test_object_stream_pdf_extracts():
+    pages = parse_pdf_text(_objstm_pdf(_text_content(b"objstm ok")))
+    assert pages == ["objstm ok"]
+
+
+def test_object_stream_direct_definition_wins():
+    doc = _objstm_pdf(_text_content(b"from objstm"))
+    # append a DIRECT page object 3 pointing at a different content
+    extra_content = _text_content(b"direct wins")
+    doc = doc.replace(b"%%EOF\n", b"")
+    doc += _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    doc += _obj(6, b"<< /Length %d >>" % len(extra_content),
+                extra_content)
+    doc += b"%%EOF\n"
+    assert parse_pdf_text(doc) == ["direct wins"]
+
+
+_TASN1 = "/usr/share/doc/libtasn1-doc/libtasn1.pdf"
+_MIME = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_TASN1),
+                    reason="Debian doc PDF not present")
+def test_real_world_objstm_pdf_libtasn1():
+    """A REAL pdfTeX 1.5 PDF (Debian-shipped GNU manual): object
+    streams + xref streams + Flate throughout. 36 pages must extract
+    with recognizable text — the external-world pin for the ObjStm
+    and filter layers."""
+    from goose_parser_spark.ops.layout import parse_pdf_info
+    data = open(_TASN1, "rb").read()
+    pages = parse_pdf_text(data)
+    assert len(pages) == 36
+    assert "Libtasn1" in pages[0]
+    assert "Abstract Syntax Notation One" in pages[0]
+    joined = "\n".join(pages)
+    assert "asn1_parser2tree" in joined  # API docs deep in the file
+    info = parse_pdf_info(data)
+    assert info["n_pages"] == 36
+    assert info["producer"].startswith("pdfTeX")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_MIME),
+                    reason="Debian doc PDF not present")
+def test_real_world_objstm_pdf_mime_spec():
+    data = open(_MIME, "rb").read()
+    pages = parse_pdf_text(data)
+    assert len(pages) == 17
+    assert "Shared MIME-info Database" in pages[0]
