@@ -8,6 +8,7 @@ from goose_parser_spark.sources.fixtures import (
 from goose_parser_spark.sources.jsonl import (
     JSONL_PAGES_SCHEMA,
     read_pages_jsonl,
+    read_pages_jsonl_compressed,
     write_pages_jsonl,
 )
 from goose_parser_spark.sources.warc import (
@@ -25,6 +26,7 @@ __all__ = [
     "write_pages_parquet",
     "JSONL_PAGES_SCHEMA",
     "read_pages_jsonl",
+    "read_pages_jsonl_compressed",
     "write_pages_jsonl",
     "iter_warc_records",
     "read_warc",

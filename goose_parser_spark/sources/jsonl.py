@@ -99,3 +99,98 @@ def read_pages_jsonl_zst(spark: "SparkSession", path: str,
         df = (df.withColumn("html", F.unbase64(F.col("html_b64")))
               .drop("html_b64"))
     return df
+
+
+# per-shard inflate budget: datasets ship multi-hundred-MB shards,
+# but a shard that inflates past 1 GiB in one task is either a bomb
+# or mis-sharded — skipped, not OOM'd (same stance as the zst path).
+_SHARD_BUDGET = 1 << 30
+
+
+def _inflate_shard(name: str, content: bytes) -> bytes | None:
+    """Inflate one JSONL shard by filename suffix, budget-bounded.
+    gz/bz2/xz decode via the stdlib's streaming decompressors (the
+    one-shot module functions have no output cap — a 60 KB zero bomb
+    would inflate to whatever it likes); zst and br ride the house
+    pure-stdlib decoders; a bare .jsonl passes through. Returns None
+    (shard skipped, best-effort contract) on any malformed or
+    over-budget stream."""
+    suffix = name.rsplit(".", 1)[-1].lower()
+    try:
+        if suffix == "jsonl":
+            return content
+        if suffix == "zst":
+            from goose_parser_spark.ops.zstdcodec import decode_frames
+            data, _, _ = decode_frames(content, max_out=_SHARD_BUDGET,
+                                       verify_checksum=False)
+            return data
+        if suffix == "br":
+            from goose_parser_spark.ops.brotlicodec import decompress
+            return decompress(content, max_out=_SHARD_BUDGET)
+        if suffix == "gz":
+            import zlib
+            d = zlib.decompressobj(wbits=31)
+            out = d.decompress(content, _SHARD_BUDGET + 1)
+            return None if len(out) > _SHARD_BUDGET else out
+        if suffix == "bz2":
+            import bz2
+            d = bz2.BZ2Decompressor()
+            out = d.decompress(content, _SHARD_BUDGET + 1)
+            return None if len(out) > _SHARD_BUDGET else out
+        if suffix == "xz":
+            import lzma
+            d = lzma.LZMADecompressor()
+            out = d.decompress(content, _SHARD_BUDGET + 1)
+            return None if len(out) > _SHARD_BUDGET else out
+    except Exception:  # noqa: BLE001 — malformed shard: skip
+        return None
+    return None  # unknown suffix
+
+
+def read_pages_jsonl_compressed(
+        spark: "SparkSession", path: str,
+        schema: StructType | None = None) -> "DataFrame":
+    """``.jsonl[.gz|.bz2|.xz|.zst|.br]`` shards (mixed codecs in one
+    directory are fine) → pages DataFrame. Covers what corpora are
+    actually distributed as: Common Crawl derivative JSONL (gz/zst),
+    academic dumps (bz2 — e.g. Wikipedia-derived exports), HF-style
+    xz shards, and br-armored exports. Same execution shape as
+    :func:`read_pages_jsonl_zst`: the FILE is the unit of parallelism
+    (none of these streams byte-split safely under a generic reader),
+    inflate is budget-bounded per shard inside one map-only
+    mapInPandas, and lines parse with ``from_json`` under the
+    EXPLICIT wire schema. A shard that fails to inflate yields no
+    rows (best-effort)."""
+    import os
+
+    import pandas as pd
+
+    from goose_parser_spark.deploy import ship_package
+    ship_package(spark)
+    sch = schema or JSONL_PAGES_SCHEMA
+
+    def run(batches):
+        for pdf in batches:
+            lines: list[str] = []
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                if content is None:
+                    continue
+                data = _inflate_shard(os.path.basename(str(pth)),
+                                      bytes(content))
+                if data is None:
+                    continue
+                lines.extend(
+                    data.decode("utf-8", "replace").splitlines())
+            yield pd.DataFrame({"value": lines})
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.jsonl*")
+           .load(path)
+           .select("path", "content"))
+    text = raw.mapInPandas(run, schema="value string")
+    df = (text.select(F.from_json("value", sch).alias("j"))
+          .select("j.*"))
+    if "html_b64" in df.columns:
+        df = (df.withColumn("html", F.unbase64(F.col("html_b64")))
+              .drop("html_b64"))
+    return df
