@@ -346,23 +346,210 @@ def _content_of(page_head: bytes,
     return b"\n".join(parts)
 
 
-def _show_text_ops(content: bytes) -> str:
+def _balanced_dict(b: bytes, start: int) -> bytes | None:
+    """The ``<< ... >>`` region beginning at ``start`` (which must
+    point at the opening ``<<``), nesting-aware."""
+    if b[start:start + 2] != b"<<":
+        return None
+    depth = 0
+    i = start
+    n = len(b)
+    while i < n - 1:
+        two = b[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return b[start:i]
+            continue
+        i += 1
+    return None
+
+
+def _dict_value(head: bytes, key: bytes,
+                objects: dict) -> bytes | None:
+    """The value of ``/key`` inside dict bytes ``head``: an inline
+    ``<< ... >>`` sub-dict (returned as-is) or an indirect reference
+    (resolved through ``objects``). None when absent."""
+    m = re.search(rb"/" + re.escape(key) + rb"\s*", head)
+    if m is None:
+        return None
+    i = m.end()
+    if head[i:i + 2] == b"<<":
+        return _balanced_dict(head, i)
+    rm = re.match(rb"(\d+)\s+\d+\s+R\b", head[i:i + 32])
+    if rm is not None:
+        obj = objects.get(int(rm.group(1)))
+        return obj[0] if obj is not None else None
+    return None
+
+
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (PDF 32000 §9.10.3) into
+    ``(code_len_bytes, {code: text})``. Handles codespacerange (code
+    width), bfchar pairs, and bfrange in both forms — consecutive
+    increment and explicit destination array. Destinations decode
+    UTF-16BE (ligature expansions like one code → 'fi' included).
+    Range sizes are capped at 64K entries (the whole 2-byte space) so
+    crafted CMaps cannot blow memory."""
+    def _hx(tok: bytes) -> bytes:
+        h = re.sub(rb"\s", b"", tok)
+        return bytes.fromhex(h.decode("ascii")) if h else b""
+
+    clen = 0
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange",
+                         data, re.DOTALL):
+        for hm in re.finditer(rb"<([0-9A-Fa-f\s]*)>", m.group(1)):
+            clen = max(clen, len(_hx(hm.group(1))))
+    table: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data,
+                         re.DOTALL):
+        toks = re.findall(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
+        for j in range(0, len(toks) - 1, 2):
+            src = _hx(toks[j])
+            dst = _hx(toks[j + 1])
+            if src:
+                clen = clen or len(src)
+                table[int.from_bytes(src, "big")] = \
+                    dst.decode("utf-16-be", "replace")
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data,
+                         re.DOTALL):
+        toks: list = []
+        for tm in _HEX_TOK.finditer(m.group(1)):
+            if tm.group(2):
+                toks.append("[")
+            elif tm.group(3):
+                toks.append("]")
+            else:
+                toks.append(_hx(tm.group(1)))
+        i = 0
+        while i + 2 < len(toks) + 1 and i + 2 <= len(toks):
+            lo_b, hi_b = toks[i], toks[i + 1]
+            if not isinstance(lo_b, bytes) or \
+                    not isinstance(hi_b, bytes):
+                i += 1
+                continue
+            lo = int.from_bytes(lo_b, "big")
+            hi = min(int.from_bytes(hi_b, "big"), lo + 0xFFFF)
+            clen = clen or len(lo_b)
+            if i + 2 < len(toks) and toks[i + 2] == "[":
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != "]":
+                    if isinstance(toks[j], bytes) and code <= hi:
+                        table[code] = toks[j].decode(
+                            "utf-16-be", "replace")
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif i + 2 < len(toks) and isinstance(toks[i + 2], bytes):
+                dst = toks[i + 2]
+                base = int.from_bytes(dst, "big")
+                width = max(len(dst), 2)
+                for k in range(hi - lo + 1):
+                    table[lo + k] = (base + k).to_bytes(
+                        width, "big").decode("utf-16-be", "replace")
+                i += 3
+            else:
+                i += 2
+    return (clen or 1, table)
+
+
+def _page_fonts(page_head: bytes, objects: dict) -> dict[bytes, tuple]:
+    """Resource-name → ToUnicode map for the page's fonts: walks
+    /Resources (inherited through /Parent when the page dict lacks
+    one, PDF 32000 §7.7.3.4) → /Font → each font's /ToUnicode
+    stream. Fonts without a ToUnicode CMap are absent (their strings
+    keep the latin-1 simple-font decode)."""
+    fonts: dict[bytes, tuple] = {}
+    head = page_head
+    res = None
+    for _ in range(16):  # parent-chain bound
+        res = _dict_value(head, b"Resources", objects)
+        if res is not None:
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", head)
+        if pm is None:
+            break
+        obj = objects.get(int(pm.group(1)))
+        if obj is None:
+            break
+        head = obj[0]
+    if res is None:
+        return fonts
+    fdict = _dict_value(res, b"Font", objects)
+    if fdict is None:
+        return fonts
+    for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                          fdict):
+        name, ref = fm.group(1), int(fm.group(2))
+        obj = objects.get(ref)
+        if obj is None:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", obj[0])
+        if tm is None:
+            continue
+        tobj = objects.get(int(tm.group(1)))
+        if tobj is None or tobj[1] is None:
+            continue
+        try:
+            cmap_data = _decode_stream(tobj[0], tobj[1])
+            fonts[name] = _parse_tounicode(cmap_data)
+        except ValueError:
+            continue
+    return fonts
+
+
+def _decode_shown(s: bytes, cmap: tuple | None) -> str:
+    """One shown string → text: through the font's ToUnicode map
+    (fixed code width; unmapped codes → U+FFFD) or latin-1 for
+    simple fonts without one."""
+    if cmap is None:
+        return s.decode("latin-1")
+    clen, table = cmap
+    out = []
+    for i in range(0, len(s) - clen + 1, clen):
+        out.append(table.get(int.from_bytes(s[i:i + clen], "big"),
+                             "�"))
+    return "".join(out)
+
+
+def _show_text_ops(content: bytes,
+                   fonts: dict[bytes, tuple] | None = None) -> str:
     """Run the text-showing subset of the content-stream language:
     Tj ' \" TJ show strings; Td/TD/T* (and ') start new lines; TJ
-    kerns more negative than -150/1000 em render as a space. Bytes
-    decode latin-1 (simple fonts; no ToUnicode CMaps by design)."""
+    kerns more negative than -150/1000 em render as a space. Strings
+    decode through the active font's /ToUnicode CMap when it has one
+    (Tf tracks the font; CID/Identity-H text becomes real Unicode,
+    ligature expansions included) and latin-1 otherwise (simple
+    fonts)."""
+    fonts = fonts or {}
+    cur: tuple | None = None  # active font's (code_len, table)
     out: list[str] = []
-    strings: list[str] = []  # operand stack of decoded strings
+    strings: list[bytes] = []  # operand stack of RAW string bytes
     nums: list[float] = []
+    names: list[bytes] = []  # /Name operands (Tf font selection)
     in_array = False
-    array_parts: list[str] = []
+    array_parts: list = []  # bytes (code runs) or " " (kern gaps)
+
+    def _shown(parts: list) -> str:
+        return "".join(p if isinstance(p, str)
+                       else _decode_shown(p, cur) for p in parts)
+
     i, n = 0, len(content)
     while i < n:
         c = content[i]
         if c == 0x28:  # ( literal string
             i += 1
             depth = 1
-            buf: list[str] = []
+            buf = bytearray()
             while i < n and depth:
                 b = content[i]
                 if b == 0x5C:  # backslash
@@ -376,13 +563,13 @@ def _show_text_ops(content: bytes) -> str:
                             if i + 1 < n and 0x30 <= content[i + 1] <= 0x37:
                                 i += 1
                                 oct_ += chr(content[i])
-                        buf.append(chr(int(oct_, 8)))
+                        buf.append(int(oct_, 8))
                     elif e in (0x0A, 0x0D):
                         # line continuation; \CRLF consumes both bytes
                         if e == 0x0D and content[i + 1:i + 2] == b"\n":
                             i += 1
                     else:
-                        buf.append(_ESCAPES.get(e, chr(e)))
+                        buf.append(ord(_ESCAPES.get(e, chr(e))))
                     i += 1
                     continue
                 if b == 0x28:
@@ -392,9 +579,9 @@ def _show_text_ops(content: bytes) -> str:
                     if not depth:
                         i += 1
                         break
-                buf.append(chr(b))
+                buf.append(b)
                 i += 1
-            s = "".join(buf)
+            s = bytes(buf)
             (array_parts if in_array else strings).append(s)
             continue
         if c == 0x3C and content[i:i + 2] != b"<<":  # <hex string>
@@ -404,7 +591,7 @@ def _show_text_ops(content: bytes) -> str:
             hx = re.sub(rb"\s", b"", content[i + 1:j])
             if len(hx) % 2:
                 hx += b"0"
-            s = bytes.fromhex(hx.decode("ascii", "ignore")).decode("latin-1")
+            s = bytes.fromhex(hx.decode("ascii", "ignore"))
             (array_parts if in_array else strings).append(s)
             i = j + 1
             continue
@@ -416,6 +603,11 @@ def _show_text_ops(content: bytes) -> str:
         if c == 0x5D:  # ]
             in_array = False
             i += 1
+            continue
+        if c == 0x2F:  # /Name operand
+            m = re.compile(rb"/([^\s/<>\[\]()%]*)").match(content, i)
+            names.append(m.group(1))
+            i = m.end()
             continue
         if c in (0x2B, 0x2D, 0x2E) or 0x30 <= c <= 0x39:
             m = _NUM.match(content, i)
@@ -431,20 +623,23 @@ def _show_text_ops(content: bytes) -> str:
             m = re.compile(rb"[A-Za-z*']+").match(content, i)
             op = m.group()
             if op == b"Tj" and strings:
-                out.append(strings[-1])
+                out.append(_decode_shown(strings[-1], cur))
             elif op == b"TJ":
-                out.append("".join(array_parts))
+                out.append(_shown(array_parts))
                 array_parts = []
+            elif op == b"Tf" and names:
+                cur = fonts.get(names[-1])
             elif op in (b"Td", b"TD", b"T*"):
                 if op == b"T*" or (len(nums) >= 1 and nums[-1] != 0):
                     out.append("\n")
             strings = []
             nums = []
+            names = []
             i = m.end()
             continue
         if c == 0x27 or c == 0x22:  # ' and " show-on-next-line ops
             if strings:
-                out.append("\n" + strings[-1])
+                out.append("\n" + _decode_shown(strings[-1], cur))
             strings = []
             nums = []
             i += 1
@@ -469,7 +664,8 @@ def parse_pdf_text(data: bytes) -> list[str]:
     pages = _page_order(objects)
     if not pages:
         raise ValueError("no pages found")
-    return [_show_text_ops(_content_of(objects[p][0], objects))
+    return [_show_text_ops(_content_of(objects[p][0], objects),
+                           _page_fonts(objects[p][0], objects))
             for p in pages]
 
 

@@ -358,3 +358,97 @@ def test_real_world_objstm_pdf_mime_spec():
     pages = parse_pdf_text(data)
     assert len(pages) == 17
     assert "Shared MIME-info Database" in pages[0]
+
+
+# ---------------------------------------------------------------------------
+# /ToUnicode CMaps (modern CID/Identity-H text)
+# ---------------------------------------------------------------------------
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+3 beginbfchar
+<0041> <0048>
+<0042> <0065>
+<0100> <00660069>
+endbfchar
+1 beginbfrange
+<0050> <0052> <006C>
+endbfrange
+1 beginbfrange
+<0060> <0062> [<0057> <006F573E> <0072>]
+endbfrange
+endcmap end end"""
+
+
+def _cid_pdf(content: bytes, cmap: bytes = _CMAP,
+             inherit_resources: bool = False) -> bytes:
+    res = (b"/Resources << /Font << /G1 7 0 R >> >> ")
+    page = b"<< /Type /Page /Parent 2 0 R " + \
+        (b"" if inherit_resources else res) + b"/Contents 5 0 R >>"
+    pages = b"<< /Type /Pages /Kids [3 0 R] /Count 1 " + \
+        (res if inherit_resources else b"") + b">>"
+    objs = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, pages),
+        _obj(3, page),
+        _obj(5, b"<< /Length %d >>" % len(content), content),
+        _obj(7, b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+             b"/Encoding /Identity-H /ToUnicode 8 0 R >>"),
+        _obj(8, b"<< /Length %d >>" % len(cmap), cmap),
+    ]
+    return _pdf(objs)
+
+
+def test_tounicode_bfchar_and_bfrange():
+    # codes: 0041->H, 0042->e, 0050..0052 -> l,m,n (increment form)
+    content = (b"BT /G1 12 Tf 72 720 Td "
+               b"<00410042005000510052> Tj ET")
+    assert parse_pdf_text(_cid_pdf(content)) == ["Helmn"]
+
+
+def test_tounicode_ligature_expansion():
+    # one CID expands to two characters ("fi")
+    content = b"BT /G1 12 Tf 72 720 Td <0100> Tj ET"
+    assert parse_pdf_text(_cid_pdf(content)) == ["fi"]
+
+
+def test_tounicode_bfrange_array_form():
+    # 0060->W, 0061->two UTF-16 units "o"+U+573E, 0062->r
+    content = b"BT /G1 12 Tf 72 720 Td <006000610062> Tj ET"
+    assert parse_pdf_text(_cid_pdf(content)) == ["Wo圾r"]
+
+
+def test_tounicode_tj_array_with_kerning():
+    content = (b"BT /G1 12 Tf 72 720 Td "
+               b"[<0041> -300 <0042>] TJ ET")
+    assert parse_pdf_text(_cid_pdf(content)) == ["H e"]
+
+
+def test_tounicode_unmapped_code_is_replacement():
+    content = b"BT /G1 12 Tf 72 720 Td <0041FFFE> Tj ET"
+    assert parse_pdf_text(_cid_pdf(content)) == ["H\N{REPLACEMENT CHARACTER}"]
+
+
+def test_tounicode_inherited_resources():
+    """Pages-node /Resources inherit down to the page (PDF 32000
+    §7.7.3.4) — the common writer layout."""
+    content = b"BT /G1 12 Tf 72 720 Td <00410042> Tj ET"
+    assert parse_pdf_text(
+        _cid_pdf(content, inherit_resources=True)) == ["He"]
+
+
+def test_font_switching_mid_page():
+    """Tf switches decode per font: simple fonts (no ToUnicode) keep
+    latin-1, the CID font rides its CMap, and switching back works."""
+    content = (b"BT /F1 10 Tf 72 720 Td (plain) Tj "
+               b"/G1 10 Tf <0041> Tj "
+               b"/F1 10 Tf (tail) Tj ET")
+    doc = _cid_pdf(content)
+    # add a simple font F1 without ToUnicode to the same dict
+    doc = doc.replace(b"/Font << /G1 7 0 R >>",
+                      b"/Font << /G1 7 0 R /F1 10 0 R >>")
+    doc = doc.replace(b"%%EOF\n", b"")
+    doc += _obj(10, b"<< /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >>") + b"%%EOF\n"
+    assert parse_pdf_text(doc) == ["plainHtail"]
