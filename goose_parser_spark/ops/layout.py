@@ -462,12 +462,98 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     return (clen or 1, table)
 
 
+# Adobe Glyph List subset (the AGL is public Adobe spec data): the
+# names embedded-subset text fonts actually use — ligatures, ASCII
+# punctuation, typographic quotes/dashes, and the systematic rules
+# (single-char names map to themselves, uniXXXX to the code point).
+_AGL = {
+    "fi": "fi", "fl": "fl", "ff": "ff", "ffi": "ffi", "ffl": "ffl",
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "quoteright": "’",
+    "quoteleft": "‘", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "endash": "–", "emdash": "—",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "guillemotleft": "«", "guillemotright": "»",
+    "bullet": "•", "periodcentered": "·",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "degree": "°", "copyright": "©",
+    "registered": "®", "trademark": "™",
+    "section": "§", "paragraph": "¶", "cent": "¢",
+    "sterling": "£", "yen": "¥", "Euro": "€",
+    "multiply": "×", "divide": "÷",
+    "plusminus": "±", "florin": "ƒ",
+    "dotlessi": "ı", "germandbls": "ß",
+    "oe": "œ", "OE": "Œ", "ae": "æ", "AE": "Æ",
+    "oslash": "ø", "Oslash": "Ø", "aring": "å",
+    "Aring": "Å", "ccedilla": "ç", "Ccedilla": "Ç",
+    "ntilde": "ñ", "Ntilde": "Ñ", "atilde": "ã",
+    "Atilde": "Ã", "aacute": "á", "eacute": "é",
+    "iacute": "í", "oacute": "ó", "uacute": "ú",
+    "agrave": "à", "egrave": "è", "igrave": "ì",
+    "ograve": "ò", "ugrave": "ù", "acircumflex": "â",
+    "ecircumflex": "ê", "icircumflex": "î",
+    "ocircumflex": "ô", "ucircumflex": "û",
+    "adieresis": "ä", "edieresis": "ë",
+    "idieresis": "ï", "odieresis": "ö",
+    "udieresis": "ü", "ydieresis": "ÿ",
+}
+
+
+def _glyph_to_text(name: str) -> str | None:
+    """AGL resolution: the curated table, then the systematic rules
+    — single-character names are themselves, uniXXXX / uXXXX(XX) are
+    explicit code points."""
+    if name in _AGL:
+        return _AGL[name]
+    if len(name) == 1:
+        return name
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        cp = int(name[1:], 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _parse_differences(enc: bytes) -> dict[int, str]:
+    """/Encoding /Differences array → {code: text}: integers set the
+    next code, each glyph name assigns and increments (PDF 32000
+    §9.6.6.1). Unresolvable glyph names are left out (their codes
+    fall back to latin-1)."""
+    m = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)
+    if m is None:
+        return {}
+    table: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()%]+)", m.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+            continue
+        text = _glyph_to_text(
+            tok.group(2).decode("latin-1"))
+        if text is not None:
+            table[code] = text
+        code += 1
+    return table
+
+
 def _page_fonts(page_head: bytes, objects: dict) -> dict[bytes, tuple]:
-    """Resource-name → ToUnicode map for the page's fonts: walks
+    """Resource-name → decode info for the page's fonts: walks
     /Resources (inherited through /Parent when the page dict lacks
-    one, PDF 32000 §7.7.3.4) → /Font → each font's /ToUnicode
-    stream. Fonts without a ToUnicode CMap are absent (their strings
-    keep the latin-1 simple-font decode)."""
+    one, PDF 32000 §7.7.3.4) → /Font → each font's /ToUnicode CMap,
+    falling back to an /Encoding /Differences glyph-name table for
+    simple fonts (the pdfTeX/Type1 shape, where ligatures sit at low
+    codes). Fonts with neither are absent (plain latin-1 decode)."""
     fonts: dict[bytes, tuple] = {}
     head = page_head
     res = None
@@ -494,30 +580,41 @@ def _page_fonts(page_head: bytes, objects: dict) -> dict[bytes, tuple]:
         if obj is None:
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", obj[0])
-        if tm is None:
-            continue
-        tobj = objects.get(int(tm.group(1)))
-        if tobj is None or tobj[1] is None:
-            continue
-        try:
-            cmap_data = _decode_stream(tobj[0], tobj[1])
-            fonts[name] = _parse_tounicode(cmap_data)
-        except ValueError:
-            continue
+        if tm is not None:
+            tobj = objects.get(int(tm.group(1)))
+            if tobj is not None and tobj[1] is not None:
+                try:
+                    cmap_data = _decode_stream(tobj[0], tobj[1])
+                    clen, table = _parse_tounicode(cmap_data)
+                    fonts[name] = (clen, table, False)
+                    continue
+                except ValueError:
+                    pass
+        enc = _dict_value(obj[0], b"Encoding", objects)
+        if enc is not None and b"/Differences" in enc:
+            table = _parse_differences(enc)
+            if table:
+                fonts[name] = (1, table, True)
     return fonts
 
 
 def _decode_shown(s: bytes, cmap: tuple | None) -> str:
-    """One shown string → text: through the font's ToUnicode map
-    (fixed code width; unmapped codes → U+FFFD) or latin-1 for
-    simple fonts without one."""
+    """One shown string → text: through the font's code table. For
+    ToUnicode CMaps unmapped codes become U+FFFD (the map is the
+    font's complete statement of meaning); for /Differences tables
+    unmapped codes fall back to latin-1 (Differences only overrides
+    a base encoding). Simple fonts with neither decode latin-1."""
     if cmap is None:
         return s.decode("latin-1")
-    clen, table = cmap
+    clen, table, latin1_fallback = cmap
     out = []
     for i in range(0, len(s) - clen + 1, clen):
-        out.append(table.get(int.from_bytes(s[i:i + clen], "big"),
-                             "�"))
+        code = int.from_bytes(s[i:i + clen], "big")
+        hit = table.get(code)
+        if hit is None:
+            hit = chr(code) if latin1_fallback and code < 256 \
+                else "�"
+        out.append(hit)
     return "".join(out)
 
 

@@ -358,6 +358,11 @@ def test_real_world_objstm_pdf_mime_spec():
     pages = parse_pdf_text(data)
     assert len(pages) == 17
     assert "Shared MIME-info Database" in pages[0]
+    # the /Encoding /Differences glyph table must resolve the Type1
+    # ligature codes: "specification" used to extract as
+    # "speci\x02cation" before the AGL table landed
+    assert "specification" in pages[0]
+    assert not any("\x02" in p or "\x01" in p for p in pages)
 
 
 # ---------------------------------------------------------------------------
@@ -452,3 +457,43 @@ def test_font_switching_mid_page():
     doc += _obj(10, b"<< /Type /Font /Subtype /Type1 "
                 b"/BaseFont /Helvetica >>") + b"%%EOF\n"
     assert parse_pdf_text(doc) == ["plainHtail"]
+
+
+# ---------------------------------------------------------------------------
+# simple-font /Encoding /Differences (glyph-name tables)
+# ---------------------------------------------------------------------------
+
+def _diff_pdf(content: bytes, differences: bytes) -> bytes:
+    objs = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /T1 7 0 R >> >> /Contents 5 0 R >>"),
+        _obj(5, b"<< /Length %d >>" % len(content), content),
+        _obj(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Q "
+             b"/Encoding 8 0 R >>"),
+        _obj(8, b"<< /Type /Encoding /Differences [" + differences
+             + b"] >>"),
+    ]
+    return _pdf(objs)
+
+
+def test_differences_ligatures_and_names():
+    # pdfTeX shape: fi/fl at codes 2/3, unmapped codes latin-1
+    content = b"BT /T1 10 Tf 72 720 Td (speci\x02c \x03ow) Tj ET"
+    doc = _diff_pdf(content, b"2/fi/fl")
+    assert parse_pdf_text(doc) == ["specific flow"]
+
+
+def test_differences_systematic_glyph_names():
+    content = b"BT /T1 10 Tf 72 720 Td (\x01\x02\x03\x04) Tj ET"
+    doc = _diff_pdf(content,
+                    b"1/endash/uni20AC/x/quotedblleft")
+    assert parse_pdf_text(doc) == ["–€x“"]
+
+
+def test_differences_unknown_glyph_skipped():
+    # /nonsenseglyph resolves to nothing -> latin-1 fallback for 5
+    content = b"BT /T1 10 Tf 72 720 Td (\x05A) Tj ET"
+    doc = _diff_pdf(content, b"5/nonsenseglyphxyz")
+    assert parse_pdf_text(doc) == ["\x05A"]
