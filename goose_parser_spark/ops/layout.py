@@ -280,9 +280,16 @@ def _expand_object_streams(
             fm = re.search(rb"/First\s+(\d+)", head)
             if nm is None or fm is None:
                 continue
-            n, first = int(nm.group(1)), int(fm.group(1))
-            ints = [int(v) for v in
-                    re.findall(rb"\d+", body[:first])[:2 * n]]
+            # bounds are attacker bytes: cap the pair count and keep
+            # /First inside the stream so the header findall cannot
+            # materialize millions of matches from a crafted prefix
+            n = min(int(nm.group(1)), 65536)
+            first = min(int(fm.group(1)), len(body))
+            ints = []
+            for v in re.finditer(rb"\d+", body[:first]):
+                ints.append(int(v.group()))
+                if len(ints) >= 2 * n:
+                    break
             pairs = list(zip(ints[0::2], ints[1::2]))
             for i, (onum, off) in enumerate(pairs):
                 start = first + off
@@ -397,8 +404,14 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     width), bfchar pairs, and bfrange in both forms — consecutive
     increment and explicit destination array. Destinations decode
     UTF-16BE (ligature expansions like one code → 'fi' included).
-    Range sizes are capped at 64K entries (the whole 2-byte space) so
-    crafted CMaps cannot blow memory."""
+    CMaps are attacker bytes: the stream is capped at 4 MB (real
+    ToUnicode maps are a few KB), each bfrange at 64K entries, and
+    the whole table at 2^17 entries — crafted CMaps can neither soak
+    CPU in the section regexes nor blow memory."""
+    if len(data) > 4 << 20:
+        raise ValueError("ToUnicode CMap exceeds the parse budget")
+    max_entries = 1 << 17
+
     def _hx(tok: bytes) -> bytes:
         h = re.sub(rb"\s", b"", tok)
         return bytes.fromhex(h.decode("ascii")) if h else b""
@@ -413,6 +426,8 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                          re.DOTALL):
         toks = re.findall(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
         for j in range(0, len(toks) - 1, 2):
+            if len(table) >= max_entries:
+                break
             src = _hx(toks[j])
             dst = _hx(toks[j + 1])
             if src:
@@ -430,7 +445,7 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
             else:
                 toks.append(_hx(tm.group(1)))
         i = 0
-        while i + 2 < len(toks) + 1 and i + 2 <= len(toks):
+        while i + 2 <= len(toks) and len(table) < max_entries:
             lo_b, hi_b = toks[i], toks[i + 1]
             if not isinstance(lo_b, bytes) or \
                     not isinstance(hi_b, bytes):
@@ -453,8 +468,9 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                 dst = toks[i + 2]
                 base = int.from_bytes(dst, "big")
                 width = max(len(dst), 2)
-                for k in range(hi - lo + 1):
-                    table[lo + k] = (base + k).to_bytes(
+                mask = (1 << (8 * width)) - 1  # crafted base+k must
+                for k in range(hi - lo + 1):   # not overflow to_bytes
+                    table[lo + k] = ((base + k) & mask).to_bytes(
                         width, "big").decode("utf-16-be", "replace")
                 i += 3
             else:

@@ -497,3 +497,83 @@ def test_differences_unknown_glyph_skipped():
     content = b"BT /T1 10 Tf 72 720 Td (\x05A) Tj ET"
     doc = _diff_pdf(content, b"5/nonsenseglyphxyz")
     assert parse_pdf_text(doc) == ["\x05A"]
+
+
+# ---------------------------------------------------------------------------
+# fuzz: the PDF layer parses arbitrary web bytes
+# ---------------------------------------------------------------------------
+
+def test_fuzz_pdf_paths_never_hang_or_blow():
+    """Random blobs, magic-prefixed garbage and bit-flips of a valid
+    document through all three entry points: bounded time, no
+    uncaught exceptions beyond ValueError."""
+    import random
+    import time
+
+    from goose_parser_spark.ops.layout import (
+        parse_pdf_images, parse_pdf_info, parse_pdf_text)
+    rnd = random.Random(17)
+    valid = _cid_pdf(b"BT /G1 12 Tf 72 720 Td <00410042> Tj ET")
+    t0 = time.monotonic()
+    cases = []
+    for n in (0, 7, 300, 4096):
+        cases.append(bytes(rnd.randrange(256) for _ in range(n)))
+        cases.append(b"%PDF-1.7\n" +
+                     bytes(rnd.randrange(256) for _ in range(n)))
+    for _ in range(40):
+        buf = bytearray(valid)
+        for _ in range(rnd.randrange(1, 5)):
+            buf[rnd.randrange(len(buf))] ^= 1 << rnd.randrange(8)
+        cases.append(bytes(buf))
+    for cut in range(0, len(valid), max(1, len(valid) // 25)):
+        cases.append(valid[:cut])
+    for blob in cases:
+        for fn in (parse_pdf_text, parse_pdf_images, parse_pdf_info):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
+    assert time.monotonic() - t0 < 30
+
+
+def test_crafted_cmap_bombs_bounded():
+    """A CMap declaring huge bfranges and a full-digit ObjStm prefix
+    must stay inside the entry/size caps."""
+    import time
+
+    from goose_parser_spark.ops.layout import _parse_tounicode
+    # many maximal ranges: table must stop at the entry cap
+    bomb = b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+    bomb += b"1 beginbfrange\n" + \
+        b"\n".join(b"<0000> <FFFF> <0041>" for _ in range(64)) + \
+        b"\nendbfrange"
+    t0 = time.monotonic()
+    clen, table = _parse_tounicode(bomb)
+    assert len(table) <= (1 << 17) + 0x10000
+    assert time.monotonic() - t0 < 10
+    # oversized stream rejected outright
+    with pytest.raises(ValueError):
+        _parse_tounicode(b"x" * ((4 << 20) + 1))
+    # base+k overflow in the increment form must not raise
+    _clen, t = _parse_tounicode(
+        b"1 beginbfrange <0000> <00FF> <FFFF> endbfrange")
+    assert len(t) == 256
+
+
+def test_crafted_objstm_digit_prefix_bounded():
+    """/First pointing at megabytes of digits with a huge /N claim
+    must not materialize millions of matches."""
+    import time
+    import zlib as _z
+
+    from goose_parser_spark.ops.layout import (
+        _expand_object_streams, _scan_objects)
+    digits = b"1 " * 500_000
+    z = _z.compress(digits)
+    doc = _pdf([_obj(4, b"<< /Type /ObjStm /N 999999999 /First "
+                     b"999999999 /Length %d /Filter /FlateDecode >>"
+                     % len(z), z)])
+    objects = _scan_objects(doc)
+    t0 = time.monotonic()
+    _expand_object_streams(objects)
+    assert time.monotonic() - t0 < 10
