@@ -319,8 +319,65 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[int]]:
         return _jpeg_gray(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return _webp_gray(data)
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _ico_gray(data)
     raise ValueError("unsupported image format (stdlib decoders: "
-                     "PNG, GIF, BMP, TIFF, PPM/PGM, JPEG, VP8L WebP)")
+                     "PNG, GIF, BMP, TIFF, PPM/PGM, JPEG, WebP, ICO)")
+
+
+def _ico_entries(data: bytes) -> list[tuple[int, int, int, int]]:
+    """ICONDIR entries as ``(w, h, size, offset)`` — 0 in a dimension
+    byte means 256 (the favicon format caps at 256)."""
+    if len(data) < 6:
+        raise ValueError("truncated ICO")
+    _res, typ, cnt = struct.unpack("<HHH", data[:6])
+    if typ not in (1, 2) or cnt == 0:
+        raise ValueError("not an ICO/CUR file")
+    out = []
+    for i in range(min(cnt, 64)):
+        e = data[6 + 16 * i:6 + 16 * (i + 1)]
+        if len(e) < 16:
+            break
+        size, off = struct.unpack("<II", e[8:16])
+        out.append((e[0] or 256, e[1] or 256, size, off))
+    if not out:
+        raise ValueError("ICO without directory entries")
+    return out
+
+
+def _ico_gray(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode an ICO/CUR favicon: the LARGEST directory entry wins
+    (the analytics-useful rendition). Entries are either embedded
+    PNG (modern 256px icons) or a headerless BMP DIB whose height
+    field is DOUBLED (XOR image + AND mask share one header) — the
+    DIB is re-wrapped as a plain BMP so the pinned BMP decoder does
+    the pixels; palettized DIBs (bpp<=8) raise honestly."""
+    w, h, size, off = max(_ico_entries(data),
+                          key=lambda e: e[0] * e[1])
+    payload = data[off:off + size]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_gray(payload)
+    if len(payload) < 40:
+        raise ValueError("truncated ICO bitmap entry")
+    hdr = struct.unpack("<I", payload[0:4])[0]
+    if hdr < 40:
+        raise ValueError("unsupported ICO bitmap header")
+    bw, bh2 = struct.unpack("<ii", payload[4:12])
+    bpp = struct.unpack("<H", payload[14:16])[0]
+    if bpp not in (24, 32):
+        raise ValueError("unsupported ICO bitmap depth (palettized "
+                         "favicons need a palette decoder)")
+    bh = abs(bh2) // 2 if abs(bh2) == 2 * h else abs(bh2)
+    # re-wrap as a BMP file: patch the height to the XOR image only
+    patched = bytearray(payload)
+    struct.pack_into("<i", patched, 8, bh if bh2 > 0 else -bh)
+    pix_off = 14 + hdr
+    bmp = (b"BM" + struct.pack("<IHHI", 14 + len(payload), 0, 0,
+                               pix_off) + bytes(patched))
+    gw, gh, px = _bmp_gray(bmp)
+    if (gw, gh) != (w, h) and (gw, gh) != (bw, bh):
+        raise ValueError("ICO bitmap dimension mismatch")
+    return gw, gh, px
 
 
 def resize_gray_box(width: int, height: int, pixels: list[int],
@@ -516,6 +573,13 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
     if data[:2] == b"BM":
         w, h = struct.unpack("<ii", data[18:26])
         return ("bmp", w, abs(h), None)
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        try:
+            w, h, _sz, _off = max(_ico_entries(data),
+                                  key=lambda e: e[0] * e[1])
+        except ValueError:
+            return (None, None, None, None)
+        return ("ico", w, h, None)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         tag = data[12:16]
         if tag == b"VP8X":

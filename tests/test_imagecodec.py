@@ -1012,3 +1012,91 @@ def test_probe_media_avif_and_mp4_brands():
     mp4 = box(b"ftyp", b"isom\x00\x00\x00\x00isommp42") \
         + box(b"moov", mvhd)
     assert probe_media(mp4) == ("mp4", None, None, 42000)
+
+
+# ---------------------------------------------------------------------------
+# ICO / favicon decode (round-6 session 6)
+# ---------------------------------------------------------------------------
+
+def _wrap_ico(entries):
+    """entries: list of (w, h, payload_bytes) — build an ICONDIR."""
+    import struct as _st
+    head = _st.pack("<HHH", 0, 1, len(entries))
+    dir_bytes = b""
+    off = 6 + 16 * len(entries)
+    for w, h, payload in entries:
+        dir_bytes += _st.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1,
+                              32, len(payload), off)
+        off += len(payload)
+    return head + dir_bytes + b"".join(p for _, _, p in entries)
+
+
+def test_ico_png_entry_decodes_and_largest_wins():
+    import struct as _st
+
+    from goose_parser_spark.ops.imagecodec import (
+        decode_image_gray, probe_media)
+    small = _write_png(4, 4, [[10] * 4 for _ in range(4)])
+    big = _write_png(8, 8, [[(8 * y + x) * 3 % 256 for x in range(8)]
+                            for y in range(8)])
+    ico = _wrap_ico([(4, 4, small), (8, 8, big)])
+    assert probe_media(ico)[:3] == ("ico", 8, 8)
+    w, h, px = decode_image_gray(ico)
+    assert (w, h) == (8, 8)
+    assert px == decode_image_gray(big)[2]
+
+
+def test_ico_dib_entry_matches_bmp_decoder():
+    """A 24-bit DIB entry (headerless BMP with doubled height +
+    AND mask) must decode to the same pixels as the BMP it came
+    from."""
+    import struct as _st
+
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    w, h = 6, 4
+    rgb = [[(x * 40 % 256, y * 60 % 256, (x ^ y) * 30 % 256)
+            for x in range(w)] for y in range(h)]
+    bmp = _write_bmp(w, h, rgb)
+    # file header is 14 bytes; DIB follows
+    dib = bytearray(bmp[14:])
+    _st.pack_into("<i", dib, 8, h * 2)  # doubled height
+    and_stride = ((w + 31) // 32) * 4
+    dib += b"\x00" * (and_stride * h)   # all-opaque AND mask
+    ico = _wrap_ico([(w, h, bytes(dib))])
+    assert decode_image_gray(ico) == decode_image_gray(bmp)
+
+
+def test_ico_real_world_idle_icon():
+    """CPython's idlelib icon (PSF public data): 3 DIB entries + one
+    256px PNG entry; the PNG wins as largest and must decode
+    byte-identically to decoding that PNG alone."""
+    import os
+    p = "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/Icons/idle.ico"
+    if not os.path.exists(p):
+        pytest.skip("idle.ico not present")
+    import struct as _st
+
+    from goose_parser_spark.ops.imagecodec import (
+        decode_image_gray, probe_media)
+    data = open(p, "rb").read()
+    assert probe_media(data)[:3] == ("ico", 256, 256)
+    w, h, px = decode_image_gray(data)
+    assert (w, h) == (256, 256)
+    # locate the PNG entry in the directory and decode it directly
+    cnt = _st.unpack("<H", data[4:6])[0]
+    for i in range(cnt):
+        size, off = _st.unpack("<II", data[6 + 16 * i + 8:
+                                          6 + 16 * i + 16])
+        if data[off:off + 4] == b"\x89PNG"[:4]:
+            assert px == decode_image_gray(data[off:off + size])[2]
+            break
+    else:
+        raise AssertionError("no PNG entry found")
+
+
+def test_ico_malformed_rejected():
+    from goose_parser_spark.ops.imagecodec import decode_image_gray
+    for blob in (b"\x00\x00\x01\x00", b"\x00\x00\x01\x00\x00\x00",
+                 b"\x00\x00\x03\x00\x01\x00" + b"\x00" * 16):
+        with pytest.raises(ValueError):
+            decode_image_gray(blob)
