@@ -427,19 +427,63 @@ def _alaw_to_linear(b: int) -> int:
     return t if (a & 0x80) else -t
 
 
+def _downmix(samples: list[int], channels: int) -> list[int]:
+    """Exact integer mean downmix (sum // n) — the one convention all
+    audio containers share so cross-container identity tests hold."""
+    if channels > 1:
+        usable = (len(samples) // channels) * channels
+        samples = [sum(samples[i:i + channels]) // channels
+                   for i in range(0, usable, channels)]
+    return samples
+
+
+def _pcm_samples(pcm: bytes, bits: int, big_endian: bool,
+                 signed8: bool = False) -> list[int]:
+    """Interleaved integer PCM bytes → native-depth signed samples
+    (8/16/24/32-bit, either endianness; 8-bit is unsigned in WAV but
+    signed in AIFF/AU — ``signed8`` selects)."""
+    if bits == 8:
+        if signed8:
+            return [b - 256 if b >= 128 else b for b in pcm]
+        return [b - 128 for b in pcm]
+    step = bits // 8
+    if bits not in (16, 24, 32):
+        raise ValueError("unsupported PCM sample width")
+    out = []
+    order = "big" if big_endian else "little"
+    full = (len(pcm) // step) * step
+    for i in range(0, full, step):
+        out.append(int.from_bytes(pcm[i:i + step], order,
+                                  signed=True))
+    return out
+
+
 def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode a RIFF/WAVE file to ``(sample_rate, n_channels,
-    mono_samples)`` with pure stdlib. Supported format tags: 1
-    (integer PCM, 8 or 16-bit), 6 (G.711 A-law) and 7 (G.711 μ-law)
-    — the companded telephony codecs expand to 13/14-bit linear via
-    the public G.711 segment formulas, upgrading "lossy audio" from
-    stub to real for the G.711 family. Multi-channel audio is
-    downmixed by exact integer mean (sum // n_channels); 8-bit
-    unsigned PCM is re-centered to signed (-128..127) so both depths
-    share the zero line. Raises ValueError for perceptual codecs
-    (MP3/AAC/Vorbis need codec libraries) and malformed files."""
+    """Decode an audio container to ``(sample_rate, n_channels,
+    mono_samples)`` with pure stdlib:
+
+    - RIFF/WAVE: integer PCM 8/16/24/32-bit, G.711 A-law/μ-law
+      (format tags 1/6/7)
+    - AIFF and AIFC (FORM containers, big-endian PCM; AIFC
+      compression types NONE, sowt = little-endian PCM 16,
+      ulaw/ULAW and alaw/ALAW via the same G.711 expanders)
+    - Sun AU/SND (encodings 1 μ-law, 2-5 linear PCM 8/16/24/32,
+      27 A-law)
+
+    The companded telephony codecs expand to 13/14-bit linear via
+    the public G.711 segment formulas. Multi-channel audio is
+    downmixed by exact integer mean (sum // n_channels) in every
+    container, so the SAME recording shipped as WAV, AIFF or AU
+    decodes to identical samples — the cross-container identity the
+    tests pin with CPython's pluck-pcm* fixtures. Raises ValueError
+    for perceptual codecs (MP3/AAC/Vorbis need codec libraries) and
+    malformed files."""
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return _aiff_audio(data)
+    if data[:4] == b".snd":
+        return _au_audio(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
+        raise ValueError("not a RIFF/WAVE, AIFF/AIFC or AU file")
     pos = 12
     fmt = None
     pcm: bytes | None = None
@@ -458,23 +502,95 @@ def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
     tag, channels, rate, _, _, bits = fmt
     if channels < 1:
         raise ValueError("bad channel count")
-    if tag == 1 and bits == 16:
-        count = len(pcm) // 2
-        samples = list(struct.unpack("<%dh" % count, pcm[:count * 2]))
-    elif tag == 1 and bits == 8:
-        samples = [b - 128 for b in pcm]
+    if tag == 1 and bits in (8, 16, 24, 32):
+        samples = _pcm_samples(pcm, bits, big_endian=False)
     elif tag == 7 and bits == 8:
         samples = [_ulaw_to_linear(b) for b in pcm]
     elif tag == 6 and bits == 8:
         samples = [_alaw_to_linear(b) for b in pcm]
     else:
         raise ValueError(
-            "unsupported WAV (need PCM 8/16-bit or G.711 a/u-law)")
-    if channels > 1:
-        usable = (len(samples) // channels) * channels
-        samples = [sum(samples[i:i + channels]) // channels
-                   for i in range(0, usable, channels)]
-    return rate, channels, samples
+            "unsupported WAV (need PCM 8..32-bit or G.711 a/u-law)")
+    return rate, channels, _downmix(samples, channels)
+
+
+def _f80_int(b: bytes) -> int:
+    """80-bit IEEE 754 extended float → nearest int (AIFF sample
+    rates are small integers; the format is exponent:15 in a u16 +
+    explicit-leading-bit mantissa u64)."""
+    if len(b) < 10:
+        raise ValueError("truncated extended float")
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    exp = (se & 0x7FFF) - 16383 - 63
+    if mant == 0:
+        return 0
+    v = mant * (2.0 ** exp)
+    return int(v + 0.5) if se < 0x8000 else -int(v + 0.5)
+
+
+def _aiff_audio(data: bytes) -> tuple[int, int, list[int]]:
+    pos = 12
+    n = len(data)
+    is_aifc = data[8:12] == b"AIFC"
+    comm = None
+    comp = b"NONE"
+    ssnd: bytes | None = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        size = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"COMM" and len(body) >= 18:
+            channels, _frames, bits = struct.unpack(">HIH", body[:8])
+            rate = _f80_int(body[8:18])
+            comm = (channels, bits, rate)
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND" and len(body) >= 8:
+            off = struct.unpack(">I", body[:4])[0]
+            ssnd = body[8 + off:]
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND chunk")
+    channels, bits, rate = comm
+    if channels < 1:
+        raise ValueError("bad channel count")
+    ctag = comp.upper()
+    if ctag == b"NONE":
+        samples = _pcm_samples(ssnd, bits, big_endian=True,
+                               signed8=True)
+    elif ctag == b"SOWT" and bits == 16:
+        samples = _pcm_samples(ssnd, 16, big_endian=False)
+    elif ctag == b"ULAW":
+        samples = [_ulaw_to_linear(b) for b in ssnd]
+    elif ctag == b"ALAW":
+        samples = [_alaw_to_linear(b) for b in ssnd]
+    else:
+        raise ValueError(f"unsupported AIFC compression "
+                         f"{comp.decode('latin-1')!r}")
+    return rate, channels, _downmix(samples, channels)
+
+
+def _au_audio(data: bytes) -> tuple[int, int, list[int]]:
+    if len(data) < 24:
+        raise ValueError("truncated AU header")
+    off, size, enc, rate, channels = struct.unpack(">5I", data[4:24])
+    if off < 24 or channels < 1:
+        raise ValueError("bad AU header")
+    end = len(data) if size in (0, 0xFFFFFFFF) \
+        else min(len(data), off + size)
+    pcm = data[off:end]
+    if enc == 1:
+        samples = [_ulaw_to_linear(b) for b in pcm]
+    elif enc == 27:
+        samples = [_alaw_to_linear(b) for b in pcm]
+    elif enc in (2, 3, 4, 5):
+        bits = (8, 16, 24, 32)[enc - 2]
+        samples = _pcm_samples(pcm, bits, big_endian=True,
+                               signed8=True)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    return rate, channels, _downmix(samples, channels)
 
 
 def audio_frame_features(samples: list[int],
@@ -610,6 +726,29 @@ def probe_media(data: bytes) -> tuple[str, int | None, int | None,
             dur = dsize * 8000 // (rate * nch * bits)
             return ("wav", None, None, dur)
         raise ValueError("malformed WAV")
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        pos = 12
+        while pos + 8 <= n:
+            cid = data[pos:pos + 4]
+            size = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+            if cid == b"COMM" and size >= 18:
+                _ch, frames, _bits = struct.unpack(
+                    ">HIH", data[pos + 8:pos + 16])
+                rate = _f80_int(data[pos + 16:pos + 26])
+                if rate:
+                    return ("aiff", None, None,
+                            frames * 1000 // rate)
+            pos += 8 + size + (size & 1)
+        raise ValueError("malformed AIFF")
+    if data[:4] == b".snd" and n >= 24:
+        off, dsize, enc, rate, nch = struct.unpack(">5I", data[4:24])
+        widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}
+        if rate and nch and enc in widths:
+            if dsize in (0, 0xFFFFFFFF):
+                dsize = max(0, n - off)
+            dur = dsize * 1000 // (rate * nch * widths[enc])
+            return ("au", None, None, dur)
+        raise ValueError("malformed AU")
     if data[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: dims from tags
         try:
             e = "<" if data[:2] == b"II" else ">"

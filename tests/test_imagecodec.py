@@ -1100,3 +1100,126 @@ def test_ico_malformed_rejected():
                  b"\x00\x00\x03\x00\x01\x00" + b"\x00" * 16):
         with pytest.raises(ValueError):
             decode_image_gray(blob)
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFC / AU audio decode (round-6 session 6)
+# ---------------------------------------------------------------------------
+
+_AUDIO_DATA = ("/root/.pyenv/versions/3.11.7/lib/python3.11/"
+               "test/audiodata/")
+
+
+def _audio(name):
+    import os
+    p = _AUDIO_DATA + name
+    if not os.path.exists(p):
+        pytest.skip("CPython audiodata not present")
+    return open(p, "rb").read()
+
+
+def test_cross_container_pcm_identity():
+    """CPython's pluck recording shipped as WAV, AIFF and AU must
+    decode to IDENTICAL (rate, channels, samples) at 24/32-bit —
+    three containers, three endianness/header conventions, one
+    decoder contract."""
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    for depth in (24, 32):
+        w = decode_audio_pcm(_audio(f"pluck-pcm{depth}.wav"))
+        a = decode_audio_pcm(_audio(f"pluck-pcm{depth}.aiff"))
+        u = decode_audio_pcm(_audio(f"pluck-pcm{depth}.au"))
+        assert w == a == u
+        assert w[0] == 11025 and w[1] == 2 and len(w[2]) == 3307
+
+
+def test_cross_container_pcm16_within_source_rounding():
+    """The 16-bit renditions were converted by different tools and
+    genuinely differ by ±1 LSB in the FILES — the decoders must
+    stay within that source rounding, never beyond."""
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    w = decode_audio_pcm(_audio("pluck-pcm16.wav"))
+    a = decode_audio_pcm(_audio("pluck-pcm16.aiff"))
+    u = decode_audio_pcm(_audio("pluck-pcm16.au"))
+    assert w[:2] == a[:2] == u[:2]
+    for other in (a, u):
+        diffs = [abs(x - y) for x, y in zip(w[2], other[2])]
+        # per-channel source rounding is ±1 LSB; the stereo downmix
+        # can stack two of those plus floor asymmetry
+        assert max(diffs) <= 4
+        assert sum(1 for d in diffs if d <= 1) >= len(diffs) * 95 // 100
+
+
+def test_cross_container_pcm8():
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    w = decode_audio_pcm(_audio("pluck-pcm8.wav"))
+    a = decode_audio_pcm(_audio("pluck-pcm8.aiff"))
+    u = decode_audio_pcm(_audio("pluck-pcm8.au"))
+    assert w[:2] == a[:2] == u[:2]
+    for other in (a, u):
+        assert max(abs(x - y) for x, y in zip(w[2], other[2])) <= 1
+
+
+def test_g711_containers_approximate_the_pcm():
+    """pluck-ulaw/alaw decode through the G.711 expanders and must
+    approximate the 16-bit PCM within the companding step (the top
+    μ-law/A-law segment quantizes at ~1024 LSB of 16-bit scale)."""
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    ref = decode_audio_pcm(_audio("pluck-pcm16.wav"))[2]
+    for name in ("pluck-ulaw.au", "pluck-ulaw.aifc",
+                 "pluck-alaw.aifc"):
+        got = decode_audio_pcm(_audio(name))[2]
+        assert len(got) == len(ref)
+        worst = max(abs(x - y) for x, y in zip(ref, got))
+        assert worst <= 1024, (name, worst)
+
+
+def test_aifc_sowt_little_endian_pcm():
+    """An AIFC with the 'sowt' compression tag is little-endian
+    PCM16 — authored by byte-swapping a real big-endian AIFF."""
+    import struct as _st
+
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    aiff = _audio("pluck-pcm16.aiff")
+    ref = decode_audio_pcm(aiff)
+    # walk chunks, rebuild as AIFC/sowt with swapped sample bytes
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(aiff):
+        cid = aiff[pos:pos + 4]
+        size = _st.unpack(">I", aiff[pos + 4:pos + 8])[0]
+        body = aiff[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+    off = _st.unpack(">I", ssnd[:4])[0]
+    pcm = ssnd[8 + off:]
+    swapped = bytearray(pcm)
+    swapped[0::2], swapped[1::2] = pcm[1::2], pcm[0::2]
+    comm2 = comm[:18] + b"sowt" + b"\x00"
+    ssnd2 = b"\x00" * 8 + bytes(swapped)
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + _st.pack(">I", len(body)) + body + pad
+    inner = b"AIFC" + chunk(b"COMM", comm2) + chunk(b"SSND", ssnd2)
+    aifc = b"FORM" + _st.pack(">I", len(inner)) + inner
+    assert decode_audio_pcm(aifc) == ref
+
+
+def test_audio_probe_aiff_and_au():
+    from goose_parser_spark.ops.imagecodec import probe_media
+    fmt, _, _, dur = probe_media(_audio("pluck-pcm16.aiff"))
+    assert fmt == "aiff" and dur == 3307 * 1000 // 11025
+    fmt, _, _, dur = probe_media(_audio("pluck-pcm16.au"))
+    assert fmt == "au" and abs(dur - 3307 * 1000 // 11025) <= 1
+
+
+def test_audio_malformed_rejected():
+    from goose_parser_spark.ops.imagecodec import decode_audio_pcm
+    for blob in (b"FORM\x00\x00\x00\x04AIFF",
+                 b".snd" + b"\x00" * 10,
+                 b".snd" + bytes(20),
+                 b"FORM\x00\x00\x00\x20AIFC" + b"\x00" * 24):
+        with pytest.raises(ValueError):
+            decode_audio_pcm(blob)
