@@ -482,8 +482,12 @@ def decode_audio_pcm(data: bytes) -> tuple[int, int, list[int]]:
         return _aiff_audio(data)
     if data[:4] == b".snd":
         return _au_audio(data)
+    if data[:4] == b"fLaC":
+        from goose_parser_spark.ops.flaccodec import decode_flac
+        return decode_flac(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE, AIFF/AIFC or AU file")
+        raise ValueError("not a RIFF/WAVE, AIFF/AIFC, AU or FLAC "
+                         "file")
     pos = 12
     fmt = None
     pcm: bytes | None = None
