@@ -4162,6 +4162,53 @@ WITH {_SQL_DOCS_AMP_COPY}, {_sql_pdf_images()}
 """
 
 
+def q_wikitext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wikitext cleaner (ops/wikitext.py) under the value
+    oracle, BY CONSTRUCTION: each document's markup is assembled
+    from md5 substrings into a fixed grammar — heading, infobox
+    template, bold phrase, piped + plain wikilinks, a ref, a list
+    item — whose CLEANED form is therefore known string algebra over
+    the same substrings. The oracle never re-implements the cleaner;
+    it constructs the expected output directly, so any drift in
+    template/link/heading/ref/list handling flips the hash. The
+    nesting/fuzz behavior that cannot be expressed this way is
+    pinned in tests/test_wikitext.py."""
+    from goose_parser_spark.ops.wikitext import wiki_clean
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    h1 = F.md5(F.encode(F.concat(F.lit("wiki-"), d), "utf-8"))
+    h2 = F.md5(F.encode(F.concat(F.lit("wiki2-"), d), "utf-8"))
+    a = F.substring(h1, 1, 6)
+    c = F.substring(h1, 7, 6)
+    e = F.substring(h1, 13, 6)
+    ff = F.substring(h1, 19, 6)
+    hh = F.substring(h1, 25, 6)
+    b = F.substring(h2, 1, 8)
+    dd = F.substring(h2, 9, 6)
+    g = F.substring(h2, 15, 8)
+    dirty = F.concat(
+        F.lit("== "), a, F.lit(" ==\n{{infobox|name="), b,
+        F.lit("}}\n'''"), c, F.lit("''' is a [["), dd, F.lit("|"), e,
+        F.lit("]] of [["), ff, F.lit("]].<ref>"), g,
+        F.lit("</ref>\n* "), hh)
+    z = docs.select("doc_id", dirty.alias("wikitext"))
+    return wiki_clean(z, id_col="doc_id")
+
+
+SQL_WIKITEXT_CLEAN = f"""
+WITH {_SQL_DOCS_AMP_COPY}, wh AS (
+  SELECT doc_id, md5('wiki-' || doc_id) AS h1 FROM docs_amp
+)
+SELECT doc_id,
+       substr(h1, 1, 6) || chr(10) || chr(10) || substr(h1, 7, 6)
+         || ' is a ' || substr(h1, 13, 6) || ' of '
+         || substr(h1, 19, 6) || '.' || chr(10) || substr(h1, 25, 6)
+         AS clean_text,
+       CAST(1 AS INTEGER) AS n_templates
+FROM wh
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL WAV decoder under the value oracle: fixed-shape
     RIFF/WAVE files (16-bit mono PCM, 64 data bytes = 32 samples from
@@ -5831,7 +5878,6 @@ QUERIES: dict[str, QueryFn] = {
     "extract_grid_explode": q_extract_grid_explode,
     "extract_transform_chain": q_extract_transform_chain,
     "extract_conditional": q_extract_conditional,
-    "extract_multi_tree": q_extract_multi_tree,
     "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
@@ -5884,6 +5930,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- new in round 6, session 6 --
     "vp8_decode": q_vp8_decode,
     "pdf_images": q_pdf_images,
+    "wikitext_clean": q_wikitext_clean,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5900,12 +5947,13 @@ QUERIES: dict[str, QueryFn] = {
     # text_tfidf_top_terms (driver-signed in prior rounds, retrieval
     # family covered by the r5-signed bm25_search/hybrid_search)
     # rotated out in session 5 for the new brotli_decode op;
-    # extract_metadata and extract_links (both driver-signed r1-r5;
-    # the extraction family still carries FIVE in-window reps incl.
-    # the flagship) rotated out in session 6 for the new vp8_decode
-    # and pdf_images ops
+    # extract_metadata, extract_links and extract_multi_tree (all
+    # driver-signed r1-r5; the extraction family still carries FOUR
+    # in-window reps incl. the flagship) rotated out in session 6
+    # for the new vp8_decode, pdf_images and wikitext_clean ops
     "extract_metadata": q_extract_metadata,
     "extract_links": q_extract_links,
+    "extract_multi_tree": q_extract_multi_tree,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -6075,6 +6123,7 @@ ORACLES: dict[str, str] = {
     "brotli_decode": SQL_BROTLI_DECODE,
     "vp8_decode": SQL_VP8_DECODE,
     "pdf_images": SQL_PDF_IMAGES,
+    "wikitext_clean": SQL_WIKITEXT_CLEAN,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,
