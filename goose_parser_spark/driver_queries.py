@@ -4209,6 +4209,52 @@ FROM wh
 """
 
 
+def q_latex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LaTeX cleaner (ops/latex.py) under the value oracle, BY
+    CONSTRUCTION (same posture as wikitext_clean): each document's
+    TeX is assembled from md5 substrings into a fixed grammar —
+    sectioning, emphasis, inline math, a citation, a dropped
+    equation environment, a forced linebreak, a trailing comment —
+    whose cleaned form is known string algebra over the same
+    substrings. The oracle constructs the expected output directly;
+    command/math/environment handling drift flips the hash. Fuzz and
+    nesting behavior is pinned in tests/test_latex.py."""
+    from goose_parser_spark.ops.latex import latex_clean
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    h1 = F.md5(F.encode(F.concat(F.lit("tex-"), d), "utf-8"))
+    h2 = F.md5(F.encode(F.concat(F.lit("tex2-"), d), "utf-8"))
+    a = F.substring(h1, 1, 6)
+    b = F.substring(h1, 7, 6)
+    f_ = F.substring(h1, 13, 6)
+    g = F.substring(h1, 19, 8)
+    c = F.substring(h2, 1, 6)
+    dd = F.substring(h2, 7, 6)
+    e = F.substring(h2, 13, 6)
+    dirty = F.concat(
+        F.lit("\\section{"), a, F.lit("}\nWe study \\emph{"), b,
+        F.lit("} in $"), c, F.lit("$ systems.\\cite{"), dd,
+        F.lit("}\n\\begin{equation}"), e,
+        F.lit("\\end{equation}Also "), f_,
+        F.lit(" holds.\\\\\n"), g, F.lit(" % trail"))
+    z = docs.select("doc_id", dirty.alias("tex"))
+    return latex_clean(z, id_col="doc_id")
+
+
+SQL_LATEX_CLEAN = f"""
+WITH {_SQL_DOCS_AMP_COPY}, th AS (
+  SELECT doc_id, md5('tex-' || doc_id) AS h1 FROM docs_amp
+)
+SELECT doc_id,
+       substr(h1, 1, 6) || chr(10) || chr(10) || 'We study '
+         || substr(h1, 7, 6) || ' in systems.' || chr(10)
+         || 'Also ' || substr(h1, 13, 6) || ' holds.'
+         || chr(10) || chr(10) || substr(h1, 19, 8) AS clean_text,
+       CAST(1 AS INTEGER) AS n_math
+FROM th
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL WAV decoder under the value oracle: fixed-shape
     RIFF/WAVE files (16-bit mono PCM, 64 data bytes = 32 samples from
@@ -5877,7 +5923,6 @@ QUERIES: dict[str, QueryFn] = {
     "extract_flagship": q_extract_flagship,
     "extract_grid_explode": q_extract_grid_explode,
     "extract_transform_chain": q_extract_transform_chain,
-    "extract_conditional": q_extract_conditional,
     "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
@@ -5931,6 +5976,7 @@ QUERIES: dict[str, QueryFn] = {
     "vp8_decode": q_vp8_decode,
     "pdf_images": q_pdf_images,
     "wikitext_clean": q_wikitext_clean,
+    "latex_clean": q_latex_clean,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5947,13 +5993,15 @@ QUERIES: dict[str, QueryFn] = {
     # text_tfidf_top_terms (driver-signed in prior rounds, retrieval
     # family covered by the r5-signed bm25_search/hybrid_search)
     # rotated out in session 5 for the new brotli_decode op;
-    # extract_metadata, extract_links and extract_multi_tree (all
-    # driver-signed r1-r5; the extraction family still carries FOUR
-    # in-window reps incl. the flagship) rotated out in session 6
-    # for the new vp8_decode, pdf_images and wikitext_clean ops
+    # extract_metadata, extract_links, extract_multi_tree and
+    # extract_conditional (all driver-signed r1-r5; the extraction
+    # family still carries THREE in-window reps incl. the flagship)
+    # rotated out in session 6 for the new vp8_decode, pdf_images,
+    # wikitext_clean and latex_clean ops
     "extract_metadata": q_extract_metadata,
     "extract_links": q_extract_links,
     "extract_multi_tree": q_extract_multi_tree,
+    "extract_conditional": q_extract_conditional,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -6124,6 +6172,7 @@ ORACLES: dict[str, str] = {
     "vp8_decode": SQL_VP8_DECODE,
     "pdf_images": SQL_PDF_IMAGES,
     "wikitext_clean": SQL_WIKITEXT_CLEAN,
+    "latex_clean": SQL_LATEX_CLEAN,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,
