@@ -403,7 +403,7 @@ def main() -> int:
         "gif_frames", "webp_frames", "id3_tags", "audio_fingerprint",
         "crossmodal_pairs", "http_headers", "zstd_decode",
         "brotli_decode", "vp8_decode", "pdf_images",
-        "wikitext_clean", "latex_clean",
+        "wikitext_clean", "latex_clean", "notebook_cells",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -4209,6 +4209,53 @@ FROM wh
 """
 
 
+def q_notebook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook cell extraction under the value oracle:
+    real nbformat-shaped JSON is authored JVM-side from md5
+    substrings (a markdown cell and a code cell with multi-line
+    sources, kernelspec language), parsed by the PURE-CATALYST
+    from_json + posexplode pipeline in ops/notebook.py — no Python
+    node anywhere — and the oracle constructs the expected
+    (cell_no, cell_type, source, language) rows directly from the
+    same substrings."""
+    from goose_parser_spark.ops.notebook import notebook_cells
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    h = F.md5(F.encode(F.concat(F.lit("nb-"), d), "utf-8"))
+    a = F.substring(h, 1, 8)
+    b = F.substring(h, 9, 8)
+    c = F.substring(h, 17, 6)
+    nb = F.concat(
+        F.lit('{"cells": [{"cell_type": "markdown", '
+              '"source": ["# '), a, F.lit('\\n", "'), b,
+        F.lit('"]}, {"cell_type": "code", "source": ["'), c,
+        F.lit(' = 1\\n", "print('), c,
+        F.lit(')"]}], "metadata": {"kernelspec": '
+              '{"language": "python", "name": "python3"}}, '
+              '"nbformat": 4}'))
+    z = docs.select("doc_id", nb.alias("notebook"))
+    return notebook_cells(z)
+
+
+SQL_NOTEBOOK_CELLS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, nh AS (
+  SELECT doc_id, md5('nb-' || doc_id) AS h FROM docs_amp
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS cell_no,
+       'markdown' AS cell_type,
+       '# ' || substr(h, 1, 8) || chr(10) || substr(h, 9, 8)
+         AS source,
+       'python' AS language
+FROM nh
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS cell_no, 'code' AS cell_type,
+       substr(h, 17, 6) || ' = 1' || chr(10) || 'print('
+         || substr(h, 17, 6) || ')' AS source,
+       'python' AS language
+FROM nh
+"""
+
+
 def q_latex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LaTeX cleaner (ops/latex.py) under the value oracle, BY
     CONSTRUCTION (same posture as wikitext_clean): each document's
@@ -5923,7 +5970,6 @@ QUERIES: dict[str, QueryFn] = {
     "extract_flagship": q_extract_flagship,
     "extract_grid_explode": q_extract_grid_explode,
     "extract_transform_chain": q_extract_transform_chain,
-    "maincontent_strip": q_maincontent_strip,
     "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
     "dedup_minhash_md5": q_dedup_minhash_md5,
@@ -5977,6 +6023,7 @@ QUERIES: dict[str, QueryFn] = {
     "pdf_images": q_pdf_images,
     "wikitext_clean": q_wikitext_clean,
     "latex_clean": q_latex_clean,
+    "notebook_cells": q_notebook_cells,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -5993,15 +6040,16 @@ QUERIES: dict[str, QueryFn] = {
     # text_tfidf_top_terms (driver-signed in prior rounds, retrieval
     # family covered by the r5-signed bm25_search/hybrid_search)
     # rotated out in session 5 for the new brotli_decode op;
-    # extract_metadata, extract_links, extract_multi_tree and
-    # extract_conditional (all driver-signed r1-r5; the extraction
-    # family still carries THREE in-window reps incl. the flagship)
-    # rotated out in session 6 for the new vp8_decode, pdf_images,
-    # wikitext_clean and latex_clean ops
+    # extract_metadata, extract_links, extract_multi_tree,
+    # extract_conditional and maincontent_strip (all driver-signed
+    # r1-r5; extraction keeps flagship/grid/transform_chain
+    # in-window) rotated out in session 6 for the new vp8_decode,
+    # pdf_images, wikitext_clean, latex_clean and notebook_cells ops
     "extract_metadata": q_extract_metadata,
     "extract_links": q_extract_links,
     "extract_multi_tree": q_extract_multi_tree,
     "extract_conditional": q_extract_conditional,
+    "maincontent_strip": q_maincontent_strip,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -6173,6 +6221,7 @@ ORACLES: dict[str, str] = {
     "pdf_images": SQL_PDF_IMAGES,
     "wikitext_clean": SQL_WIKITEXT_CLEAN,
     "latex_clean": SQL_LATEX_CLEAN,
+    "notebook_cells": SQL_NOTEBOOK_CELLS,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -366,6 +366,14 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "notebook_cells": [
+        ("ZERO Python nodes: from_json + posexplode is all "
+         "Catalyst", lambda p: "MapInPandas" not in _exec_part(p)
+         and "BatchEvalPython" not in p and "MapInArrow" not in
+         _exec_part(p)),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "extract_tables": [
         ("table parse is the only Python node (authoring is pure "
          "concat)", lambda p: _exec_part(p).count("MapInArrow") == 1
