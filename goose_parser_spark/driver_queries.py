@@ -4256,6 +4256,50 @@ FROM nh
 """
 
 
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/WebVTT cue parsing under the value oracle, by
+    construction: each document is a two-cue SRT (numbered blocks,
+    comma-decimal timestamps, one cue with inline markup) whose
+    parsed rows are known from the authoring algebra. The parse
+    itself is PURE CATALYST (ops/subtitles.py — block split +
+    posexplode + regexp extraction, zero Python); format-edge
+    behavior (VTT headers/NOTE blocks, hour-optional timestamps,
+    cue settings, karaoke tags) is pinned in
+    tests/test_subtitles.py."""
+    from goose_parser_spark.ops.subtitles import subtitle_cues
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    h = F.md5(F.encode(F.concat(F.lit("srt-"), d), "utf-8"))
+    a = F.substring(h, 1, 8)
+    b = F.substring(h, 9, 8)
+    c = F.substring(h, 17, 8)
+    srt = F.concat(
+        F.lit("1\n00:00:01,000 --> 00:00:03,500\n"), a,
+        F.lit(" "), b,
+        F.lit("\n\n2\n00:01:02,250 --> 00:01:03,750\n<i>"), c,
+        F.lit("</i> spoken\n"))
+    z = docs.select("doc_id", srt.alias("subs"))
+    return subtitle_cues(z)
+
+
+SQL_SUBTITLE_CUES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, sh AS (
+  SELECT doc_id, md5('srt-' || doc_id) AS h FROM docs_amp
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS cue_no,
+       CAST(1000 AS BIGINT) AS start_ms,
+       CAST(3500 AS BIGINT) AS end_ms,
+       substr(h, 1, 8) || ' ' || substr(h, 9, 8) AS text
+FROM sh
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS cue_no,
+       CAST(62250 AS BIGINT) AS start_ms,
+       CAST(63750 AS BIGINT) AS end_ms,
+       substr(h, 17, 8) || ' spoken' AS text
+FROM sh
+"""
+
+
 def q_latex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LaTeX cleaner (ops/latex.py) under the value oracle, BY
     CONSTRUCTION (same posture as wikitext_clean): each document's
@@ -5970,7 +6014,6 @@ QUERIES: dict[str, QueryFn] = {
     "extract_flagship": q_extract_flagship,
     "extract_grid_explode": q_extract_grid_explode,
     "extract_transform_chain": q_extract_transform_chain,
-    "c6_separator": q_c6_separator,
     "n4_id_dedup": q_n4_id_dedup,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_simhash_md5": q_dedup_simhash_md5,
@@ -6024,6 +6067,7 @@ QUERIES: dict[str, QueryFn] = {
     "wikitext_clean": q_wikitext_clean,
     "latex_clean": q_latex_clean,
     "notebook_cells": q_notebook_cells,
+    "subtitle_cues": q_subtitle_cues,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -6050,6 +6094,10 @@ QUERIES: dict[str, QueryFn] = {
     "extract_multi_tree": q_extract_multi_tree,
     "extract_conditional": q_extract_conditional,
     "maincontent_strip": q_maincontent_strip,
+    # c6_separator (driver-signed r1-r5; the PROVISIONAL-convention
+    # evidence lives in the differential pytest suite, not the
+    # driver row) rotated out in session 6 for subtitle_cues
+    "c6_separator": q_c6_separator,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -6222,6 +6270,7 @@ ORACLES: dict[str, str] = {
     "wikitext_clean": SQL_WIKITEXT_CLEAN,
     "latex_clean": SQL_LATEX_CLEAN,
     "notebook_cells": SQL_NOTEBOOK_CELLS,
+    "subtitle_cues": SQL_SUBTITLE_CUES,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -374,6 +374,14 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "subtitle_cues": [
+        ("ZERO Python nodes: split + posexplode + regexps is all "
+         "Catalyst", lambda p: "MapInPandas" not in _exec_part(p)
+         and "BatchEvalPython" not in p and "MapInArrow" not in
+         _exec_part(p)),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "extract_tables": [
         ("table parse is the only Python node (authoring is pure "
          "concat)", lambda p: _exec_part(p).count("MapInArrow") == 1
