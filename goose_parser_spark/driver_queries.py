@@ -4256,6 +4256,103 @@ FROM nh
 """
 
 
+def _crc_le(data_col: Column) -> Column:
+    """F.crc32 → the 4 little-endian bytes a ZIP header stores."""
+    hx = F.lpad(F.hex(F.crc32(data_col)), 8, "0")
+    return F.unhex(F.concat(F.substring(hx, 7, 2),
+                            F.substring(hx, 5, 2),
+                            F.substring(hx, 3, 2),
+                            F.substring(hx, 1, 2)))
+
+
+def _zip_store(entries: list[tuple[bytes, Column, int]]) -> Column:
+    """A complete STORED (uncompressed) ZIP as a JVM byte-concat
+    column. Each entry is ``(name, data_col, data_len)`` with a
+    CONSTANT length, so every header field and offset is a Python
+    constant except the CRC-32, which F.crc32 computes JVM-side —
+    the authoring brick of the EPUB oracle."""
+    import struct as st
+    parts: list[Column] = []
+    centrals: list[Column] = []
+    offset = 0
+    for name, data_col, dlen in entries:
+        crc = _crc_le(data_col)
+        lfh_a = b"PK\x03\x04" + st.pack("<HHHHH", 20, 0, 0, 0, 0)
+        lfh_b = st.pack("<IIHH", dlen, dlen, len(name), 0)
+        parts.append(F.concat(F.lit(lfh_a), crc, F.lit(lfh_b),
+                              F.lit(name), data_col))
+        cdh_a = b"PK\x01\x02" + st.pack("<HHHHHH", 20, 20, 0, 0,
+                                        0, 0)
+        cdh_b = st.pack("<IIHHHHHII", dlen, dlen, len(name), 0, 0,
+                        0, 0, 0, offset)
+        centrals.append(F.concat(F.lit(cdh_a), crc, F.lit(cdh_b),
+                                 F.lit(name)))
+        offset += 30 + len(name) + dlen
+    cd_size = sum(46 + len(n) for n, _c, _l in entries)
+    eocd = (b"PK\x05\x06" + st.pack("<HHHHIIH", 0, 0, len(entries),
+                                    len(entries), cd_size, offset,
+                                    0))
+    return F.concat(*parts, *centrals, F.lit(eocd))
+
+
+def q_epub_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Book ingestion under the value oracle: a complete two-chapter
+    EPUB is authored per document as a JVM byte-concat — a REAL
+    stored ZIP whose only non-constant header fields are the CRC-32s
+    F.crc32 computes, wrapping the OCF container, the OPF
+    manifest/spine, and two XHTML chapters whose prose is md5
+    substrings. ops/epub.py must walk the zip (stdlib zipfile,
+    CRC-verified), resolve the spine, and extract chapter text
+    through the house DOM engine; the oracle constructs the expected
+    (chapter_no, href, text) rows from the same substrings. One
+    wrong byte in zip framing, spine resolution or DOM text breaks
+    the CRC or the hash."""
+    from goose_parser_spark.ops.epub import epub_chapters
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    h = F.md5(F.encode(F.concat(F.lit("epub-"), d), "utf-8"))
+    a = F.substring(h, 1, 16)
+    b = F.substring(h, 17, 16)
+    container = (b'<?xml version="1.0"?><container><rootfiles>'
+                 b'<rootfile full-path="content.opf"/>'
+                 b'</rootfiles></container>')
+    opf = (b'<package><manifest>'
+           b'<item id="c1" href="ch1.xhtml" '
+           b'media-type="application/xhtml+xml"/>'
+           b'<item id="c2" href="ch2.xhtml" '
+           b'media-type="application/xhtml+xml"/>'
+           b'</manifest><spine><itemref idref="c1"/>'
+           b'<itemref idref="c2"/></spine></package>')
+    pre = b"<html><body><p>"
+    post = b"</p></body></html>"
+    ch_len = len(pre) + 16 + len(post)
+    ch1 = F.concat(F.lit(pre), F.encode(a, "utf-8"), F.lit(post))
+    ch2 = F.concat(F.lit(pre), F.encode(b, "utf-8"), F.lit(post))
+    payload = _zip_store([
+        (b"META-INF/container.xml", F.lit(container),
+         len(container)),
+        (b"content.opf", F.lit(opf), len(opf)),
+        (b"ch1.xhtml", ch1, ch_len),
+        (b"ch2.xhtml", ch2, ch_len),
+    ])
+    z = docs.select("doc_id", payload.alias("payload"))
+    return epub_chapters(z)
+
+
+SQL_EPUB_CHAPTERS = f"""
+WITH {_SQL_DOCS_AMP_COPY}, eh AS (
+  SELECT doc_id, md5('epub-' || doc_id) AS h FROM docs_amp
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS chapter_no,
+       'ch1.xhtml' AS href, substr(h, 1, 16) AS text
+FROM eh
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS chapter_no,
+       'ch2.xhtml' AS href, substr(h, 17, 16) AS text
+FROM eh
+"""
+
+
 def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT/WebVTT cue parsing under the value oracle, by
     construction: each document is a two-cue SRT (numbered blocks,
@@ -6039,7 +6136,6 @@ QUERIES: dict[str, QueryFn] = {
     "robots_filter": q_robots_filter,
     "text_quality": q_text_quality,
     "text_gopher_quality": q_text_gopher_quality,
-    "corpus_percentiles": q_corpus_percentiles,
     "script_stats": q_script_stats,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
@@ -6068,6 +6164,7 @@ QUERIES: dict[str, QueryFn] = {
     "latex_clean": q_latex_clean,
     "notebook_cells": q_notebook_cells,
     "subtitle_cues": q_subtitle_cues,
+    "epub_chapters": q_epub_chapters,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -6096,8 +6193,11 @@ QUERIES: dict[str, QueryFn] = {
     "maincontent_strip": q_maincontent_strip,
     # c6_separator (driver-signed r1-r5; the PROVISIONAL-convention
     # evidence lives in the differential pytest suite, not the
-    # driver row) rotated out in session 6 for subtitle_cues
+    # driver row) rotated out in session 6 for subtitle_cues;
+    # corpus_percentiles (signed r4; stats family covered in-window
+    # by text_quality/script_stats) rotated out for epub_chapters
     "c6_separator": q_c6_separator,
+    "corpus_percentiles": q_corpus_percentiles,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -6271,6 +6371,7 @@ ORACLES: dict[str, str] = {
     "latex_clean": SQL_LATEX_CLEAN,
     "notebook_cells": SQL_NOTEBOOK_CELLS,
     "subtitle_cues": SQL_SUBTITLE_CUES,
+    "epub_chapters": SQL_EPUB_CHAPTERS,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -382,6 +382,14 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "epub_chapters": [
+        ("zip walk + DOM parse is the only Python node (the zip "
+         "authoring incl. CRC32 is pure JVM concat)",
+         lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "extract_tables": [
         ("table parse is the only Python node (authoring is pure "
          "concat)", lambda p: _exec_part(p).count("MapInArrow") == 1
