@@ -404,7 +404,7 @@ def main() -> int:
         "crossmodal_pairs", "http_headers", "zstd_decode",
         "brotli_decode", "vp8_decode", "pdf_images",
         "wikitext_clean", "latex_clean", "notebook_cells",
-        "subtitle_cues", "epub_chapters",
+        "subtitle_cues", "epub_chapters", "mbox_messages",
     ]
     ext_results: dict[str, float] = {}
     for name in extended:

@@ -4353,6 +4353,59 @@ FROM eh
 """
 
 
+def q_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox/RFC-822 ingestion under the value oracle, by
+    construction: each document is a two-message mbox whose headers
+    and bodies are md5 substrings; ops/email_ops.py must split on
+    the From_ envelope lines and parse each message through the
+    stdlib email machinery. The oracle constructs the expected
+    (msg_no, subject, from_addr, date, body) rows from the same
+    substrings; MIME/encoded-word/multipart behavior is pinned in
+    tests/test_email_ops.py."""
+    from goose_parser_spark.ops.email_ops import mbox_messages
+    docs = _documents_amplified(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    h = F.md5(F.encode(F.concat(F.lit("mbox-"), d), "utf-8"))
+    a1 = F.substring(h, 1, 6)
+    s1 = F.substring(h, 7, 8)
+    b1 = F.substring(h, 15, 8)
+    a2 = F.substring(h, 23, 6)
+    s2 = F.substring(h, 29, 4)
+    env = "From x@y Mon Jan  1 10:00:00 2024\n"
+    date = "Mon, 01 Jan 2024 10:00:00 +0000"
+
+    def msg(a, s, b):
+        return F.concat(
+            F.lit("From: "), a, F.lit("@example.org\nSubject: "), s,
+            F.lit(f"\nDate: {date}\n\n"), b, F.lit(" body text"))
+
+    mb = F.concat(F.lit(env), msg(a1, s1, b1), F.lit("\n" + env),
+                  msg(a2, s2, s1))
+    z = docs.select("doc_id",
+                    F.encode(mb, "utf-8").alias("payload"))
+    return mbox_messages(z)
+
+
+SQL_MBOX_MESSAGES = f"""
+WITH {_SQL_DOCS_AMP_COPY}, mh AS (
+  SELECT doc_id, md5('mbox-' || doc_id) AS h FROM docs_amp
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS msg_no,
+       substr(h, 7, 8) AS subject,
+       substr(h, 1, 6) || '@example.org' AS from_addr,
+       'Mon, 01 Jan 2024 10:00:00 +0000' AS date,
+       substr(h, 15, 8) || ' body text' AS body
+FROM mh
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS msg_no,
+       substr(h, 29, 4) AS subject,
+       substr(h, 23, 6) || '@example.org' AS from_addr,
+       'Mon, 01 Jan 2024 10:00:00 +0000' AS date,
+       substr(h, 7, 8) || ' body text' AS body
+FROM mh
+"""
+
+
 def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT/WebVTT cue parsing under the value oracle, by
     construction: each document is a two-cue SRT (numbered blocks,
@@ -6136,7 +6189,6 @@ QUERIES: dict[str, QueryFn] = {
     "robots_filter": q_robots_filter,
     "text_quality": q_text_quality,
     "text_gopher_quality": q_text_gopher_quality,
-    "script_stats": q_script_stats,
     # -- new in round 6 --
     "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
@@ -6165,6 +6217,7 @@ QUERIES: dict[str, QueryFn] = {
     "notebook_cells": q_notebook_cells,
     "subtitle_cues": q_subtitle_cues,
     "epub_chapters": q_epub_chapters,
+    "mbox_messages": q_mbox_messages,
     # ---- 50-entry window boundary (driver hashes up to here) ----
     # NINE family reps rotated below the boundary to make room for
     # the nine newest ops (g711/video/webp_decode/exif/gif_frames/
@@ -6194,10 +6247,12 @@ QUERIES: dict[str, QueryFn] = {
     # c6_separator (driver-signed r1-r5; the PROVISIONAL-convention
     # evidence lives in the differential pytest suite, not the
     # driver row) rotated out in session 6 for subtitle_cues;
-    # corpus_percentiles (signed r4; stats family covered in-window
-    # by text_quality/script_stats) rotated out for epub_chapters
+    # corpus_percentiles and script_stats (both signed r4; stats
+    # family covered in-window by text_quality/text_gopher_quality)
+    # rotated out for epub_chapters and mbox_messages
     "c6_separator": q_c6_separator,
     "corpus_percentiles": q_corpus_percentiles,
+    "script_stats": q_script_stats,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_stats": q_text_stats,
     "url_ops": q_url_ops,
@@ -6372,6 +6427,7 @@ ORACLES: dict[str, str] = {
     "notebook_cells": SQL_NOTEBOOK_CELLS,
     "subtitle_cues": SQL_SUBTITLE_CUES,
     "epub_chapters": SQL_EPUB_CHAPTERS,
+    "mbox_messages": SQL_MBOX_MESSAGES,
     "webp_decode": SQL_WEBP_DECODE,
     "exif_parse": SQL_EXIF_PARSE,
     "gif_frames": SQL_GIF_FRAMES,

@@ -390,6 +390,13 @@ CHECKS = {
         ("map-only: no shuffle", lambda p: "Exchange" not in
          _exec_part(p)),
     ],
+    "mbox_messages": [
+        ("MIME parse is the only Python node (authoring is pure "
+         "concat)", lambda p: _exec_part(p).count("MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("map-only: no shuffle", lambda p: "Exchange" not in
+         _exec_part(p)),
+    ],
     "extract_tables": [
         ("table parse is the only Python node (authoring is pure "
          "concat)", lambda p: _exec_part(p).count("MapInArrow") == 1
