@@ -93,7 +93,7 @@ def iter_mbox(data: bytes):
     message bytes with ``>From `` unescaping applied."""
     if not data.startswith(b"From "):
         raise ValueError("not an mbox (no leading From_ line)")
-    for chunk in data.split(b"\nFrom ")[0:]:
+    for chunk in data.split(b"\nFrom "):
         if chunk.startswith(b"From "):
             chunk = chunk[5:]
         # drop the From_ envelope line itself

@@ -109,8 +109,11 @@ def parse_epub(data: bytes) -> list[dict]:
         href, mtype = entry
         if mtype and b"html" not in mtype and b"xml" not in mtype:
             continue
-        body = _read_entry(zf, href)
         text: str | None = None
+        try:
+            body = _read_entry(zf, href)
+        except ValueError:  # corrupt/over-budget entry: isolate it
+            body = None
         if body is not None:
             try:
                 root = parse_html(body)

@@ -2435,8 +2435,10 @@ def webp_frames_gray(
                     except VP8Error:
                         break  # malformed sub-frame: poison below
                     if (w, h) != (fw, fh):
-                        raise ValueError(
-                            "ANMF/VP8 dimension mismatch")
+                        # header/bitstream disagreement: THIS frame
+                        # is malformed — per-frame poison, not a
+                        # dead document (code-review finding)
+                        break
                     frame_px = px
                     break
             if frame_px is None:

@@ -115,27 +115,31 @@ def _strip_math(s: str) -> str:
 
 
 def _drop_envs(s: str) -> str:
-    """Remove drop-environments with their content (innermost-first
-    iteration bounded by the count of \\begin tokens)."""
+    """Remove drop-environments with their content in ONE
+    left-to-right pass (the restart-from-head version copied the
+    whole string per removed environment — O(k·n) on equation-heavy
+    arXiv sources; code-review finding). A drop-env nested inside
+    another drop-env sits inside the skipped span, so the leftmost
+    match suffices; an unclosed drop-env drops the rest (broken
+    markup)."""
     pat = re.compile(r"\\begin\{([A-Za-z*]+)\}")
-    for _ in range(s.count("\\begin") + 1):
-        m = pat.search(s)
-        found = False
-        pos = 0
-        while m:
-            env = m.group(1)
-            if env in _DROP_ENVS:
-                end = s.find(f"\\end{{{env}}}", m.end())
-                stop = len(s) if end < 0 else \
-                    end + len(f"\\end{{{env}}}")
-                s = s[:m.start()] + s[stop:]
-                found = True
-                break
-            pos = m.end()
-            m = pat.search(s, pos)
-        if not found:
+    out: list[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        m = pat.search(s, i)
+        if m is None:
+            out.append(s[i:])
             break
-    return s
+        if m.group(1) in _DROP_ENVS:
+            out.append(s[i:m.start()])
+            closer = f"\\end{{{m.group(1)}}}"
+            end = s.find(closer, m.end())
+            i = n if end < 0 else end + len(closer)
+        else:
+            out.append(s[i:m.end()])
+            i = m.end()
+    return "".join(out)
 
 
 def latex_to_text(s: str) -> str:

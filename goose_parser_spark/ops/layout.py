@@ -676,7 +676,9 @@ def _show_text_ops(content: bytes,
                             if i + 1 < n and 0x30 <= content[i + 1] <= 0x37:
                                 i += 1
                                 oct_ += chr(content[i])
-                        buf.append(int(oct_, 8))
+                        # PDF 32000 §7.3.4.2: high-order overflow in
+                        # \400..\777 is ignored (mask, don't crash)
+                        buf.append(int(oct_, 8) & 0xFF)
                     elif e in (0x0A, 0x0D):
                         # line continuation; \CRLF consumes both bytes
                         if e == 0x0D and content[i + 1:i + 2] == b"\n":

@@ -186,8 +186,7 @@ def read_wiki_dump(spark: "SparkSession", path: str) -> "DataFrame":
     ship_package(spark)
 
     def run(batches):
-        import bz2
-        import zlib
+        from goose_parser_spark.sources.inflate import inflate_members
         budget = 1 << 30
         for pdf in batches:
             rows: dict[str, list] = {
@@ -196,18 +195,18 @@ def read_wiki_dump(spark: "SparkSession", path: str) -> "DataFrame":
             for pth, content in zip(pdf["path"], pdf["content"]):
                 if content is None:
                     continue
-                data = bytes(content)
+                data: bytes | None = bytes(content)
                 name = str(pth).lower()
-                try:
-                    if name.endswith(".bz2"):
-                        d = bz2.BZ2Decompressor()
-                        data = d.decompress(data, budget + 1)
-                    elif name.endswith(".gz"):
-                        d = zlib.decompressobj(wbits=31)
-                        data = d.decompress(data, budget + 1)
-                    if len(data) > budget:
-                        continue
-                except Exception:  # noqa: BLE001 — skip bad shard
+                # MULTI-member inflate: the standard Wikipedia dump
+                # is pages-articles-MULTISTREAM.xml.bz2 — many bz2
+                # streams back to back; decoding only the first
+                # silently dropped all but ~100 pages (code-review
+                # finding, regression-pinned)
+                if name.endswith(".bz2"):
+                    data = inflate_members(data, "bz2", budget)
+                elif name.endswith(".gz"):
+                    data = inflate_members(data, "gz", budget)
+                if data is None:
                     continue
                 for page in iter_wiki_pages(data):
                     for k, v in page.items():

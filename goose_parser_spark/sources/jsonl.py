@@ -109,12 +109,15 @@ _SHARD_BUDGET = 1 << 30
 
 def _inflate_shard(name: str, content: bytes) -> bytes | None:
     """Inflate one JSONL shard by filename suffix, budget-bounded.
-    gz/bz2/xz decode via the stdlib's streaming decompressors (the
-    one-shot module functions have no output cap — a 60 KB zero bomb
-    would inflate to whatever it likes); zst and br ride the house
-    pure-stdlib decoders; a bare .jsonl passes through. Returns None
-    (shard skipped, best-effort contract) on any malformed or
-    over-budget stream."""
+    gz/bz2/xz decode via the shared MULTI-MEMBER helper
+    (sources/inflate.py): real shards are often concatenated members
+    (``cat a.gz b.gz``, pbzip2 output) and the first-member-only
+    stdlib shortcut silently dropped everything after member one —
+    a code-review finding, now regression-pinned. zst and br ride
+    the house pure-stdlib decoders (already multi-frame); a bare
+    .jsonl passes through. Returns None (shard skipped, best-effort
+    contract) on malformed, truncated-mid-member or over-budget
+    streams."""
     suffix = name.rsplit(".", 1)[-1].lower()
     try:
         if suffix == "jsonl":
@@ -127,21 +130,10 @@ def _inflate_shard(name: str, content: bytes) -> bytes | None:
         if suffix == "br":
             from goose_parser_spark.ops.brotlicodec import decompress
             return decompress(content, max_out=_SHARD_BUDGET)
-        if suffix == "gz":
-            import zlib
-            d = zlib.decompressobj(wbits=31)
-            out = d.decompress(content, _SHARD_BUDGET + 1)
-            return None if len(out) > _SHARD_BUDGET else out
-        if suffix == "bz2":
-            import bz2
-            d = bz2.BZ2Decompressor()
-            out = d.decompress(content, _SHARD_BUDGET + 1)
-            return None if len(out) > _SHARD_BUDGET else out
-        if suffix == "xz":
-            import lzma
-            d = lzma.LZMADecompressor()
-            out = d.decompress(content, _SHARD_BUDGET + 1)
-            return None if len(out) > _SHARD_BUDGET else out
+        if suffix in ("gz", "bz2", "xz"):
+            from goose_parser_spark.sources.inflate import (
+                inflate_members)
+            return inflate_members(content, suffix, _SHARD_BUDGET)
     except Exception:  # noqa: BLE001 — malformed shard: skip
         return None
     return None  # unknown suffix

@@ -102,3 +102,22 @@ def test_fuzz_epub_never_hangs():
         except ValueError:
             pass
     assert time.monotonic() - t0 < 20
+
+
+def test_corrupt_chapter_isolates_not_fails_book():
+    """Per-chapter isolation (code-review finding): a chapter with
+    corrupt deflate data yields ITS None-text entry while the rest
+    of the book extracts."""
+    book = bytearray(_epub([
+        "<html><body><p>Good one.</p></body></html>",
+        "<html><body><p>Will be corrupted badly here.</p></body></html>",
+    ]))
+    # flip bytes inside the SECOND chapter's deflate stream (the
+    # FIRST ch1.xhtml occurrence is its local header; data follows
+    # the 9-byte name)
+    pos = bytes(book).find(b"ch1.xhtml") + 9
+    book[pos + 4] ^= 0xFF
+    book[pos + 5] ^= 0xFF
+    chapters = parse_epub(bytes(book))
+    assert chapters[0]["text"] == "Good one."
+    assert chapters[1]["text"] is None

@@ -577,3 +577,12 @@ def test_crafted_objstm_digit_prefix_bounded():
     t0 = time.monotonic()
     _expand_object_streams(objects)
     assert time.monotonic() - t0 < 10
+
+
+def test_octal_escape_overflow_ignored():
+    """PDF 32000 §7.3.4.2: high-order overflow in \\400..\\777 octal
+    escapes is ignored — such strings must extract, not poison the
+    document (code-review finding: bytearray.append(511) crashed)."""
+    pages = parse_pdf_text(_page_skeleton(
+        b"BT (\\777abc \\101) Tj ET"))
+    assert pages == ["\xffabc A"]

@@ -82,3 +82,28 @@ def test_unknown_suffix_and_garbage_skipped():
     assert _inflate_shard("x.jsonl.rar", b"whatever") is None
     assert _inflate_shard("x.jsonl.xz", b"\xfd7zXZ garbage") is None
     assert _inflate_shard("x.jsonl", b"raw ok") == b"raw ok"
+
+
+def test_multimember_shards_fully_inflate():
+    """cat a.gz b.gz is a valid gzip file and pbzip2 emits many bz2
+    streams back to back — the reader must inflate ALL members
+    (code-review finding: first-member-only truncation was silent
+    data loss)."""
+    from goose_parser_spark.sources.jsonl import _inflate_shard
+    a, b = b'{"x": 1}\n', b'{"x": 2}\n'
+    assert _inflate_shard("s.jsonl.gz",
+                          gzip.compress(a) + gzip.compress(b)) == a + b
+    assert _inflate_shard("s.jsonl.bz2",
+                          bz2.compress(a) + bz2.compress(b)) == a + b
+    assert _inflate_shard("s.jsonl.xz",
+                          lzma.compress(a) + lzma.compress(b)) == a + b
+
+
+def test_truncated_member_rejected():
+    """A shard cut mid-transfer must be skipped, not silently
+    trimmed to the bytes that happened to inflate."""
+    from goose_parser_spark.sources.jsonl import _inflate_shard
+    full = gzip.compress(b"x" * 10000)
+    assert _inflate_shard("s.jsonl.gz", full[:-20]) is None
+    fullb = bz2.compress(b"y" * 10000)
+    assert _inflate_shard("s.jsonl.bz2", fullb[:-20]) is None

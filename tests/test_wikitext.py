@@ -127,3 +127,17 @@ def test_fuzz_dump_parser_on_garbage():
         list(iter_wiki_pages(blob))
         list(iter_wiki_pages(b"<page>" + blob + b"</page>" * 3))
     assert time.monotonic() - t0 < 10
+
+
+def test_multistream_bz2_dump_reads_all_pages(spark, tmp_path):
+    """Wikipedia's standard dump is pages-articles-MULTISTREAM: many
+    independent bz2 streams concatenated. All streams must decode
+    (code-review finding: first-stream-only lost all but the first
+    chunk of pages)."""
+    from goose_parser_spark.ops.wikitext import read_wiki_dump
+    s1 = _dump([_page(1, "One", "alpha")])
+    s2 = _dump([_page(2, "Two", "beta"), _page(3, "Three", "gamma")])
+    (tmp_path / "multi.xml.bz2").write_bytes(
+        bz2.compress(s1) + bz2.compress(s2))
+    rows = {r.page_id for r in read_wiki_dump(spark, str(tmp_path)).collect()}
+    assert rows == {1, 2, 3}
