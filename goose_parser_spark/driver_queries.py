@@ -35,8 +35,84 @@ from goose_parser_spark.ops.textstats import text_stats
 from goose_parser_spark.plans.pipeline import with_bucket
 
 
+# Row-group census memo for _spread: a layout probe, not a result
+# cache — no query output is ever stored.
+_SPREAD_MEMO: dict[str, bool] = {}
+
+# Tables whose scans feed heavy map-side work (explode + hash, Python
+# extraction, codecs): for these the per-row stage-1 cost dwarfs a
+# 5 MB shuffle. The relational tables (lineitem/orders/events) and
+# dimensions stay raw — their queries are partial-agg/window/broadcast
+# shaped where a repartition shuffle costs MORE than the single-task
+# scan (measured: rel_broadcast_join 0.7→2.9 s, events_sessionize
+# 0.3→1.5 s when spread blanketly).
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _scan_starved(path: str, parallelism: int) -> bool:
+    """True when the parquet table at ``path`` cannot feed
+    ``parallelism`` scan tasks. The schedulable unit of a parquet scan
+    is the ROW GROUP, not the byte-range split: Spark happily cuts one
+    file into N ranges, but every range except the one holding a
+    row-group midpoint reads zero rows — the partition count lies, the
+    task row counts don't. Cheap gates first: a table with >=
+    parallelism files can always feed the cores (footers never read);
+    only few-file local tables get their footers counted."""
+    import pyarrow.parquet as _pq
+
+    files: list[str] = []
+    if _os.path.isdir(path):
+        for root, _dirs, fns in _os.walk(path):
+            files += [_os.path.join(root, f) for f in fns
+                      if f.endswith(".parquet")]
+    elif _os.path.isfile(path):
+        files = [path]
+    else:
+        return False  # non-local / unreadable: trust the scan
+    if len(files) >= parallelism:
+        return False
+    try:
+        units = 0
+        for f in files:
+            units += _pq.ParquetFile(f).metadata.num_row_groups
+            if units >= parallelism:
+                return False
+        return units < parallelism
+    except Exception:  # noqa: BLE001 — layout probe only, never fatal
+        return False
+
+
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.5, "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read"). The driver's sf tables are single-file,
+    single-row-group parquet, so every scan is effectively ONE task
+    and all map-side work before the first exchange — shingle explode
+    + hash, the Python DOM extraction, media decode — runs on one
+    core. Round-robin repartition to the engine's default parallelism
+    ONLY when the table physically cannot feed the cores: at
+    production scale the input has >= parallelism row groups and no
+    shuffle is added. Row-order independent everywhere: no declared
+    query uses partition- or order-sensitive expressions (no
+    monotonically_increasing_id / spark_partition_id / unsorted
+    collect_list), and the driver's oracle hash is order-insensitive.
+    """
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    memo_key = f"{path}::{p}"
+    starved = _SPREAD_MEMO.get(memo_key)
+    if starved is None:
+        starved = _scan_starved(path, p)
+        _SPREAD_MEMO[memo_key] = starved
+    return df.repartition(p) if starved else df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name in _SPREAD_TABLES:
+        df = _spread(df, path)
+    return df
 
 
 # Oracle-scale corpus amplifier (VERDICT r02 #4): hash-match checks

