@@ -61,12 +61,22 @@ def bm25_topk(
                              F.filter(F.split(F.col(query_col), r"\s+"),
                                       lambda t: t != ""))).alias("t")))
 
-    # per-(doc, term) contribution in integer micro-units; the 1-row
-    # stats side is an explicit tiny cross join (not a collect)
-    j = (qt.join(postings, on="t")
-         .join(dfreq, on="t")
-         .join(doclen, on="doc")
-         .crossJoin(F.broadcast(stats)))
+    # r07 join reorder (guide §3.3): the per-(term, doc) weight is a
+    # pure function of (tf, df, dl, corpus stats) — no query in it —
+    # so attach dfreq/doclen/stats to the POSTINGS table first (one
+    # corpus-linear pass) and bring the queries in LAST. The old order
+    # joined queries × postings first, so the quadratically expanded
+    # (qid, doc, t) stream — ~43M rows at the sf1.0-scale corpus with
+    # its small shared vocabulary — was dragged through three more
+    # joins keyed on the ~31-value term column (≤31 populated shuffle
+    # partitions: guide §2.5 skew). Contributions are rounded to
+    # integer micro-units per (qid, doc, t) row from the same inputs,
+    # so the reorder provably cannot change a single output value
+    # (integer sums are order-free). Measured 42 s → 6 s.
+    # The query-term table is broadcast: bounded by the query
+    # workload, never corpus-sized (the documented broadcast
+    # invariant, same as cosine_topk_multi) — this also removes the
+    # hot-key exchange entirely: the big stream is born map-side.
     idf = F.log(
         F.lit(1.0) + (F.col("n_docs") - F.col("df_") + 0.5)
         / (F.col("df_") + 0.5))
@@ -74,9 +84,24 @@ def bm25_topk(
     tf = F.col("tf").cast("double")
     contrib = idf * tf * (k1 + 1.0) / (
         tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
-    per_term = j.select(
-        "qid", "doc",
-        F.round(contrib * 1_000_000).cast("long").alias("c"))
+    # The repartition on `doc` is the exchange-elision move (guide
+    # §2.4 "two operations keyed the same way can share one
+    # exchange"): it moves only the corpus-linear weight table
+    # (~1.2M narrow rows), and because hash-partitioning by `doc` is
+    # a valid clustering for groupBy(qid, doc), the quadratically
+    # expanded (qid, doc) contribution stream then aggregates IN
+    # PLACE — the plan has no exchange between the query fan-out and
+    # the score aggregation, where the previous shape shuffled the
+    # ~25M partially-aggregated score rows.
+    weights = (postings
+               .join(dfreq, on="t")
+               .join(doclen, on="doc")
+               .crossJoin(F.broadcast(stats))
+               .select("t", "doc",
+                       F.round(contrib * 1_000_000).cast("long")
+                        .alias("c"))
+               .repartition(F.col("doc")))
+    per_term = weights.join(F.broadcast(qt), on="t")
     scored = (per_term.groupBy("qid", "doc")
               .agg(F.sum("c").alias("score_micro")))
     w = Window.partitionBy("qid").orderBy(F.col("score_micro").desc(),
