@@ -235,27 +235,68 @@ def _phash_from_pixel_cols(base: DataFrame, id_col: str, out_col: str,
     iq = f"`{id_col}`"
     extras = [f"`{c}`" for c in extra_cols]
     keep = [iq] + extras + ([valid_col] if valid_col else [])
+    # r07 codegen restructure (VERDICT r6 #4 — the bench-log
+    # UnitCompiler trace). Two changes, values bit-identical:
+    #
+    # 1. The DCT sums run in DOUBLE arithmetic: under ANSI mode every
+    #    long add/multiply compiles to a MathUtils.addExact /
+    #    multiplyExact CALL with an error-context reference — 60×15
+    #    of them per stage. Every intermediate is an integer-valued
+    #    double (|pixel| ≤ 255, |C| < 2900 bounds each g at < 6e6 and
+    #    each ac at < 1.4e11, far below 2^53), so the double sums are
+    #    EXACT and comparisons order identically.
+    # 2. Each stage's 60-64 values are packed into ONE array column
+    #    (_px → _gx → _ax) instead of 60-64 scalar columns. Projects
+    #    defer their expression code into the consuming operator, so
+    #    the scalar-column chain fused ALL seven projections into a
+    #    single generated method (measured 19.8k lines — far past
+    #    janino's 64 KB limit; whole-stage codegen fell back to
+    #    per-operator execution every run and printed the stack trace
+    #    into the bench artifacts). A packed array is one
+    #    multi-referenced alias, so subexpression elimination hoists
+    #    each stage's entire computation into its own generated
+    #    function — every method stays small and the stage compiles.
+    #
+    # Stage isolation: projections DEFER their expression code into
+    # the consuming operator, so nothing short of excluding an
+    # operator from whole-stage codegen actually bounds the generated
+    # method. The pack and ac stages each run one value through a
+    # reflect() round-trip — CallMethodViaReflection is a
+    # CodegenFallback expression, so those two Projects drop out of
+    # the fused span and the chain compiles as several small stages
+    # (each a few KB) instead of one doomed 21k-line method.
+    # Double.parseDouble(Double.toString(x)) == x for every finite
+    # double (Java spec round-trip guarantee), so the value is
+    # untouched; cost is one reflective call per row on a stage doing
+    # ~10^3 arithmetic ops per row.
+    barrier = ("CAST(java_method('java.lang.Double', 'parseDouble', "
+               "CAST({v} AS STRING)) AS DOUBLE)")
     # separable DCT: G[u][y] = sum_x C[u][x] * p[x][y]
-    g_exprs = [
-        " + ".join(f"_p{8 * x + y}*{DCT_C[u][x]}L" for x in range(8))
-        + f" AS _g{u}_{y}"
-        for u in range(8) for y in range(8)
+    px = ("array(" + ",".join(
+        barrier.format(v="CAST(_p0 AS DOUBLE)") if k == 0
+        else f"CAST(_p{k} AS DOUBLE)"
+        for k in range(64)) + ") AS _px")
+    packed = base.selectExpr(*keep, px)
+    gx = ("array(" + ",".join(
+        "(" + " + ".join(f"_px[{8 * x + y}]*{DCT_C[u][x]}.0D"
+                         for x in range(8)) + ")"
+        for u in range(8) for y in range(8)) + ") AS _gx")
+    g = packed.selectExpr(*keep, gx)
+    ac_elems = [
+        "(" + " + ".join(f"_gx[{u * 8 + y}]*{DCT_C[v][y]}.0D"
+                         for y in range(8)) + ")"
+        for (u, v) in PHASH_AC_ORDER
     ]
-    g = base.selectExpr(*keep, *g_exprs)
-    ac_exprs = [
-        " + ".join(f"_g{u}_{y}*{DCT_C[v][y]}L" for y in range(8))
-        + f" AS _a{k}"
-        for k, (u, v) in enumerate(PHASH_AC_ORDER)
-    ]
-    acs = g.selectExpr(*keep, *ac_exprs)
+    ac_elems[0] = barrier.format(v=ac_elems[0])
+    ax = "array(" + ",".join(ac_elems) + ") AS _ax"
+    acs = g.selectExpr(*keep, ax)
     # lower median of the 60 AC values: 30th smallest (1-based)
-    arr = "array(" + ",".join(f"_a{k}" for k in range(60)) + ")"
     med = acs.selectExpr(
-        "*", f"element_at(array_sort({arr}), 30) AS _med")
+        *keep, "_ax", "element_at(array_sort(_ax), 30) AS _med")
     # bit assembly in 4 banks of 15 so no single expression grows
     # beyond codegen comfort
     bank_exprs = [
-        " + ".join(f"IF(_a{k} > _med, {1 << k}L, 0L)"
+        " + ".join(f"IF(_ax[{k}] > _med, {1 << k}L, 0L)"
                    for k in range(b * 15, b * 15 + 15)) + f" AS _b{b}"
         for b in range(4)
     ]
