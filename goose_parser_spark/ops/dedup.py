@@ -394,20 +394,30 @@ def minhash_lsh_dedup(
     # point at scale: shingle arrays are materialized just for
     # candidate-touched docs, and each pair is scored independently.
     cand = cand.cache()
-    # r07: the candidate-doc set is derived from the BANDED table,
-    # not the pair stream — a doc is candidate-touched exactly when
-    # one of its (band, band_hash) groups has a second member, so
-    # ``group size ≥ 2`` over the corpus×bands-linear banded rows
-    # gives the IDENTICAL set the old union-of-pair-sides distinct
-    # produced, without ever exchanging the quadratic candidate
-    # stream again (measured ~4 s of the query at the sf1.0-scale
-    # corpus, where candidates touch nearly every doc). Guide §2.3:
-    # decide membership on the narrow metadata table.
-    grp = banded.groupBy("band", "bh").agg(F.count("*").alias("_gn"))
-    cand_docs = (banded.join(grp.where(F.col("_gn") >= 2),
-                             on=["band", "bh"])
-                 .select(F.col("doc").alias(id_col))
-                 .distinct())
+    # r07: in the r=1 candidate-FLOOD regime the candidate-doc set is
+    # derived from the BANDED table, not the pair stream — a doc is
+    # candidate-touched exactly when one of its (band, band_hash)
+    # groups has a second member, so ``group size ≥ 2`` over the
+    # corpus×bands-linear banded rows gives the IDENTICAL set the
+    # union-of-pair-sides distinct produced, without exchanging the
+    # quadratic candidate stream again (measured ~4 s at the
+    # sf1.0-scale corpus, where r=1 candidates touch nearly every
+    # doc). With SELECTIVE banding (r ≥ 2) candidates are rare and
+    # the pair-side distinct is nearly free, while the banded-group
+    # path would execute the signature aggregate one more time —
+    # measured +1.4 s warm on dedup_minhash_lsh — so each regime
+    # keeps its cheaper shape (guide §2.3: decide membership on
+    # whichever metadata table is narrow in that regime).
+    if rows_per_band == 1:
+        grp = banded.groupBy("band", "bh").agg(F.count("*").alias("_gn"))
+        cand_docs = (banded.join(grp.where(F.col("_gn") >= 2),
+                                 on=["band", "bh"])
+                     .select(F.col("doc").alias(id_col))
+                     .distinct())
+    else:
+        cand_docs = (cand.select(F.col("doc_a").alias(id_col))
+                     .union(cand.select(F.col("doc_b").alias(id_col)))
+                     .distinct())
     # left-semi join, no broadcast hint: on dup-heavy web crawls
     # (30-50% near-dup rate) the candidate universe is a large fraction
     # of the corpus — forcing a broadcast would OOM. AQE picks

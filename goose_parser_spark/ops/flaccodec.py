@@ -224,7 +224,11 @@ def _residual(br: _Bits, blocksize: int, order: int,
     escape = (1 << pbits) - 1
     po = br.read(4)
     parts = 1 << po
-    if blocksize % parts or (blocksize >> po) < order:
+    # RFC 9639 requires the first partition to hold at least one
+    # sample: (blocksize >> po) must be STRICTLY greater than the
+    # predictor order (ADVICE r6 — equality previously slipped
+    # through and decoded an empty first partition).
+    if blocksize % parts or (blocksize >> po) <= order:
         raise FlacError("bad partition order")
     idx = order
     for p in range(parts):

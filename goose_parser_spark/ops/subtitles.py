@@ -16,6 +16,11 @@ Handled per the public format definitions:
   stripped from the cue text
 
 Output: one row per cue — ``(id, cue_no, start_ms, end_ms, text)``.
+``cue_no`` is the RAW blank-line-block index within the document, not
+a per-cue ordinal (ADVICE r6): WEBVTT headers and NOTE/STYLE blocks
+consume indices before the timestamp filter drops them, so cue
+numbering is neither 0-based nor contiguous — it is a stable join key
+back into the source, which is what downstream ops use it for.
 Blocks without a valid timestamp line yield no row (headers, notes,
 stray numbering); a document with no cues at all yields nothing —
 callers anti-join for the poison set.
