@@ -525,6 +525,10 @@ def _assign_to_centroids(vecs: DataFrame, centroids: list[list[float]]) -> DataF
     # argmin is ``array_position(d, array_min(d))`` — expression size
     # is linear in K (a chained when(closer,...) alternative doubles
     # the tree per centroid: 2^K nodes, codegen blow-up at K=16).
+    # (r07 note: an inline-SQL variant of these distances — K×dims
+    # expanded double terms — was A/B-tested and rejected: at the
+    # K=64 boundary the 8k-term expression tree OOMed analysis and
+    # ran slower than the fold at K=16. The fold stays.)
     dist_exprs = []
     for c in centroids:
         carr = F.array(*[F.lit(float(x)) for x in c])
