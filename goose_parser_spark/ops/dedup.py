@@ -389,6 +389,13 @@ def minhash_lsh_dedup(
             .select(F.col("x.doc").alias("doc_a"),
                     F.col("y.doc").alias("doc_b"))
             .distinct())
+    # (r07 note: skipping this distinct in the r=1 regime and
+    # deduping only the threshold-passing verify output was A/B'd —
+    # duplication is just 1.19× there, so it looked like a saved
+    # quadratic exchange — and measured 3× SLOWER end-to-end: the
+    # verify joins over the un-materialized collision stream lose the
+    # accurate post-distinct stats AQE plans the join strategy from.
+    # Distinct-first stays in both regimes.)
 
     # Exact-Jaccard verification per candidate pair only — the LSH
     # point at scale: shingle arrays are materialized just for
