@@ -119,35 +119,41 @@ def ngram_jaccard_pairs(
                    F.array_distinct(
                        F.transform(shingles(text_col, n),
                                    lambda s: F.xxhash64(s))).alias("_sh")))
-    sh = arr.select("doc", F.explode("_sh").alias("sh"))
+    sh = arr.select("doc", F.size("_sh").alias("n_sh"),
+                    F.explode("_sh").alias("sh"))
     # no shared-shingle semi-join prefilter: df=1 shingles find no join
     # partner anyway, and the prefilter's two extra exchanges cost more
     # than the unique rows they remove from the join input (measured).
     a = sh.alias("a")
     b = sh.alias("b")
+    # r07: each side's distinct-shingle COUNT rides the pair stream as
+    # an extra int (the explode projection above computes it for free)
+    # and joins the GROUP KEY — (doc, n_sh) is functional, so the
+    # groups are unchanged, and the Jaccard filter runs directly on
+    # the aggregate output with ZERO post-aggregation joins. The
+    # previous shape joined the per-doc sizes onto the ~100M-row
+    # aggregated pair table; at sandbox scale AQE broadcasts the
+    # 50k-doc sizes table and the two joins are cheap (measured:
+    # within noise of this shape), but at corpus scale the sizes
+    # table exceeds any broadcast budget and those joins become TWO
+    # more full shuffles of the quadratic output. This shape's only
+    # added cost is two ints on the pair-stream exchange —
+    # corpus-linear and bounded at every scale (guide §2.3/§3.3).
     pairs = (a.join(b, on="sh")
              .where(F.col("a.doc") < F.col("b.doc"))
              .select(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b")))
+                     F.col("b.doc").alias("doc_b"),
+                     F.col("a.n_sh").alias("n_a"),
+                     F.col("b.n_sh").alias("n_b")))
     try:
         base_parallelism = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         base_parallelism = df.sparkSession.sparkContext.defaultParallelism
     common = (pairs.repartition(4 * base_parallelism, "doc_a", "doc_b")
-              .groupBy("doc_a", "doc_b")
+              .groupBy("doc_a", "doc_b", "n_a", "n_b")
               .agg(F.count("*").alias("n_common")))
-    sizes = arr.select("doc", F.size("_sh").alias("n_sh"))
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    # NO broadcast hint on sa/sb: they are one-row-per-document tables,
-    # unbounded at corpus scale (a forced broadcast = driver OOM at
-    # 10^9 docs). A plain shuffle join on a (long, long) key is cheap,
-    # and AQE converts it to broadcast at runtime when the side really
-    # is small — the safe default at every scale.
     out = (common
-           .join(sa, "doc_a")
-           .join(sb, "doc_b")
            .withColumn("jaccard", F.round(
                F.col("n_common") /
                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
